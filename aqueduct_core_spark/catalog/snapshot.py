@@ -1,0 +1,163 @@
+"""Snapshot-manifest catalog: atomic commits over plain Parquet.
+
+On a real cluster the transcripts table is Apache Iceberg and this
+module is unused (see ``catalog.table.TranscriptTable`` which prefers
+Iceberg when the runtime jars are present).  In jar-less environments
+we need the same three guarantees Iceberg gives the engine:
+
+1. **Atomic commit** — readers see the old or the new table state,
+   never a half-written one (reference analog: one SQLite transaction
+   for messages+offsets+state, ``SQLiteStorage.java:199-241``).
+2. **Snapshot isolation** — a read plan is pinned to one snapshot's
+   file list (reference analog: REPEATABLE READ + globalLatestOffset
+   ceiling, ``PostgresqlStorage.java:134-141, 158-168``).
+3. **Commit summary properties** — the exactly-once epoch/max-lsn stamp
+   rides in the same commit as the data (replaces the OFFSET register
+   upsert-in-same-txn, ``SQLiteQueries.java:47-49``).
+
+Implementation: a tiny JSON manifest per snapshot listing data files
+per bucket, plus a ``VERSION`` pointer file swapped with ``os.replace``
+(POSIX-atomic).  Manifests are metadata-only and O(files); the data
+plane never touches the driver.  Concurrent committers race on
+exclusive creation of the next manifest — optimistic concurrency, the
+loser retries/skips (reference analog: compaction advisory lock
+``SELECT … FOR UPDATE NOWAIT``, ``PostgresqlStorage.java:410-421``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same version first."""
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        self._snap_dir = os.path.join(root, "snapshots")
+
+    # -- init ----------------------------------------------------------
+    def create(self, schema_fields: list[dict], properties: dict | None = None) -> dict:
+        os.makedirs(self._snap_dir, exist_ok=True)
+        snap = {
+            "snapshot_id": 0,
+            "parent_id": None,
+            "schema": schema_fields,
+            "files": {},           # bucket(str) -> [relative parquet paths]
+            "offsets_files": [],   # relative parquet paths of the _offsets log
+            "summary": dict(properties or {}),
+        }
+        self._write_manifest(snap)
+        self._swap_version(0)
+        return snap
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.root, "VERSION"))
+
+    # -- read ----------------------------------------------------------
+    def current_version(self) -> int:
+        with open(os.path.join(self.root, "VERSION")) as f:
+            return int(f.read().strip())
+
+    def current(self) -> dict:
+        return self.load(self.current_version())
+
+    def load(self, version: int) -> dict:
+        with open(os.path.join(self._snap_dir, f"v{version}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[int]:
+        vs = [
+            int(n[1:-5])
+            for n in os.listdir(self._snap_dir)
+            if n.startswith("v") and n.endswith(".json")
+        ]
+        return sorted(vs)
+
+    # -- write ---------------------------------------------------------
+    def commit(
+        self,
+        base: dict,
+        replaced_buckets: dict[str, list[str]] | None = None,
+        added_offsets_files: list[str] | None = None,
+        summary_updates: dict | None = None,
+        schema_fields: list[dict] | None = None,
+        full_files: dict[str, list[str]] | None = None,
+    ) -> dict:
+        """Produce snapshot N+1 from ``base``.
+
+        ``replaced_buckets`` swaps the file list of only the touched
+        buckets (MERGE / compaction); ``full_files`` replaces the whole
+        layout (bootstrap / full rewrite).
+        """
+        files = dict(base["files"]) if full_files is None else dict(full_files)
+        if replaced_buckets:
+            files.update(replaced_buckets)
+        snap = {
+            "snapshot_id": base["snapshot_id"] + 1,
+            "parent_id": base["snapshot_id"],
+            "schema": schema_fields or base["schema"],
+            "files": files,
+            "offsets_files": base["offsets_files"] + list(added_offsets_files or []),
+            "summary": {**base["summary"], **(summary_updates or {})},
+        }
+        self._write_manifest(snap)
+        self._swap_version(snap["snapshot_id"])
+        return snap
+
+    # -- internals -----------------------------------------------------
+    def _write_manifest(self, snap: dict) -> None:
+        path = os.path.join(self._snap_dir, f"v{snap['snapshot_id']}.json")
+        # exclusive create = optimistic concurrency control
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(f"snapshot v{snap['snapshot_id']} already exists") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+
+    def _swap_version(self, version: int) -> None:
+        tmp = os.path.join(self.root, f".VERSION.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.root, "VERSION"))
+
+    # -- maintenance ---------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+        """Drop old manifests and return data files no longer referenced
+        by any retained snapshot (orphans for the caller to delete) —
+        analog of Iceberg ``expire_snapshots``/``remove_orphan_files``
+        and the reference's VACUUM (PostgresqlStorage.java:495-502)."""
+        versions = self.history()
+        keep = set(versions[-keep_last:])
+        keep.add(self.current_version())
+        referenced: set[str] = set()
+        for v in keep:
+            snap = self.load(v)
+            for fl in snap["files"].values():
+                referenced.update(fl)
+            referenced.update(snap["offsets_files"])
+        all_referenced: set[str] = set()
+        for v in versions:
+            snap = self.load(v)
+            for fl in snap["files"].values():
+                all_referenced.update(fl)
+            all_referenced.update(snap["offsets_files"])
+        orphans = sorted(all_referenced - referenced)
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(self._snap_dir, f"v{v}.json"))
+        return orphans
+
+
+def utcnow_iso() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())

@@ -1,0 +1,270 @@
+"""Transcript table storage layer.
+
+Two interchangeable backends behind one interface:
+
+- :class:`IcebergTranscriptTable` — the production path: a real Iceberg
+  table (``PARTITIONED BY (bucket(N, conv_id))``) using native
+  ``MERGE INTO`` and snapshot-summary stamping.  Used when the Iceberg
+  runtime is on the classpath.
+- :class:`ParquetTranscriptTable` — the jar-less sandbox path: plain
+  Parquet files tracked by :class:`SnapshotCatalog`, giving the same
+  atomic-commit / snapshot-isolation / summary-stamp semantics.
+
+Layout (both): rows hash-bucketed by ``conv_id`` so all turns of a
+conversation co-locate and a MERGE touches only the buckets present in
+the incoming batch — the analog of the reference's cluster routing /
+partition pruning (``PostgresqlStorage.java:469-473``).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from aqueduct_core_spark.catalog.snapshot import SnapshotCatalog
+from aqueduct_core_spark.schema import (
+    LSN_COLUMN,
+    OFFSETS_SCHEMA,
+    TRANSCRIPTS_INTERNAL_SCHEMA,
+)
+
+BUCKET_COLUMN = "_bucket"
+
+
+def bucket_expr(num_buckets: int, col: str = "conv_id"):
+    """Stable hash bucket of the conversation key (Iceberg
+    ``bucket(N, conv_id)`` analog; xxhash64 is Spark-native/JVM-side)."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(num_buckets)).cast("int")
+
+
+class ParquetTranscriptTable:
+    """Snapshot-versioned Parquet transcripts table."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.catalog = SnapshotCatalog(root)
+
+    # -- lifecycle -----------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        num_buckets: int = 32,
+        schema: T.StructType = TRANSCRIPTS_INTERNAL_SCHEMA,
+    ) -> "ParquetTranscriptTable":
+        t = cls(spark, root)
+        t.catalog.create(
+            schema_fields=schema.jsonValue()["fields"],
+            properties={"aqueduct.num-buckets": num_buckets},
+        )
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "ParquetTranscriptTable":
+        t = cls(spark, root)
+        if not t.catalog.exists():
+            raise FileNotFoundError(f"no transcript table at {root}")
+        return t
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self.catalog.current()["summary"]["aqueduct.num-buckets"])
+
+    def schema(self) -> T.StructType:
+        snap = self.catalog.current()
+        return T.StructType.fromJson({"type": "struct", "fields": snap["schema"]})
+
+    def payload_columns(self) -> list[str]:
+        return [f.name for f in self.schema().fields if f.name != LSN_COLUMN]
+
+    # -- read ----------------------------------------------------------
+    def read_internal(
+        self,
+        buckets: list[int] | None = None,
+        schema: T.StructType | None = None,
+    ) -> DataFrame:
+        """Snapshot-pinned read; pruned to the given buckets.
+
+        Reading an explicit file list from one manifest = Iceberg
+        snapshot isolation (reference REPEATABLE READ,
+        PostgresqlStorage.java:134-141).  Files written before a schema
+        evolution simply lack the new column → Parquet reader yields
+        nulls (additive evolution without rewrite).  ``schema`` lets the
+        caller read with an already-evolved schema before it is
+        committed.
+        """
+        snap = self.catalog.current()
+        files = []
+        wanted = None if buckets is None else {str(int(b)) for b in buckets}
+        for b, fl in snap["files"].items():
+            if wanted is None or b in wanted:
+                files.extend(os.path.join(self.root, p) for p in fl)
+        schema = schema or self.schema()
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def read(self) -> DataFrame:
+        """Public table state (internal lsn column hidden)."""
+        return self.read_internal().drop(LSN_COLUMN)
+
+    def read_offsets(self) -> DataFrame:
+        snap = self.catalog.current()
+        files = [os.path.join(self.root, p) for p in snap["offsets_files"]]
+        if not files:
+            return self.spark.createDataFrame([], OFFSETS_SCHEMA)
+        return self.spark.read.schema(OFFSETS_SCHEMA).parquet(*files)
+
+    # -- exactly-once bookkeeping -------------------------------------
+    def last_committed_epoch(self) -> int:
+        return int(self.catalog.current()["summary"].get("aqueduct.epoch", -1))
+
+    def last_committed_lsn(self) -> int:
+        return int(self.catalog.current()["summary"].get("aqueduct.max-lsn", -1))
+
+    # -- write ---------------------------------------------------------
+    def write_bucket_data(self, df: DataFrame, label: str) -> dict[str, list[str]]:
+        """Write rows (already carrying ``_bucket``) as new parquet files,
+        clustered and sorted for locality; returns bucket→relative-paths.
+        Files are not live until a manifest commit references them."""
+        rel_stage = os.path.join("data", f"{label}-{uuid.uuid4().hex[:8]}")
+        stage = os.path.join(self.root, rel_stage)
+        (
+            df.repartition(BUCKET_COLUMN)
+            .sortWithinPartitions("conv_id", "turn_idx", "ts")
+            .write.partitionBy(BUCKET_COLUMN)
+            .parquet(stage)
+        )
+        out: dict[str, list[str]] = {}
+        for entry in os.listdir(stage):
+            if not entry.startswith(f"{BUCKET_COLUMN}="):
+                continue
+            b = entry.split("=", 1)[1]
+            out[b] = [
+                os.path.join(rel_stage, entry, f)
+                for f in os.listdir(os.path.join(stage, entry))
+                if f.endswith(".parquet")
+            ]
+        return out
+
+    def write_offsets_row(self, row: dict, label: str) -> str:
+        """Tiny single-row offsets file written driver-side (pyarrow) —
+        it rides in the same manifest commit as the data files, which is
+        what makes data+offsets atomic (reference one-transaction
+        envelope, SQLiteStorage.java:199-241)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rel = os.path.join("offsets", f"{label}-{uuid.uuid4().hex[:8]}.parquet")
+        path = os.path.join(self.root, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        arrow_schema = pa.schema(
+            [
+                pa.field("epoch", pa.int64()),
+                pa.field("last_lsn", pa.int64()),
+                pa.field("applied", pa.int64()),
+                pa.field("skipped", pa.int64()),
+                pa.field("partition_lineage", pa.string()),
+                pa.field("committed_at", pa.timestamp("us")),
+                pa.field("state", pa.string()),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pylist([row], schema=arrow_schema), path
+        )
+        return rel
+
+    def cleanup_orphans(self, orphans: list[str]) -> int:
+        n = 0
+        for rel in orphans:
+            p = os.path.join(self.root, rel)
+            if os.path.exists(p):
+                os.remove(p)
+                n += 1
+        return n
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class IcebergTranscriptTable:
+    """Production backend: real Iceberg table + native MERGE INTO.
+
+    The apply pipeline prefers this backend when
+    :func:`iceberg_available` — the SQL here is what runs on the
+    1000-executor cluster.  Not exercised in the jar-less sandbox.
+    """
+
+    def __init__(self, spark: SparkSession, identifier: str):
+        self.spark = spark
+        self.identifier = identifier
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, identifier: str, num_buckets: int = 32
+    ) -> "IcebergTranscriptTable":
+        spark.sql(
+            f"""
+            CREATE TABLE IF NOT EXISTS {identifier} (
+              conv_id STRING NOT NULL,
+              turn_idx INT NOT NULL,
+              role STRING, text STRING, tool STRING, ts TIMESTAMP,
+              {LSN_COLUMN} BIGINT NOT NULL
+            ) USING iceberg
+            PARTITIONED BY (bucket({num_buckets}, conv_id))
+            TBLPROPERTIES (
+              'write.distribution-mode' = 'hash',
+              'write.merge.mode' = 'merge-on-read',
+              'format-version' = '2'
+            )
+            """
+        )
+        return cls(spark, identifier)
+
+    def read(self) -> DataFrame:
+        return self.spark.table(self.identifier).drop(LSN_COLUMN)
+
+    def read_internal(self, buckets=None) -> DataFrame:
+        return self.spark.table(self.identifier)
+
+    def merge_resolved(self, winners: DataFrame, conv_del: DataFrame) -> None:
+        """Native MERGE INTO: one row per key guaranteed by the LWW
+        resolve step (Iceberg cardinality requirement)."""
+        winners.createOrReplaceTempView("_aq_src")
+        conv_del.createOrReplaceTempView("_aq_conv_del")
+        self.spark.sql(
+            f"""
+            MERGE INTO {self.identifier} t
+            USING _aq_src s
+            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN MATCHED AND s.op = 'D' AND s.{LSN_COLUMN} >= t.{LSN_COLUMN} THEN DELETE
+            WHEN MATCHED AND s.op <> 'D' AND s.{LSN_COLUMN} >= t.{LSN_COLUMN} THEN
+              UPDATE SET t.role = s.role, t.text = s.text, t.tool = s.tool,
+                         t.ts = s.ts, t.{LSN_COLUMN} = s.{LSN_COLUMN}
+            WHEN NOT MATCHED AND s.op <> 'D' THEN
+              INSERT (conv_id, turn_idx, role, text, tool, ts, {LSN_COLUMN})
+              VALUES (s.conv_id, s.turn_idx, s.role, s.text, s.tool, s.ts, s.{LSN_COLUMN})
+            """
+        )
+        # conversation-level deletes against pre-existing state
+        self.spark.sql(
+            f"""
+            MERGE INTO {self.identifier} t
+            USING _aq_conv_del d
+            ON t.conv_id = d.conv_id AND t.{LSN_COLUMN} <= d.conv_del_lsn
+            WHEN MATCHED THEN DELETE
+            """
+        )

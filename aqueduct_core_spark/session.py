@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+AQE on (runtime re-plan + skew-join splitting), Arrow on (vectorized
+pandas UDF transfer), small-dim broadcast on.  These are the settings
+you would ship in ``spark-defaults.conf`` on the 1000-executor cluster;
+``master`` defaults to ``local[*]`` only for the sandbox.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "aqueduct-core-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the CDC pipeline."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("AQUEDUCT_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("AQUEDUCT_SHUFFLE_PARTITIONS", cpus)
+    )
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Adaptive execution: runtime coalescing of small shuffle
+        # partitions and automatic skew-join splitting.  The reference
+        # hand-tunes Postgres work_mem instead
+        # (PostgresqlStorage.java:194-201); Catalyst+AQE owns this here.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas UDF (north rule: no per-row Python).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet writes: snappy is the wire-compression analog of the
+        # reference's Brotli/gzip codec (pipe-codec/.../BrotliCodec.java).
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local mode: keep the UI off and the driver lean.
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("AQUEDUCT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
