@@ -1,0 +1,98 @@
+"""Retention compaction (reference T7).
+
+The reference compacts its *event log*, not the merged state: on an
+hourly cron it keeps only the latest event per (msg_key, type) among
+events older than a threshold, and physically drops deletion tombstones
+older than a (longer) deletion threshold —
+``/root/reference/pipe-storage-sqlite/.../SQLiteQueries.java:51-55``,
+semantics tests ``SQLiteStorageIntegrationSpec.groovy:696-907`` (incl.
+the 25-message complex case ``:821-881``); Postgres variant marks
+time_to_live then deletes (``PostgresqlStorage.java:359-408, 479-493``).
+
+Invariant (tested): replaying the compacted log produces the same final
+transcripts state as replaying the full log.
+
+Also here: transcript-table maintenance — the Iceberg
+``rewrite_data_files`` / ``expire_snapshots`` analogs for the
+snapshot-manifest backend (reference VACUUM ANALYSE,
+``PostgresqlStorage.java:495-502``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from aqueduct_core_spark.catalog.table import (
+    BUCKET_COLUMN,
+    ParquetTranscriptTable,
+    bucket_expr,
+)
+from aqueduct_core_spark.schema import KEY_COLUMNS, OP_DELETE
+
+
+def compact_log(
+    changes: DataFrame,
+    threshold,
+    deletions_threshold=None,
+) -> DataFrame:
+    """LWW-compact the change log below an event-time threshold.
+
+    - events with ``ts > threshold`` pass through untouched (the
+      reference never compacts the recent window — "same key not
+      immediately compacted", StorageSpec.groovy:125-133);
+    - for older events, only the max-lsn event per key survives
+      (key = (conv_id, turn_idx), with NULL turn_idx = the
+      conversation-level key — the reference's (msg_key, type) analog);
+    - a surviving tombstone older than ``deletions_threshold`` is
+      dropped entirely (30-day deletion retention,
+      application-prod.yml:36-40).
+
+    One hash aggregation + one union; no windows, no global sort.
+    """
+    recent = changes.where(F.col("ts") > F.lit(threshold))
+    old = changes.where(F.col("ts") <= F.lit(threshold))
+
+    # argmax over the full row per key (struct comparison on unique lsn)
+    cols = [c for c in changes.columns]
+    winner = F.max(F.struct(F.col("lsn"), *[F.col(c) for c in cols if c != "lsn"])).alias("w")
+    key = [F.col("conv_id"), F.coalesce(F.col("turn_idx"), F.lit(-1)).alias("_k")]
+    survivors = (
+        old.groupBy(*key)
+        .agg(winner)
+        .select(*[F.col(f"w.{c}").alias(c) for c in cols])
+    )
+    if deletions_threshold is not None:
+        survivors = survivors.where(
+            ~((F.col("op") == OP_DELETE) & (F.col("ts") <= F.lit(deletions_threshold)))
+        )
+    return survivors.unionByName(recent)
+
+
+def count_by_type(changes: DataFrame) -> DataFrame:
+    """A3 visibility metric: ``SELECT type, COUNT(*) … GROUP BY type``
+    (PostgresqlStorage.java:512-514) — here by op."""
+    return changes.groupBy("op").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def rewrite_data_files(
+    table: ParquetTranscriptTable, target_partitions: int | None = None
+) -> dict:
+    """Coalesce each bucket's accumulated small files into fresh
+    compacted files (Iceberg ``rewrite_data_files`` analog).  Reads the
+    current snapshot, writes one clustered file set, commits a
+    full-layout snapshot."""
+    df = table.read_internal().withColumn(BUCKET_COLUMN, bucket_expr(table.num_buckets))
+    new_files = table.write_bucket_data(df, label="rewrite")
+    snap = table.catalog.commit(
+        table.catalog.current(),
+        full_files=new_files,
+        summary_updates={"aqueduct.last-rewrite-snapshot": True},
+    )
+    return {"snapshot_id": snap["snapshot_id"], "buckets": len(new_files)}
+
+
+def expire_snapshots(table: ParquetTranscriptTable, keep_last: int = 2) -> int:
+    """Drop old snapshot manifests and physically delete unreferenced
+    data files; returns files removed."""
+    orphans = table.catalog.expire_snapshots(keep_last=keep_last)
+    return table.cleanup_orphans(orphans)

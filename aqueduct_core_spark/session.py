@@ -20,6 +20,14 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for the CDC pipeline."""
+    # Make the package importable by Python workers even when the
+    # driver added it to sys.path at runtime (cluster deployments ship
+    # it with ``spark-submit --py-files`` instead; north rule).
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_parent}{os.pathsep}{pp}" if pp else pkg_parent
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("AQUEDUCT_MASTER", f"local[{cpus}]")
     shuffle_partitions = shuffle_partitions or int(

@@ -1,0 +1,150 @@
+"""The apply loop: tail the change log, MERGE each micro-batch.
+
+Spark re-expression of the reference's store-node sync loop
+(``HttpPipeClient.read`` → ``SQLiteStorage.write(PipeEntity)`` —
+``/root/reference/pipe-http-client/.../HttpPipeClient.java:36-63``,
+``pipe-storage-sqlite/.../SQLiteStorage.java:199-241``):
+
+- **Structured Streaming path** (:func:`start_stream` /
+  :func:`run_available_now`): ``readStream`` file source over the log
+  directory → ``foreachBatch(apply)``.  The checkpoint gives monotone
+  batch ids; re-delivered batches after a crash hit the snapshot
+  epoch-stamp guard and skip idempotently (T5/T6).  Trigger pacing
+  (``processingTime`` / ``availableNow``) replaces the reference's
+  Retry-After long-poll pacing (``PostgresqlStorage.java:203-225``).
+- **Batch replay path** (:func:`replay`): plan lsn-range triggers with
+  the byte/row budgets (W1 analog) and apply them in order.  Used for
+  bootstrap (full replay from lsn 0 — reference BootstrapType.java:3-10)
+  and benchmarking.
+- **Recovery**: :func:`resume_lsn` reads the last committed lsn from
+  the table's snapshot summary — restart replays from there
+  (reference LOCAL_LATEST_OFFSET register, OffsetName.java:4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+from aqueduct_core_spark.config import EngineConfig
+from aqueduct_core_spark.operators.batching import plan_triggers
+from aqueduct_core_spark.operators.merge import apply_batch
+from aqueduct_core_spark.schema import CHANGES_SCHEMA
+
+
+def resume_lsn(table: ParquetTranscriptTable) -> int:
+    """Start-inclusive resume: next read begins at last_lsn + 1
+    (offset-inclusive semantics proven by StorageSpec.groovy:107-123)."""
+    return table.last_committed_lsn() + 1
+
+
+def replay(
+    table: ParquetTranscriptTable,
+    changes: DataFrame,
+    cfg: EngineConfig | None = None,
+    start_epoch: int | None = None,
+    start_lsn: int | None = None,
+) -> list[dict]:
+    """Batch-mode ordered replay honoring row+byte trigger budgets.
+
+    Predicates (lsn range per trigger) are pushed down to the scan, so
+    each micro-batch re-reads only its slice of the log.
+    """
+    cfg = cfg or EngineConfig()
+    start_lsn = resume_lsn(table) if start_lsn is None else start_lsn
+    epoch = table.last_committed_epoch() + 1 if start_epoch is None else start_epoch
+
+    pending = changes.where(F.col("lsn") >= start_lsn)
+    ranges = plan_triggers(
+        pending,
+        max_events=cfg.max_events_per_trigger,
+        max_bytes=cfg.max_bytes_per_trigger,
+        overhead_per_msg=cfg.message_overhead_bytes,
+    )
+    metrics = []
+    for r in ranges:
+        batch = pending.where(
+            (F.col("lsn") >= r.start_lsn) & (F.col("lsn") <= r.end_lsn)
+        )
+        metrics.append(apply_batch(table, batch, epoch=epoch, cfg=cfg))
+        epoch += 1
+    return metrics
+
+
+def _foreach_batch_fn(table: ParquetTranscriptTable, cfg: EngineConfig):
+    def fn(batch_df: DataFrame, batch_id: int):
+        apply_batch(table, batch_df, epoch=batch_id, cfg=cfg)
+
+    return fn
+
+
+def start_stream(
+    spark: SparkSession,
+    table: ParquetTranscriptTable,
+    changes_dir: str,
+    checkpoint_dir: str,
+    cfg: EngineConfig | None = None,
+    max_files_per_trigger: int | None = None,
+    processing_time: str | None = None,
+    available_now: bool = False,
+):
+    """Continuous tail of a change-log directory via Structured
+    Streaming.  Backpressure via ``maxFilesPerTrigger`` (the
+    row/byte-budget analog at file granularity)."""
+    cfg = cfg or EngineConfig()
+    reader = spark.readStream.schema(CHANGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(changes_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(_foreach_batch_fn(table, cfg))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def run_available_now(
+    spark: SparkSession,
+    table: ParquetTranscriptTable,
+    changes_dir: str,
+    checkpoint_dir: str,
+    cfg: EngineConfig | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 3600,
+) -> None:
+    """Drain everything currently in the log, then stop (the
+    bootstrap / catch-up mode; reference BootstrapType PIPE replay)."""
+    q = start_stream(
+        spark,
+        table,
+        changes_dir,
+        checkpoint_dir,
+        cfg,
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=True,
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def bootstrap(
+    spark: SparkSession,
+    root: str,
+    num_buckets: int,
+) -> ParquetTranscriptTable:
+    """Full reset: drop state and start an empty table (reference
+    deleteAll + VACUUM bootstrap — SQLiteStorage.java:428-449)."""
+    import shutil, os
+
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    return ParquetTranscriptTable.create(spark, root, num_buckets=num_buckets)

@@ -1,0 +1,86 @@
+"""Retention compaction: LWW log compaction below a threshold +
+tombstone purge (reference SQLiteQueries.java:51-55 semantics, tests
+SQLiteStorageIntegrationSpec.groovy:696-907); table maintenance."""
+
+import pandas as pd
+
+from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+from aqueduct_core_spark.config import EngineConfig
+from aqueduct_core_spark.generator import expected_state_pdf, generate_changes_pdf
+from aqueduct_core_spark.operators.compact import (
+    compact_log,
+    count_by_type,
+    expire_snapshots,
+    rewrite_data_files,
+)
+from aqueduct_core_spark.operators.merge import apply_batch
+from aqueduct_core_spark.verify import consistency_sum, state_digest, states_equal
+from tests.test_merge import assert_state_equal, final_state_pdf, to_spark
+
+
+def test_compacted_log_replays_to_same_state(spark, tmp_path):
+    pdf = generate_changes_pdf(40, seed=42)
+    df = to_spark(spark, pdf)
+    threshold = pdf["ts"].quantile(0.6)  # compact the older 60%
+
+    compacted = compact_log(df, threshold)
+    assert compacted.count() < df.count()
+
+    t1 = ParquetTranscriptTable.create(spark, str(tmp_path / "full"), num_buckets=8)
+    t2 = ParquetTranscriptTable.create(spark, str(tmp_path / "comp"), num_buckets=8)
+    cfg = EngineConfig(num_buckets=8)
+    apply_batch(t1, df, epoch=0, cfg=cfg)
+    apply_batch(t2, compacted, epoch=0, cfg=cfg)
+
+    a, b = t1.read_internal(), t2.read_internal()
+    assert states_equal(a, b)
+    assert state_digest(a) == state_digest(b)
+
+
+def test_tombstone_purge(spark):
+    pdf = generate_changes_pdf(60, seed=42)
+    df = to_spark(spark, pdf)
+    tmax = pdf["ts"].max()
+    # compact everything, purge all tombstones
+    compacted = compact_log(df, tmax, deletions_threshold=tmax)
+    assert compacted.where("op = 'D'").count() == 0
+    # without purge, tombstone winners survive
+    kept = compact_log(df, tmax)
+    assert kept.where("op = 'D'").count() > 0
+
+
+def test_consistency_sum_matches_oracle(spark):
+    pdf = generate_changes_pdf(40, seed=42)
+    from aqueduct_core_spark.generator import consistency_sum_pdf
+
+    assert consistency_sum(to_spark(spark, pdf)) == consistency_sum_pdf(pdf)
+
+
+def test_count_by_type(spark):
+    pdf = generate_changes_pdf(20, seed=42)
+    got = {r["op"]: r["cnt"] for r in count_by_type(to_spark(spark, pdf)).collect()}
+    exp = pdf["op"].value_counts().to_dict()
+    assert got == exp
+
+
+def test_rewrite_and_expire(spark, tmp_path):
+    """Many small commits → rewrite coalesces files, expire removes
+    orphans, state is unchanged."""
+    pdf = generate_changes_pdf(30, seed=42)
+    cfg = EngineConfig(num_buckets=4)
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
+    n = len(pdf)
+    step = n // 5
+    for e in range(5):
+        lo, hi = e * step, (e + 1) * step if e < 4 else n
+        apply_batch(table, to_spark(spark, pdf.iloc[lo:hi]), epoch=e, cfg=cfg)
+
+    before = final_state_pdf(table)
+    files_before = sum(len(v) for v in table.catalog.current()["files"].values())
+
+    rewrite_data_files(table)
+    removed = expire_snapshots(table, keep_last=1)
+    assert removed > 0
+    files_after = sum(len(v) for v in table.catalog.current()["files"].values())
+    assert files_after <= files_before
+    assert_state_equal(final_state_pdf(table), before)

@@ -1,0 +1,98 @@
+"""Structured Streaming apply loop: availableNow drain, checkpoint
+recovery, exactly-once across crash-replay (SURVEY §2.9 T5/T6)."""
+
+import glob
+import os
+
+import pytest
+
+from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+from aqueduct_core_spark.config import EngineConfig
+from aqueduct_core_spark.generator import expected_state_pdf, generate_changes_pdf
+from aqueduct_core_spark.streaming.pipeline import replay, resume_lsn, run_available_now
+from tests.test_merge import assert_state_equal, final_state_pdf, to_spark
+
+
+@pytest.fixture()
+def log_dir(tmp_path, spark):
+    """Change log written as several parquet files (stream source)."""
+    pdf = generate_changes_pdf(30, seed=42)
+    d = str(tmp_path / "changes")
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i, (a, b) in enumerate(zip(cuts, cuts[1:])):
+        to_spark(spark, pdf.iloc[a:b]).coalesce(1).write.parquet(
+            os.path.join(d, f"seg-{i}"), mode="overwrite"
+        )
+    # flatten: move part files up so the dir is a flat stream source
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(d, "seg-*", "*.parquet")))):
+        os.rename(f, os.path.join(flat, f"{i:04d}.parquet"))
+    return flat, pdf
+
+
+def test_available_now_stream(spark, tmp_path, log_dir):
+    flat, pdf = log_dir
+    cfg = EngineConfig(num_buckets=8)
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=8)
+    run_available_now(
+        spark, table, flat, str(tmp_path / "ckpt"), cfg, max_files_per_trigger=1
+    )
+    assert_state_equal(final_state_pdf(table), expected_state_pdf(pdf))
+    # one epoch per file-trigger
+    offs = table.read_offsets().toPandas()
+    assert len(offs) == 3
+
+
+def test_stream_resume_with_new_data(spark, tmp_path, log_dir):
+    flat, pdf = log_dir
+    cfg = EngineConfig(num_buckets=8)
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(spark, table, flat, ckpt, cfg)
+
+    # append a new log segment, resume from the same checkpoint
+    extra = generate_changes_pdf(30, seed=42).iloc[:50].copy()
+    extra["lsn"] = extra["lsn"] + 100_000_000
+    extra["op"] = extra["op"].where(extra["op"] != "I", "U")
+    to_spark(spark, extra).coalesce(1).write.parquet(str(tmp_path / "seg-x"))
+    for i, f in enumerate(glob.glob(str(tmp_path / "seg-x" / "*.parquet"))):
+        os.rename(f, os.path.join(flat, f"9{i:03d}.parquet"))
+
+    run_available_now(spark, table, flat, ckpt, cfg)
+    full = pdf.copy()
+    import pandas as pd
+
+    combined = pd.concat([full, extra], ignore_index=True).sort_values("lsn")
+    assert_state_equal(final_state_pdf(table), expected_state_pdf(combined))
+
+
+def test_crash_replay_is_idempotent(spark, tmp_path, log_dir):
+    """Simulate a crash after MERGE commit but before checkpoint write:
+    the same batch id is re-delivered → snapshot epoch stamp skips it."""
+    flat, pdf = log_dir
+    cfg = EngineConfig(num_buckets=8)
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=8)
+    run_available_now(spark, table, flat, str(tmp_path / "ckpt-a"), cfg)
+    v = table.catalog.current_version()
+    sum_before = final_state_pdf(table)
+
+    # fresh checkpoint ⇒ Spark re-delivers everything from batch 0
+    run_available_now(spark, table, flat, str(tmp_path / "ckpt-b"), cfg)
+    assert_state_equal(final_state_pdf(table), sum_before)
+    assert table.catalog.current_version() == v  # all skips, no commits
+
+
+def test_batch_replay_with_trigger_budgets(spark, tmp_path, log_dir):
+    _, pdf = log_dir
+    cfg = EngineConfig(num_buckets=8, max_events_per_trigger=300, max_bytes_per_trigger=10**9)
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t2"), num_buckets=8)
+    metrics = replay(table, to_spark(spark, pdf), cfg)
+    assert len(metrics) >= 2  # budget forced multiple triggers
+    assert_state_equal(final_state_pdf(table), expected_state_pdf(pdf))
+    assert resume_lsn(table) == int(pdf["lsn"].max()) + 1
+
+    # resume replay: nothing pending → no new epochs
+    again = replay(table, to_spark(spark, pdf), cfg)
+    assert again == []
