@@ -1,38 +1,513 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+The CDC-engine queries run over a change log derived deterministically
+from the shared ``events`` table — the derivation lives in
+``aqueduct_core_spark.sources.events_cdc`` expressed identically as a
+Spark transform and as the DuckDB CTE prepended to every oracle, so a
+hash match proves the *operator* semantics, not the mapping.
+
+Query → SURVEY.md §2 operator map:
+
+==========================  =================================================
+cdc_merged_state            J1+J2/A2/W2 LWW resolution + hierarchical deletes
+cdc_apply_full              end-to-end engine replay: batching (W1/O2),
+                            MERGE (J7), schema evolution, exactly-once commit
+cdc_lww_latest              A2 per-key argmax (tombstone winners included)
+cdc_page                    F1+F2+F3+F4+O1+O2 poll page
+cdc_byte_page               W1 running-size byte-budget cut
+cdc_count_by_op             A3 count-by-type
+cdc_global_latest_offset    A1 global max offset
+cdc_max_offset_prev_hour    A5 event-time-bounded max offset
+cdc_consistency_sum         A4/J3 offset-consistency checksum
+cdc_compact_log             T7/J2 retention compaction of the log
+cdc_routing_filter          F3 cluster routing
+cdc_tombstones              F5 tombstone predicate
+doc_exact_dedup             exact dedup (hash groupBy)
+doc_text_stats              token count / quality / lang-ID / fingerprint
+emb_cosine_topk             brute-force cosine top-k (ANN baseline)
+emb_knn_join                broadcast k-NN join (probe set × base)
+doc_minhash_pairs           MinHash+LSH near-dup pairs  (rows-only check)
+doc_simhash_candidates      SimHash banded candidates   (rows-only check)
+emb_lsh_topk                hyperplane-LSH approximate top-k (rows-only)
+media_features              multimodal mapInPandas plumbing  (rows-only)
+==========================  =================================================
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from aqueduct_core_spark.sources.events_cdc import load_changes, oracle
+
+# SQL fragment shared by every LWW-state oracle: winner per key, alive
+# iff not a tombstone and above the conversation-delete watermark.
+_STATE_BODY = """
+turns AS (SELECT * FROM changes WHERE turn_idx IS NOT NULL),
+conv_del AS (
+  SELECT conv_id, max(lsn) AS conv_del_lsn
+  FROM changes WHERE turn_idx IS NULL AND op = 'D' GROUP BY conv_id
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM turns
+),
+state AS (
+  SELECT w.conv_id, w.turn_idx, w.role, w.text, w.tool, w.ts, w.lsn
+  FROM w LEFT JOIN conv_del ON w.conv_id = conv_del.conv_id
+  WHERE rn = 1 AND op <> 'D'
+    AND (conv_del_lsn IS NULL OR w.lsn > conv_del_lsn)
+)
+"""
+
+#: English stopwords — keep in sync with aqueduct_core_spark.functions.text
+_SW = "'the','a','of','to','and','in','is','it','you','that'"
+
+
+# ---------------------------------------------------------------------------
+# CDC queries
+# ---------------------------------------------------------------------------
+
+def _q_merged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.operators import lww
+    from aqueduct_core_spark.schema import LSN_COLUMN, OP_DELETE
+
+    changes = load_changes(spark, sf_dir)
+    winners, _ = lww.resolve_batch(changes, ["role", "text", "tool", "ts"])
+    return winners.where(F.col("op") != OP_DELETE).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        F.col(LSN_COLUMN).alias("lsn"),
+    )
+
+
+def _q_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: split the log at max(lsn)//2, apply the first
+    half without the ``tool`` column (epoch-0 schema), then the second
+    half with it (additive evolution), via ordered byte/row-budgeted
+    micro-batch replay into a snapshot-committed table; return the final
+    merged state."""
+    import pyspark.sql.types as T
+
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.schema import LSN_COLUMN
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    changes = load_changes(spark, sf_dir)
+    split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
+
+    epoch0_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField(LSN_COLUMN, T.LongType(), False),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="aqueduct_apply_full_")
+    table = ParquetTranscriptTable.create(spark, root, num_buckets=16, schema=epoch0_schema)
+    cfg = EngineConfig(
+        num_buckets=16,
+        max_events_per_trigger=50_000,
+        max_bytes_per_trigger=16 * 1024 * 1024,
+        salt_buckets=4,
+    )
+    replay(table, changes.where(F.col("lsn") < split).drop("tool"), cfg, start_epoch=0, start_lsn=0)
+    replay(table, changes.where(F.col("lsn") >= split), cfg)
+    return table.read_internal().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        F.col(LSN_COLUMN).alias("lsn"),
+    )
+
+
+def _q_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.operators import lww
+    from aqueduct_core_spark.schema import LSN_COLUMN
+
+    turn_events, _ = lww.split_hierarchy(load_changes(spark, sf_dir))
+    return lww.argmax_winners(turn_events, ["role", "text", "tool", "ts"]).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "op",
+        F.col(LSN_COLUMN).alias("lsn"),
+    )
+
+
+def _q_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.sources import changes as src
+
+    return src.page(
+        load_changes(spark, sf_dir),
+        start_lsn=1000,
+        limit=500,
+        ops=["I", "U"],
+        cluster_ids=[1, 2, 3],
+        end_lsn=9000,
+    )
+
+
+def _q_byte_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.operators.batching import cut_page_by_bytes
+    from aqueduct_core_spark.sources import changes as src
+
+    page = src.page(load_changes(spark, sf_dir), start_lsn=0, limit=2000)
+    return cut_page_by_bytes(page, max_batch_size=100_000, overhead_per_msg=0)
+
+
+def _q_count_by_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.operators.compact import count_by_type
+
+    return count_by_type(load_changes(spark, sf_dir))
+
+
+def _q_global_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_changes(spark, sf_dir).agg(F.max("lsn").alias("latest_lsn"))
+
+
+def _q_max_prev_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    changes = load_changes(spark, sf_dir)
+    threshold = changes.agg(F.date_trunc("hour", F.max("ts")).alias("t"))
+    return (
+        changes.join(F.broadcast(threshold))
+        .where(F.col("ts") <= F.col("t"))
+        .agg(F.max("lsn").alias("max_lsn_prev_hour"))
+    )
+
+
+def _q_consistency_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.operators import lww
+    from aqueduct_core_spark.schema import LSN_COLUMN, OP_DELETE
+
+    winners, _ = lww.resolve_batch(load_changes(spark, sf_dir), ["role", "text", "tool", "ts"])
+    return (
+        winners.where(F.col("op") != OP_DELETE)
+        .agg(F.sum(LSN_COLUMN).cast("long").alias("consistency_sum"))
+    )
+
+
+def _q_compact_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from aqueduct_core_spark.operators.compact import compact_log
+
+    changes = load_changes(spark, sf_dir)
+    max_ts = changes.agg(F.max("ts")).collect()[0][0]
+    return compact_log(
+        changes,
+        threshold=max_ts - dt.timedelta(days=10),
+        deletions_threshold=max_ts - dt.timedelta(days=20),
+    )
+
+
+def _q_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.sources import changes as src
+
+    return src.routing_filter(load_changes(spark, sf_dir), cluster_ids=[0, 3, 5]).select(
+        "lsn", "conv_id", "turn_idx", "op", "cluster_id"
+    )
+
+
+def _q_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.sources import changes as src
+
+    return src.tombstones(load_changes(spark, sf_dir)).select(
+        "lsn", "conv_id", "turn_idx", "cluster_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.functions import text as tx
+
+    c = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        tx.token_count(c).alias("n_tokens"),
+        tx.alpha_ratio(c).alias("alpha_ratio"),
+        tx.stopword_ratio(c).alias("sw_ratio"),
+        tx.quality_score(c).alias("quality"),
+        tx.detect_lang(c).alias("lang_pred"),
+        tx.fingerprint(c).alias("fp"),
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _embs(spark, sf_dir).where(F.col("vec_id") == 0).select("embedding").collect()[0]
+    return [float(x) for x in row[0]]
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.functions.similarity import cosine_topk
+
+    return cosine_topk(_embs(spark, sf_dir), _query_vec(spark, sf_dir), k=20)
+
+
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.functions.similarity import knn_join_bruteforce
+
+    embs = _embs(spark, sf_dir)
+    probes = embs.where(F.col("vec_id") < 5)
+    return knn_join_bruteforce(embs, probes, k=5)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.functions.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(spark, sf_dir), threshold=0.3)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.functions.dedup import simhash_candidates
+
+    return simhash_candidates(_docs(spark, sf_dir))
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.functions.similarity import lsh_topk
+
+    return lsh_topk(_embs(spark, sf_dir), _query_vec(spark, sf_dir), k=20)
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.functions.multimodal import extract_features, synthetic_media
+
+    return extract_features(synthetic_media(spark, n=64))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: LWW-merged transcript state of the sf0.001 change log."""
+    return _q_merged_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_merged_state": _q_merged_state,
+        "cdc_apply_full": _q_apply_full,
+        "cdc_lww_latest": _q_lww_latest,
+        "cdc_page": _q_page,
+        "cdc_byte_page": _q_byte_page,
+        "cdc_count_by_op": _q_count_by_op,
+        "cdc_global_latest_offset": _q_global_latest,
+        "cdc_max_offset_prev_hour": _q_max_prev_hour,
+        "cdc_consistency_sum": _q_consistency_sum,
+        "cdc_compact_log": _q_compact_log,
+        "cdc_routing_filter": _q_routing,
+        "cdc_tombstones": _q_tombstones,
+        "doc_exact_dedup": _q_exact_dedup,
+        "doc_text_stats": _q_text_stats,
+        "emb_cosine_topk": _q_cosine_topk,
+        "emb_knn_join": _q_knn_join,
+        "doc_minhash_pairs": _q_minhash_pairs,
+        "doc_simhash_candidates": _q_simhash,
+        "emb_lsh_topk": _q_lsh_topk,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    state_sql = oracle(_STATE_BODY + "SELECT * FROM state")
+
+    lww_latest = oracle(
+        """
+turns AS (SELECT * FROM changes WHERE turn_idx IS NOT NULL),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM turns
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, op, lsn FROM w WHERE rn = 1
+"""
+    )
+
+    page = oracle(
+        """
+SELECT * FROM changes
+WHERE lsn >= 1000 AND lsn <= 9000
+  AND op IN ('I','U')
+  AND cluster_id IN (1,2,3)
+ORDER BY lsn LIMIT 500
+"""
+    )
+
+    byte_page = oracle(
+        """
+page AS (SELECT * FROM changes WHERE lsn >= 0 ORDER BY lsn LIMIT 2000),
+r AS (
+  SELECT *, sum(event_size) OVER (ORDER BY lsn
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM page
+)
+SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts, event_size, cluster_id
+FROM r WHERE running <= 100000
+"""
+    )
+
+    compact = oracle(
+        """
+bounds AS (
+  SELECT max(ts) - INTERVAL 10 DAY AS thr, max(ts) - INTERVAL 20 DAY AS del_thr
+  FROM changes
+),
+old AS (SELECT c.* FROM changes c, bounds b WHERE c.ts <= b.thr),
+recent AS (SELECT c.* FROM changes c, bounds b WHERE c.ts > b.thr),
+w AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, coalesce(turn_idx, -1) ORDER BY lsn DESC) AS rn
+  FROM old
+),
+survivors AS (
+  SELECT w.lsn, w.op, w.conv_id, w.turn_idx, w.role, w.text, w.tool, w.ts,
+         w.event_size, w.cluster_id
+  FROM w, bounds b
+  WHERE rn = 1 AND NOT (op = 'D' AND ts <= b.del_thr)
+)
+SELECT * FROM survivors
+UNION ALL
+SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts, event_size, cluster_id
+FROM recent
+"""
+    )
+
+    apply_full = oracle(
+        _STATE_BODY
+        + """
+SELECT conv_id, turn_idx, role, text,
+       CASE WHEN lsn < (SELECT max(lsn) // 2 FROM changes) THEN NULL ELSE tool END AS tool,
+       ts, lsn
+FROM state
+"""
+    )
+
+    text_stats = f"""
+WITH t AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+    floor((length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text))
+          * 1000000 + 0.5) / 1000000 AS alpha_ratio,
+    CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) = 0 THEN 0.0
+         ELSE round(
+           len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x IN ({_SW}))) * 1.0
+           / len(string_split_regex(trim(lower(text)), '\\s+')), 6) END AS sw_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens, alpha_ratio, sw_ratio,
+  floor((0.5 * alpha_ratio
+      + 0.3 * least(n_tokens / 200.0, 1.0)
+      + 0.2 * (1.0 - least(sw_ratio * 5, 1.0))) * 1000000 + 0.5) / 1000000 AS quality,
+  CASE WHEN sw_ratio >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM t
+"""
+
+    exact_dedup = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_cnt
+FROM documents GROUP BY 1
+"""
+
+    cosine_topk = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+s AS (
+  SELECT vec_id,
+    floor((
+      list_inner_product(CAST(embedding AS DOUBLE[]), q.qv)
+      / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+         * sqrt(list_inner_product(q.qv, q.qv)))) * 1000000 + 0.5) / 1000000 AS sim
+  FROM embeddings, q
+)
+SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 20
+"""
+
+    knn_join = """
+WITH p AS (
+  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+  FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT p.probe_id, e.vec_id AS neighbor_id,
+    floor((
+      list_inner_product(CAST(e.embedding AS DOUBLE[]), p.pv)
+      / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         * sqrt(list_inner_product(p.pv, p.pv)))) * 1000000 + 0.5) / 1000000 AS sim
+  FROM embeddings e, p
+  WHERE p.probe_id <> e.vec_id
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+  FROM s
+)
+SELECT probe_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+"""
+
+    return {
+        "cdc_merged_state": state_sql,
+        "cdc_apply_full": apply_full,
+        "cdc_lww_latest": lww_latest,
+        "cdc_page": page,
+        "cdc_byte_page": byte_page,
+        "cdc_count_by_op": oracle(
+            "SELECT op, CAST(count(*) AS BIGINT) AS cnt FROM changes GROUP BY op"
+        ),
+        "cdc_global_latest_offset": oracle(
+            "SELECT max(lsn) AS latest_lsn FROM changes"
+        ),
+        "cdc_max_offset_prev_hour": oracle(
+            """
+SELECT max(lsn) AS max_lsn_prev_hour FROM changes
+WHERE ts <= (SELECT date_trunc('hour', max(ts)) FROM changes)
+"""
+        ),
+        "cdc_consistency_sum": oracle(
+            _STATE_BODY + "SELECT CAST(sum(lsn) AS BIGINT) AS consistency_sum FROM state"
+        ),
+        "cdc_compact_log": compact,
+        "cdc_routing_filter": oracle(
+            """
+SELECT lsn, conv_id, turn_idx, op, cluster_id FROM changes
+WHERE cluster_id IN (0,3,5)
+"""
+        ),
+        "cdc_tombstones": oracle(
+            "SELECT lsn, conv_id, turn_idx, cluster_id FROM changes WHERE op = 'D'"
+        ),
+        "doc_exact_dedup": exact_dedup,
+        "doc_text_stats": text_stats,
+        "emb_cosine_topk": cosine_topk,
+        "emb_knn_join": knn_join,
+        # doc_minhash_pairs / doc_simhash_candidates / emb_lsh_topk /
+        # media_features: xxhash64-based or approximate/stubbed — not
+        # DuckDB-expressible; rows-only check.
+    }

@@ -1,0 +1,273 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest → most recall, all shuffle-conscious:
+
+- :func:`exact_dedup` — hash-groupBy on a canonical fingerprint; one
+  shuffle on the 16-byte hash, never on the document text.
+- :func:`minhash_signatures` / :func:`lsh_candidate_pairs` —
+  MinHash + banded LSH: shingle → K minhashes → B band-buckets →
+  self-join *within buckets only*.  The self-join is on the tiny
+  (band, bucket-hash) key, so candidate generation is linear-ish in
+  corpus size instead of O(n²).
+- :func:`simhash64` — 64-bit SimHash per document (near-dup candidates
+  = equal 16-bit bands, same banding trick).
+- :func:`ngram_jaccard` — exact Jaccard verification on candidate
+  pairs (the expensive step, run only on LSH survivors).
+
+Everything is built-in Spark SQL expressions (xxhash64, transform,
+aggregate, explode) — zero Python in the data plane.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from aqueduct_core_spark.functions.text import fingerprint
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id document per canonical text fingerprint.
+
+    Map-side partial agg collapses duplicates before the shuffle; the
+    shuffle key is the md5, so payload bytes move at most once.
+    Returns (fp, keep_id, dup_cnt).
+    """
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles / minhash / LSH
+# ---------------------------------------------------------------------------
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of normalized text (array<string>).
+
+    Built from ``split`` + ``transform`` over index offsets —
+    vectorized, no UDF.
+    """
+    toks = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    # short docs (< k tokens): single shingle = whole text
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(sh)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — sig[i] = min over shingles of
+    xxhash64(shingle, seed=i).
+
+    Formulated as explode(shingles) → hash-aggregate with ``num_hashes``
+    ``min`` columns: partial (map-side) combine collapses each
+    document's shingles before the shuffle, the shuffle key is the doc
+    id, and codegen stays small (one min per seed) — this scales to
+    billions of documents where a nested 64-pass array expression would
+    blow up compile time and evaluate the shingle array repeatedly.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agged = shingled.groupBy("id").agg(*mins)
+    return agged.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: equal band-hash ⇒ candidate pair.
+
+    explode to (band, bucket=hash(band slice), id) → self-join on
+    (band, bucket) with id<id — the join key is 12 bytes, so the
+    shuffle is tiny regardless of document size; distinct pairs out.
+    At 100 TB you'd additionally salt giant buckets (boilerplate
+    identical to the merge path's skew salting).
+    """
+    assert bands * rows_per_band <= 1024
+    buckets = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs; keeps pairs ≥
+    threshold.  Shingle sets are joined in (broadcast if small), and the
+    set ops are ``array_intersect``/``array_union`` — JVM-side.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("sh", "sh_a"), pairs.id_a == sh.id)
+        .drop("id")
+        .join(
+            sh.select(F.col("id"), F.col("sh").alias("sh_b")),
+            pairs.id_b == F.col("id"),
+        )
+        .drop("id")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        j.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: minhash → LSH candidates → exact
+    Jaccard verify.  Returns verified near-duplicate pairs."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    pairs = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    return ngram_jaccard(df, pairs, text_col, id_col, shingle_k, threshold)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash64_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 2
+) -> DataFrame:
+    """(id, sh) — 64-bit SimHash: per-bit majority vote over shingle
+    hashes.
+
+    explode(shingles) → one hash-agg with 64 conditional-sum columns
+    (bit i of each shingle hash) + a count; the bit is set iff ones·2 >
+    total.  Map-side partial agg keeps the shuffle at one row per
+    (doc, partition) — the same scale shape as minhash.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
+    ).select("id", F.xxhash64(F.col("s")).alias("h"))
+    sums = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agged = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *sums)
+    acc = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = acc.bitwiseOR(F.shiftleft(bit, i))
+    return agged.select("id", acc.alias("sh"))
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidates: documents sharing any 16-bit simhash band."""
+    h = simhash64_df(df, text_col, id_col)
+    nb = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = h.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(nb)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming"))

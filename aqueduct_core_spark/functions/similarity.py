@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force cosine top-k against one query
+  vector: the correctness baseline.  The dot product is
+  ``aggregate(zip_with(...))`` — JVM-side, whole-stage codegen, no
+  Python; top-k is ``orderBy().limit()`` (Spark plans TakeOrderedAndProject,
+  a per-partition heap + driver merge, not a global sort).
+- :func:`knn_join_bruteforce` — all-pairs k-NN for a (small,
+  broadcastable) probe set.
+- :func:`lsh_topk` — the 100-TB scale path: random-hyperplane LSH
+  bucketing; only vectors sharing ≥1 band with the query are scored.
+  Recall < 1.0 by design; the benchmark measures the recall/cost trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from aqueduct_core_spark.functions.text import round6
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector.
+
+    Deterministic tie-break on id so results are stable across
+    parallelism levels.  Returns (id, sim) with sim rounded to 6 dp.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = round6(cosine_sim(F.col(vec_col), q))
+    return (
+        df.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join_bruteforce(
+    base: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """For each probe vector, its k nearest base vectors by cosine.
+
+    The probe side is broadcast (it must be small); scoring is one pass
+    over the base table; per-probe top-k via window row_number.
+    """
+    from pyspark.sql.window import Window
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(p))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            round6(cosine_sim(F.col(vec_col), F.col("probe_vec"))).alias("sim"),
+        )
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (numpy, fixed seed)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from random hyperplanes (long)."""
+    acc = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(vec, arr) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = acc.bitwiseOR(F.shiftleft(bit, i))
+    return acc
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only vectors that collide with the query
+    in ≥1 of ``n_tables`` hyperplane-LSH tables.
+
+    At scale the bucket columns are precomputed and the table is
+    clustered by them, so a query prunes to a few file groups; here the
+    pruning is a filter in the same scan.
+    """
+    dim = len(query_vec)
+    import numpy as np
+
+    cand = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=7 + t)
+        qbits = 0
+        for i, p in enumerate(planes):
+            if float(np.dot(query_vec, p)) >= 0:
+                qbits |= 1 << i
+        hit = lsh_bucket(F.col(vec_col), planes) == qbits
+        cand = hit if cand is None else (cand | hit)
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = round6(cosine_sim(F.col(vec_col), q))
+    return (
+        df.where(cand)
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

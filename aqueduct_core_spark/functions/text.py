@@ -1,0 +1,100 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path computation is JVM-side ``pyspark.sql.functions`` (whole
+-stage codegen, no Python); formulas are deliberately expressible in
+ANSI SQL so the DuckDB oracle can replicate them bit-for-bit.
+
+The reference engine treats payloads as opaque strings
+(/root/reference/pipe-api/.../Message.java:14-31); these operators are
+the additive capability a transcript-lake engine needs on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: tiny English stopword list for the language-ID heuristic — keep in
+#: sync with the SQL-side list in __spark_entry__.py oracles
+EN_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "you", "that"]
+
+
+def round6(c: Column) -> Column:
+    """Deterministic 6-dp rounding: ``floor(x·10⁶ + 0.5)/10⁶``.
+
+    ``F.round`` (HALF_UP on the decimal rendering) and DuckDB's
+    ``round`` disagree on ties sitting at binary-representation
+    boundaries; this floor formulation is pure IEEE arithmetic, so both
+    engines produce bit-identical doubles.  Oracle-side equivalent:
+    ``floor(x * 1000000 + 0.5) / 1000000``.
+    """
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text (empty text → empty array)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(col))
+    )
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Fraction of characters that are ASCII letters, rounded to 6 dp."""
+    return round6(
+        F.length(F.regexp_replace(col, "[^A-Za-z]", "")) / F.length(col)
+    )
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(round6(hits / n))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality score in [0, 1]:
+    0.5·alpha_ratio + 0.3·min(tokens/200, 1) + 0.2·(1 - stopword_ratio·5 capped).
+
+    The exact formula is arbitrary (as in any pretraining-filter
+    pipeline); what matters is that it is deterministic, vectorized,
+    and oracle-replicable.
+    """
+    len_term = F.least(token_count(text) / F.lit(200.0), F.lit(1.0))
+    sw_term = F.lit(1.0) - F.least(stopword_ratio(text) * 5, F.lit(1.0))
+    return round6(
+        F.lit(0.5) * alpha_ratio(text) + F.lit(0.3) * len_term + F.lit(0.2) * sw_term
+    )
+
+
+def detect_lang(text: Column) -> Column:
+    """N-gram-free heuristic language ID: English if the stopword ratio
+    clears a threshold, else 'other'.  (A production pipeline would use
+    fastText; the Spark plumbing — a pure column expression, no UDF —
+    is the part that matters at 100 TB.)"""
+    return F.when(stopword_ratio(text) >= 0.05, "en").otherwise("other")
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text.  md5 (not xxhash64) so the
+    DuckDB oracle computes the identical value."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """All stats in one projection — a single pass over the scan."""
+    c = F.col(col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        alpha_ratio(c).alias("alpha_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        detect_lang(c).alias("lang_pred"),
+        fingerprint(c).alias("fp"),
+    )

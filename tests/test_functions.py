@@ -1,0 +1,147 @@
+"""Tests for the training-data pipeline operators (text stats, dedup,
+similarity, multimodal plumbing) and the events→changes mapping."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and it was happy to be there"),
+        (1, "the cat sat on the mat and it was happy to be here"),  # near-dup of 0
+        (2, "completely different words entirely unrelated content stream"),
+        (3, "the cat sat on the mat and it was happy to be there"),  # exact dup of 0
+        (4, "zzz qqq www eee rrr ttt yyy uuu iii ooo"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_text_stats(spark, docs):
+    from aqueduct_core_spark.functions import text as tx
+
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            tx.token_count(F.col("text")).alias("n"),
+            tx.stopword_ratio(F.col("text")).alias("sw"),
+            tx.detect_lang(F.col("text")).alias("lang"),
+            tx.fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert out[0]["n"] == 13
+    assert out[5]["n"] == 0
+    # "the"×2, "and","it","to" stopwords out of 13 tokens
+    assert math.isclose(out[0]["sw"], 5 / 13, abs_tol=1e-6)
+    assert out[0]["lang"] == "en"
+    assert out[4]["lang"] == "other"
+    assert out[0]["fp"] == out[3]["fp"]
+    assert out[0]["fp"] != out[1]["fp"]
+
+
+def test_exact_dedup(spark, docs):
+    from aqueduct_core_spark.functions.dedup import exact_dedup
+
+    res = exact_dedup(docs).collect()
+    by_keep = {r["keep_id"]: r["dup_cnt"] for r in res}
+    assert by_keep[0] == 2  # docs 0 and 3
+    assert 3 not in by_keep
+    assert len(res) == 5
+
+
+def test_minhash_near_dup(spark, docs):
+    from aqueduct_core_spark.functions.dedup import minhash_dedup
+
+    pairs = minhash_dedup(docs.where(F.col("doc_id") != 5), threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got  # exact dup: jaccard 1.0
+    assert (0, 1) in got or (1, 3) in got  # near-dup detected
+    assert all({a, b} != {0, 2} for a, b in got)  # unrelated not paired
+
+
+def test_simhash_candidates(spark, docs):
+    from aqueduct_core_spark.functions.dedup import simhash64_df, simhash_candidates
+
+    h = {r["id"]: r["sh"] for r in simhash64_df(docs.where(F.col("doc_id") != 5)).collect()}
+    assert h[0] == h[3]
+    cands = simhash_candidates(docs.where(F.col("doc_id") != 5))
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in cands.collect()}
+    assert ham.get((0, 3)) == 0
+
+
+def test_cosine_topk_and_knn(spark):
+    from aqueduct_core_spark.functions.similarity import (
+        cosine_topk,
+        knn_join_bruteforce,
+        lsh_topk,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    top = cosine_topk(df, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 1, 4]
+    assert top[0]["sim"] == 1.0
+
+    knn = knn_join_bruteforce(df, df.where(F.col("vec_id") == 0), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in knn.collect()]
+    assert got == [(1, 1), (4, 2)]
+
+    # exhaustive LSH (n_planes small) must contain the true top-1
+    approx = lsh_topk(df, [1.0, 0.0, 0.0], k=3, n_planes=2, n_tables=4).collect()
+    assert approx and approx[0]["vec_id"] == 0
+
+
+def test_media_features(spark):
+    from aqueduct_core_spark.functions.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=12)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 12
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id[0]["feature"]) == 8
+    assert by_id[0]["n_bytes"] == 32
+    # deterministic: same payload hash → same fake feature
+    feats2 = {r["media_id"]: r["feature"] for r in extract_features(media, dim=8).collect()}
+    assert feats2[3] == by_id[3]["feature"]
+
+    plan = frame_sample_plan(media, every_ms=1000)
+    r = plan.groupBy("media_id").count().collect()
+    assert all(row["count"] >= 3 for row in r)
+
+
+def test_events_cdc_mapping_matches_duckdb(spark):
+    """The Spark mapping and the SQL CTE must produce identical rows."""
+    import duckdb
+
+    from aqueduct_core_spark.sources.events_cdc import load_changes, oracle
+
+    sf = "/root/testdata/sf0.001"
+    sp = (
+        load_changes(spark, sf)
+        .orderBy("lsn")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    du = con.execute(oracle("SELECT * FROM changes ORDER BY lsn")).fetchdf()
+    assert len(sp) == len(du)
+    for c in ["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "event_size", "cluster_id"]:
+        a = sp[c].astype(object).where(sp[c].notna(), None).tolist()
+        b = du[c].astype(object).where(du[c].notna(), None).tolist()
+        assert a == b, c
