@@ -119,7 +119,6 @@ def _q_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_buckets=16,
         max_events_per_trigger=50_000,
         max_bytes_per_trigger=16 * 1024 * 1024,
-        salt_buckets=4,
     )
     replay(table, changes.where(F.col("lsn") < split).drop("tool"), cfg, start_epoch=0, start_lsn=0)
     replay(table, changes.where(F.col("lsn") >= split), cfg)

@@ -179,6 +179,83 @@ class ParquetTranscriptTable:
         )
         return rel
 
+    # -- staging buffer (reference EVENTS_BUFFER analog) ----------------
+    def stage_path(self, label: str) -> str:
+        """Scratch location for a batch's resolved keys; never
+        referenced by a manifest, dropped after the commit."""
+        return os.path.join(self.root, "staging", f"{label}-{uuid.uuid4().hex[:8]}")
+
+    def drop_stage(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+    @staticmethod
+    def stage_summary(stage_path: str) -> dict[int, dict]:
+        """Per-bucket bookkeeping from the staged files' parquet FOOTER
+        statistics — zero Spark jobs, pure driver-side metadata reads
+        (the Iceberg-manifest trick: min/max/null-count per column ride
+        in every file footer).
+
+        Expects the stage laid out as ``_bucket=N/_isturn={0,1}/*.parquet``.
+        Returns ``{bucket: {turn_keys, min_lsn, max_lsn, any_max_lsn,
+        has_conv_del}}``.
+        """
+        import pyarrow.parquet as pq
+
+        out: dict[int, dict] = {}
+        for bdir in os.listdir(stage_path):
+            if not bdir.startswith(f"{BUCKET_COLUMN}="):
+                continue
+            bucket = int(bdir.split("=", 1)[1])
+            s = out.setdefault(
+                bucket,
+                {
+                    "turn_keys": 0,
+                    "min_lsn": None,
+                    "max_lsn": None,
+                    "any_max_lsn": None,
+                    "has_conv_del": False,
+                },
+            )
+            for tdir in os.listdir(os.path.join(stage_path, bdir)):
+                if not tdir.startswith("_isturn="):
+                    continue
+                is_turn = tdir.split("=", 1)[1] == "1"
+                d = os.path.join(stage_path, bdir, tdir)
+                for fn in os.listdir(d):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(os.path.join(d, fn)).metadata
+                    # leaf-column indices by dotted path
+                    lsn_ix = dlsn_ix = None
+                    for i in range(md.num_columns):
+                        p = md.row_group(0).column(i).path_in_schema if md.num_row_groups else None
+                        if p == "w.lsn":
+                            lsn_ix = i
+                        elif p == "_dlsn":
+                            dlsn_ix = i
+                    for g in range(md.num_row_groups):
+                        rg = md.row_group(g)
+                        n = rg.num_rows
+                        if n == 0:
+                            continue
+                        st = rg.column(lsn_ix).statistics
+                        lo, hi = int(st.min), int(st.max)
+                        if is_turn:
+                            s["turn_keys"] += n
+                            s["min_lsn"] = lo if s["min_lsn"] is None else min(s["min_lsn"], lo)
+                            s["max_lsn"] = hi if s["max_lsn"] is None else max(s["max_lsn"], hi)
+                        else:
+                            # pyarrow Statistics.num_values = non-null count
+                            dst = rg.column(dlsn_ix).statistics
+                            if dst is not None and (dst.num_values or 0) > 0:
+                                s["has_conv_del"] = True
+                        s["any_max_lsn"] = (
+                            hi if s["any_max_lsn"] is None else max(s["any_max_lsn"], hi)
+                        )
+        return out
+
     def cleanup_orphans(self, orphans: list[str]) -> int:
         n = 0
         for rel in orphans:

@@ -87,6 +87,83 @@ def argmax_winners(
     return agged.select(*out_cols)
 
 
+def unified_argmax(
+    changes: DataFrame, payload_cols: list[str], salt_buckets: int = 0
+) -> DataFrame:
+    """Single-pass resolution aggregate over the WHOLE batch — turn and
+    conversation-level events together, keyed by
+    ``(conv_id, coalesce(turn_idx, -1))``.
+
+    Output (one row per key, ~|keys| ≪ |events|):
+
+    - ``conv_id``, ``_tkey`` (turn_idx, -1 = conversation level)
+    - ``w`` struct: the max-lsn event (lsn, op, payload…)
+    - ``_dlsn``: max lsn of a conversation-level delete (non-null only
+      on ``_tkey = -1`` rows) — the hierarchical delete watermark
+
+    This is THE heavy scan of the apply path: one shuffle, with
+    map-side partial combine collapsing each key's events before any
+    bytes move.  Everything downstream (winners, watermarks, lineage,
+    batch max-lsn) derives from this small result, so the 10^10-event
+    batch is read exactly once.
+    """
+    fields = ["lsn", "op"] + [c for c in payload_cols if c not in ("lsn", "op")]
+    tkey = F.coalesce(F.col("turn_idx"), F.lit(-1)).alias("_tkey")
+    winner = F.max(F.struct(*[F.col(c) for c in fields])).alias("w")
+    dmax = F.max(
+        F.when(
+            (F.col("op") == OP_DELETE) & F.col("turn_idx").isNull(), F.col("lsn")
+        )
+    ).alias("_dlsn")
+
+    if salt_buckets > 0:
+        from aqueduct_core_spark.operators.skew import SALT_COLUMN, with_salt
+
+        partial = (
+            with_salt(changes, salt_buckets)
+            .groupBy("conv_id", tkey, SALT_COLUMN)
+            .agg(winner, dmax)
+        )
+        return partial.groupBy("conv_id", "_tkey").agg(
+            F.max("w").alias("w"), F.max("_dlsn").alias("_dlsn")
+        )
+    return changes.groupBy("conv_id", tkey).agg(winner, dmax)
+
+
+def staged_conv_del(staged: DataFrame) -> DataFrame:
+    """Per-conversation delete watermarks from the unified aggregate."""
+    return staged.where((F.col("_tkey") == -1) & F.col("_dlsn").isNotNull()).select(
+        "conv_id", F.col("_dlsn").alias("conv_del_lsn")
+    )
+
+
+def staged_winners(staged: DataFrame, payload_cols: list[str]) -> DataFrame:
+    """Turn-level winners from the unified aggregate, with the
+    conversation-delete watermark applied to the batch's own rows: a
+    winner at-or-below the watermark becomes op='D' (rather than being
+    dropped, because it must also kill older table state for its key)."""
+    conv_del = staged_conv_del(staged)
+    winners = staged.where(F.col("_tkey") >= 0).select(
+        "conv_id",
+        F.col("_tkey").cast("int").alias("turn_idx"),
+        *[F.col(f"w.{c}").alias(c) for c in payload_cols],
+        F.col("w.op").alias("op"),
+        F.col("w.lsn").alias(LSN_COLUMN),
+    )
+    return (
+        winners.join(F.broadcast(conv_del), on="conv_id", how="left")
+        .withColumn(
+            "op",
+            F.when(
+                F.col("conv_del_lsn").isNotNull()
+                & (F.col(LSN_COLUMN) <= F.col("conv_del_lsn")),
+                F.lit(OP_DELETE),
+            ).otherwise(F.col("op")),
+        )
+        .drop("conv_del_lsn")
+    )
+
+
 def resolve_batch(
     changes: DataFrame, payload_cols: list[str], salt_buckets: int = 0
 ) -> tuple[DataFrame, DataFrame]:
@@ -100,27 +177,8 @@ def resolve_batch(
     - ``conv_del``: per-conversation delete watermarks, still to be
       applied against pre-existing table state during MERGE.
     """
-    turn_events, conv_events = split_hierarchy(changes)
-    conv_del = conv_delete_watermarks(conv_events)
-    winners = argmax_winners(turn_events, payload_cols, salt_buckets)
-
-    # Conversation-level deletes vs the batch's own winners: a winner
-    # at-or-below the conversation's delete watermark becomes a delete
-    # for that key (op='D' rather than dropped, because it must also
-    # kill older table state for the same key).
-    winners = (
-        winners.join(F.broadcast(conv_del), on="conv_id", how="left")
-        .withColumn(
-            "op",
-            F.when(
-                F.col("conv_del_lsn").isNotNull()
-                & (F.col(LSN_COLUMN) <= F.col("conv_del_lsn")),
-                F.lit(OP_DELETE),
-            ).otherwise(F.col("op")),
-        )
-        .drop("conv_del_lsn")
-    )
-    return winners, conv_del
+    staged = unified_argmax(changes, payload_cols, salt_buckets)
+    return staged_winners(staged, payload_cols), staged_conv_del(staged)
 
 
 def lww_dedup_window(turn_events: DataFrame) -> DataFrame:

@@ -118,46 +118,62 @@ def apply_batch(
         if f.name not in (*KEY_COLUMNS, LSN_COLUMN)
     ]
 
-    # ---- conversation-level stats (tiny filtered scan) ---------------
-    _, conv_events = lww.split_hierarchy(batch)
-    conv_stats = conv_events.agg(
-        F.max("lsn").alias("max_lsn"), F.count(F.lit(1)).alias("n")
-    ).collect()[0]
-
-    # ---- LWW resolution (salted argmax; one row per key) -------------
-    winners, conv_del = lww.resolve_batch(batch, payload_cols, cfg.salt_buckets)
-    winners = winners.withColumn(BUCKET_COLUMN, bucket_expr(table.num_buckets))
-    winners = winners.persist()
+    # ---- single-pass resolution → staging buffer ---------------------
+    # The unified argmax (turn + conversation keys in one aggregation)
+    # is the ONLY scan of the incoming batch.  Its small result is
+    # staged to parquet (analog of the reference EVENTS_BUFFER table,
+    # PostgresqlStorageIntegrationSpec.groovy:76-86) so winners,
+    # watermarks, lineage and the MERGE all read the collapsed keys —
+    # never the raw 10^10-event log again.
+    staged_path = table.stage_path(f"epoch-{epoch}")
+    (
+        lww.unified_argmax(batch, payload_cols, cfg.salt_buckets)
+        .withColumn(BUCKET_COLUMN, bucket_expr(table.num_buckets))
+        .withColumn("_isturn", (F.col("_tkey") >= 0).cast("int"))
+        .write.partitionBy(BUCKET_COLUMN, "_isturn")
+        .parquet(staged_path)
+    )
     try:
-        conv_del = conv_del.withColumn(BUCKET_COLUMN, bucket_expr(table.num_buckets))
-        conv_del = conv_del.persist()
-
-        # ---- per-bucket lineage + affected-bucket set (one small agg) -
-        lineage_rows = (
-            winners.groupBy(BUCKET_COLUMN)
-            .agg(
-                F.min(LSN_COLUMN).alias("min_lsn"),
-                F.max(LSN_COLUMN).alias("max_lsn"),
-                F.count(F.lit(1)).alias("keys"),
-            )
-            .collect()
+        # ---- lineage + watermark + max-lsn bookkeeping: ZERO jobs -----
+        # derived from the staged files' parquet footer statistics,
+        # driver-side (the Iceberg-manifest trick) — the only Spark jobs
+        # per epoch are the stage write and the MERGE write.
+        summary = table.stage_summary(staged_path)
+        affected = sorted(
+            b for b, s in summary.items() if s["turn_keys"] > 0 or s["has_conv_del"]
         )
-        conv_del_buckets = [r[0] for r in conv_del.select(BUCKET_COLUMN).distinct().collect()]
-        affected = sorted({int(r[BUCKET_COLUMN]) for r in lineage_rows} | {int(b) for b in conv_del_buckets})
         lineage = {
-            str(int(r[BUCKET_COLUMN])): {
-                "min_lsn": int(r["min_lsn"]),
-                "max_lsn": int(r["max_lsn"]),
-                "keys": int(r["keys"]),
+            str(b): {
+                "min_lsn": int(s["min_lsn"]),
+                "max_lsn": int(s["max_lsn"]),
+                "keys": int(s["turn_keys"]),
             }
-            for r in lineage_rows
+            for b, s in summary.items()
+            if s["turn_keys"] > 0
         }
         applied = sum(v["keys"] for v in lineage.values())
         batch_max_lsn = max(
-            [v["max_lsn"] for v in lineage.values()]
-            + ([int(conv_stats["max_lsn"])] if conv_stats["n"] else [])
+            [int(s["any_max_lsn"]) for s in summary.values() if s["any_max_lsn"] is not None]
             + [table.last_committed_lsn()]
         )
+
+        if not affected:
+            # empty batch (e.g. a streaming trigger with no rows):
+            # nothing to merge, nothing to commit beyond bookkeeping
+            return {
+                "epoch": int(epoch),
+                "last_lsn": int(batch_max_lsn),
+                "applied": 0,
+                "skipped": 0,
+                "partition_lineage": "{}",
+                "committed_at": _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
+                "state": PIPE_UP_TO_DATE,
+                "added_columns": added_cols,
+            }
+
+        staged = spark.read.parquet(staged_path)
+        winners = lww.staged_winners(staged, payload_cols)
+        conv_del = lww.staged_conv_del(staged)
 
         # ---- MERGE: read only affected buckets, rewrite only them ----
         import pyspark.sql.types as T
@@ -167,8 +183,8 @@ def apply_batch(
         )
         merged = merge_state(
             existing.drop(BUCKET_COLUMN) if BUCKET_COLUMN in existing.columns else existing,
-            winners.drop(BUCKET_COLUMN),
-            conv_del.drop(BUCKET_COLUMN).select("conv_id", "conv_del_lsn"),
+            winners,
+            conv_del,
             payload_cols,
         ).withColumn(BUCKET_COLUMN, bucket_expr(table.num_buckets))
 
@@ -205,5 +221,4 @@ def apply_batch(
         offsets_row["added_columns"] = added_cols
         return offsets_row
     finally:
-        winners.unpersist()
-        conv_del.unpersist()
+        table.drop_stage(staged_path)
