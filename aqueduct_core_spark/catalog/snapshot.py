@@ -48,7 +48,8 @@ class SnapshotCatalog:
             "snapshot_id": 0,
             "parent_id": None,
             "schema": schema_fields,
-            "files": {},           # bucket(str) -> [relative parquet paths]
+            "files": {},           # bucket(str) -> [relative parquet paths] (base)
+            "delta_files": {},     # bucket(str) -> [relative parquet paths] (MOR deltas)
             "offsets_files": [],   # relative parquet paths of the _offsets log
             "summary": dict(properties or {}),
         }
@@ -88,21 +89,31 @@ class SnapshotCatalog:
         summary_updates: dict | None = None,
         schema_fields: list[dict] | None = None,
         full_files: dict[str, list[str]] | None = None,
+        added_delta_buckets: dict[str, list[str]] | None = None,
+        clear_deltas: bool = False,
     ) -> dict:
         """Produce snapshot N+1 from ``base``.
 
         ``replaced_buckets`` swaps the file list of only the touched
         buckets (MERGE / compaction); ``full_files`` replaces the whole
-        layout (bootstrap / full rewrite).
+        layout (bootstrap / full rewrite); ``added_delta_buckets``
+        appends merge-on-read delta files (fast-append commit, Iceberg
+        MOR analog); ``clear_deltas`` drops all deltas (after a fold).
         """
         files = dict(base["files"]) if full_files is None else dict(full_files)
         if replaced_buckets:
             files.update(replaced_buckets)
+        deltas = {} if clear_deltas else {
+            k: list(v) for k, v in base.get("delta_files", {}).items()
+        }
+        for b, fl in (added_delta_buckets or {}).items():
+            deltas.setdefault(b, []).extend(fl)
         snap = {
             "snapshot_id": base["snapshot_id"] + 1,
             "parent_id": base["snapshot_id"],
             "schema": schema_fields or base["schema"],
             "files": files,
+            "delta_files": deltas,
             "offsets_files": base["offsets_files"] + list(added_offsets_files or []),
             "summary": {**base["summary"], **(summary_updates or {})},
         }
@@ -145,11 +156,15 @@ class SnapshotCatalog:
             snap = self.load(v)
             for fl in snap["files"].values():
                 referenced.update(fl)
+            for fl in snap.get("delta_files", {}).values():
+                referenced.update(fl)
             referenced.update(snap["offsets_files"])
         all_referenced: set[str] = set()
         for v in versions:
             snap = self.load(v)
             for fl in snap["files"].values():
+                all_referenced.update(fl)
+            for fl in snap.get("delta_files", {}).values():
                 all_referenced.update(fl)
             all_referenced.update(snap["offsets_files"])
         orphans = sorted(all_referenced - referenced)

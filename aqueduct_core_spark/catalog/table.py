@@ -83,31 +83,109 @@ class ParquetTranscriptTable:
         return [f.name for f in self.schema().fields if f.name != LSN_COLUMN]
 
     # -- read ----------------------------------------------------------
+    def _base_df(self, snap: dict, wanted: set | None, schema: T.StructType) -> DataFrame:
+        files = []
+        for b, fl in snap["files"].items():
+            if wanted is None or b in wanted:
+                files.extend(os.path.join(self.root, p) for p in fl)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def delta_read_schema(self, schema: T.StructType) -> T.StructType:
+        """Schema of MOR delta files: resolved keys with the winning
+        event in a struct (the unified-argmax output shape)."""
+        payload = [
+            f for f in schema.fields if f.name not in ("conv_id", "turn_idx", LSN_COLUMN)
+        ]
+        w = T.StructType(
+            [
+                T.StructField("lsn", T.LongType(), True),
+                T.StructField("op", T.StringType(), True),
+                *[T.StructField(f.name, f.dataType, True) for f in payload],
+            ]
+        )
+        return T.StructType(
+            [
+                T.StructField("conv_id", T.StringType(), True),
+                T.StructField("_tkey", T.IntegerType(), True),
+                T.StructField("w", w, True),
+                T.StructField("_dlsn", T.LongType(), True),
+            ]
+        )
+
     def read_internal(
         self,
         buckets: list[int] | None = None,
         schema: T.StructType | None = None,
     ) -> DataFrame:
-        """Snapshot-pinned read; pruned to the given buckets.
+        """Snapshot-pinned, delta-resolved read; pruned to the given
+        buckets.
 
         Reading an explicit file list from one manifest = Iceberg
         snapshot isolation (reference REPEATABLE READ,
         PostgresqlStorage.java:134-141).  Files written before a schema
-        evolution simply lack the new column → Parquet reader yields
-        nulls (additive evolution without rewrite).  ``schema`` lets the
-        caller read with an already-evolved schema before it is
-        committed.
+        evolution simply lack the column (top-level or nested in the
+        delta ``w`` struct) → Parquet reader yields nulls (additive
+        evolution without rewrite).  When MOR delta files exist, the
+        read plan resolves base ∪ deltas with the same LWW argmax +
+        conversation-watermark semantics the writer uses (Iceberg
+        merge-on-read analog; reference analog: the replica answers
+        reads from the un-compacted event log, SQLiteQueries.java:77-99).
         """
         snap = self.catalog.current()
-        files = []
         wanted = None if buckets is None else {str(int(b)) for b in buckets}
-        for b, fl in snap["files"].items():
-            if wanted is None or b in wanted:
-                files.extend(os.path.join(self.root, p) for p in fl)
         schema = schema or self.schema()
-        if not files:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        base = self._base_df(snap, wanted, schema)
+
+        delta_files = []
+        for b, fl in snap.get("delta_files", {}).items():
+            if wanted is None or b in wanted:
+                delta_files.extend(os.path.join(self.root, p) for p in fl)
+        if not delta_files:
+            return base
+
+        payload_cols = [
+            f.name for f in schema.fields if f.name not in ("conv_id", "turn_idx", LSN_COLUMN)
+        ]
+        d = self.spark.read.schema(self.delta_read_schema(schema)).parquet(*delta_files)
+
+        turn_d = d.where(F.col("_tkey") >= 0).select(
+            F.col("conv_id"),
+            F.col("_tkey").cast("int").alias("turn_idx"),
+            *[F.col(f"w.{c}").alias(c) for c in payload_cols],
+            F.col("w.op").alias("_op"),
+            F.col("w.lsn").alias(LSN_COLUMN),
+        )
+        base_e = base.select(
+            "conv_id", "turn_idx", *payload_cols, F.lit("U").alias("_op"), LSN_COLUMN
+        )
+        unioned = base_e.unionByName(turn_d)
+        fields = [LSN_COLUMN, "_op"] + payload_cols
+        winner = F.max(F.struct(*[F.col(c) for c in fields])).alias("w")
+        resolved = (
+            unioned.groupBy("conv_id", "turn_idx")
+            .agg(winner)
+            .select(
+                "conv_id",
+                "turn_idx",
+                *[F.col(f"w.{c}").alias(c) for c in payload_cols],
+                F.col("w._op").alias("_op"),
+                F.col(f"w.{LSN_COLUMN}").alias(LSN_COLUMN),
+            )
+        )
+        conv_del = (
+            d.where((F.col("_tkey") == -1) & F.col("_dlsn").isNotNull())
+            .groupBy("conv_id")
+            .agg(F.max("_dlsn").alias("_cdl"))
+        )
+        out = (
+            resolved.where(F.col("_op") != "D")
+            .join(F.broadcast(conv_del), on="conv_id", how="left")
+            .where(F.col("_cdl").isNull() | (F.col(LSN_COLUMN) > F.col("_cdl")))
+            .drop("_cdl", "_op")
+        )
+        return out.select(*[f.name for f in schema.fields])
 
     def read(self) -> DataFrame:
         """Public table state (internal lsn column hidden)."""
@@ -152,6 +230,35 @@ class ParquetTranscriptTable:
             ]
         return out
 
+    def write_delta_data(self, staged_df: DataFrame, label: str) -> tuple[dict[str, list[str]], str]:
+        """MOR fast-append: write the resolved-keys frame (unified-argmax
+        shape + ``_bucket``/``_isturn``) as delta files; returns
+        (bucket → relative paths, absolute staging dir for footer
+        stats).  Files go live only when the manifest commit references
+        them."""
+        rel = os.path.join("delta", f"{label}-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.root, rel)
+        (
+            staged_df.repartition(BUCKET_COLUMN)
+            .write.partitionBy(BUCKET_COLUMN, "_isturn")
+            .parquet(out_dir)
+        )
+        by_bucket: dict[str, list[str]] = {}
+        for bdir in os.listdir(out_dir):
+            if not bdir.startswith(f"{BUCKET_COLUMN}="):
+                continue
+            b = bdir.split("=", 1)[1]
+            for tdir in os.listdir(os.path.join(out_dir, bdir)):
+                if not tdir.startswith("_isturn="):
+                    continue
+                d = os.path.join(out_dir, bdir, tdir)
+                by_bucket.setdefault(b, []).extend(
+                    os.path.join(rel, bdir, tdir, f)
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+        return by_bucket, out_dir
+
     def write_offsets_row(self, row: dict, label: str) -> str:
         """Tiny single-row offsets file written driver-side (pyarrow) —
         it rides in the same manifest commit as the data files, which is
@@ -189,6 +296,35 @@ class ParquetTranscriptTable:
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
+
+    def data_files_lineage(self, files_by_bucket: dict[str, list[str]]) -> dict:
+        """Post-merge per-bucket lineage from the written data files'
+        parquet footers (rows + min/max ``_lsn``) — driver-side, no
+        Spark job."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for b, files in files_by_bucket.items():
+            rows, lo, hi = 0, None, None
+            for rel in files:
+                md = pq.ParquetFile(os.path.join(self.root, rel)).metadata
+                lsn_ix = None
+                for i in range(md.num_columns):
+                    if md.num_row_groups and md.row_group(0).column(i).path_in_schema == LSN_COLUMN:
+                        lsn_ix = i
+                        break
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    if rg.num_rows == 0:
+                        continue
+                    rows += rg.num_rows
+                    st = rg.column(lsn_ix).statistics if lsn_ix is not None else None
+                    if st is not None and st.has_min_max:
+                        lo = int(st.min) if lo is None else min(lo, int(st.min))
+                        hi = int(st.max) if hi is None else max(hi, int(st.max))
+            if rows:
+                out[str(b)] = {"rows": rows, "min_lsn": lo, "max_lsn": hi}
+        return out
 
     @staticmethod
     def stage_summary(stage_path: str) -> dict[int, dict]:

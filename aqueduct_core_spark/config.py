@@ -28,6 +28,25 @@ class EngineConfig:
     #: buckets present in a batch.
     num_buckets: int = 32
 
+    # --- merge strategy ----------------------------------------------
+    #: "inline": ONE Spark job per epoch — argmax, watermark and MERGE
+    #: in a single plan (shared shuffle via ReuseExchange), exact
+    #: bookkeeping from observe() metrics, full-layout commit.  The
+    #: throughput path for batches whose keys span most buckets (normal
+    #: CDC replay).
+    #: "staged": resolve to a staging buffer first (EVENTS_BUFFER
+    #: analog), prune the MERGE to affected buckets via footer stats.
+    #: Right for sparse batches touching few buckets.
+    #: "mor" (default): merge-on-read fast-append — resolve the batch
+    #: and append delta files only (epoch cost ∝ batch, not table);
+    #: reads resolve base ∪ deltas; deltas fold into the base every
+    #: ``mor_fold_every`` epochs.  This is the reference's own design
+    #: (append + scheduled compaction) and the only shape that survives
+    #: 10^10 events — copy-on-write rewrites the table every batch.
+    merge_strategy: str = "mor"
+    #: fold deltas into the base after this many MOR epochs (0 = never)
+    mor_fold_every: int = 8
+
     # --- batch sizing (reference: limit=500 rows / maxBatchSize=1e6 B,
     # application-prod.yml:42-43; windowed running-size cut
     # PostgresqlStorage.java:437-447) ----------------------------------

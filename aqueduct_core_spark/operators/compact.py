@@ -74,6 +74,28 @@ def count_by_type(changes: DataFrame) -> DataFrame:
     return changes.groupBy("op").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def fold_deltas(table: ParquetTranscriptTable) -> dict:
+    """Fold MOR delta files into the base layout (Iceberg
+    ``rewrite_data_files`` for a merge-on-read table; reference analog:
+    the scheduled LWW compaction, CompactionTask.java:40-47).  One
+    resolved read + one clustered write; deltas cleared in the same
+    atomic commit."""
+    snap = table.catalog.current()
+    if not any(snap.get("delta_files", {}).values()):
+        return {"folded": False}
+    resolved = table.read_internal().withColumn(
+        BUCKET_COLUMN, bucket_expr(table.num_buckets)
+    )
+    new_files = table.write_bucket_data(resolved, label="fold")
+    out = table.catalog.commit(
+        table.catalog.current(),
+        full_files=new_files,
+        clear_deltas=True,
+        summary_updates={"aqueduct.delta-epochs": 0},
+    )
+    return {"folded": True, "snapshot_id": out["snapshot_id"], "buckets": len(new_files)}
+
+
 def rewrite_data_files(
     table: ParquetTranscriptTable, target_partitions: int | None = None
 ) -> dict:
@@ -86,7 +108,12 @@ def rewrite_data_files(
     snap = table.catalog.commit(
         table.catalog.current(),
         full_files=new_files,
-        summary_updates={"aqueduct.last-rewrite-snapshot": True},
+        # the rewrite output is fully resolved — MOR deltas are folded in
+        clear_deltas=True,
+        summary_updates={
+            "aqueduct.last-rewrite-snapshot": True,
+            "aqueduct.delta-epochs": 0,
+        },
     )
     return {"snapshot_id": snap["snapshot_id"], "buckets": len(new_files)}
 

@@ -90,8 +90,13 @@ def apply_batch(
     batch: DataFrame,
     epoch: int,
     cfg: EngineConfig | None = None,
+    batch_max_lsn: int | None = None,
 ) -> dict:
-    """Apply one micro-batch; returns the metrics/offsets row."""
+    """Apply one micro-batch; returns the metrics/offsets row.
+
+    ``batch_max_lsn``: the batch's known max lsn (trigger planning has
+    it for free); when None the inline path computes it with one tiny
+    aggregate (parquet aggregate pushdown makes it metadata-only)."""
     cfg = cfg or EngineConfig()
     spark = table.spark
 
@@ -117,6 +122,243 @@ def apply_batch(
         for f in new_fields
         if f.name not in (*KEY_COLUMNS, LSN_COLUMN)
     ]
+
+    if cfg.merge_strategy == "mor":
+        return _apply_mor(
+            table, batch, epoch, cfg, new_fields, payload_cols, added_cols,
+            batch_max_lsn,
+        )
+    if cfg.merge_strategy == "inline":
+        return _apply_inline(
+            table, batch, epoch, cfg, new_fields, payload_cols, added_cols,
+            batch_max_lsn,
+        )
+    return _apply_staged(
+        table, batch, epoch, cfg, new_fields, payload_cols, added_cols
+    )
+
+
+def _apply_mor(
+    table: ParquetTranscriptTable,
+    batch: DataFrame,
+    epoch: int,
+    cfg: EngineConfig,
+    new_fields,
+    payload_cols: list[str],
+    added_cols: list[str],
+    batch_max_hint: int | None = None,
+) -> dict:
+    """Merge-on-read fast-append — the sustained-ingest default.
+
+    This is the reference's own shape: the replica *appends* events in
+    one transaction and compacts on a schedule
+    (SQLiteStorage.java:188-241 + CompactionTask.java:40-47); Iceberg
+    calls it merge-on-read.  Per epoch: ONE Spark job — unified argmax
+    (one shuffle, map-side combine) → resolved keys written as delta
+    files partitioned by bucket.  No join against existing state, so
+    epoch cost is proportional to the batch, not the table.  Reads
+    resolve base ∪ deltas with identical LWW semantics
+    (``table.read_internal``); :func:`aqueduct_core_spark.operators.compact.fold_deltas`
+    folds deltas into the base every ``cfg.mor_fold_every`` epochs.
+    Bookkeeping is footer-statistics only — no extra jobs.
+    """
+    staged_df = (
+        lww.unified_argmax(batch, payload_cols, cfg.salt_buckets)
+        .withColumn(BUCKET_COLUMN, bucket_expr(table.num_buckets))
+        .withColumn("_isturn", (F.col("_tkey") >= 0).cast("int"))
+    )
+    by_bucket, out_dir = table.write_delta_data(staged_df, f"epoch-{epoch}")
+    summary = table.stage_summary(out_dir)
+    lineage = {
+        str(b): {
+            "min_lsn": int(s["min_lsn"]),
+            "max_lsn": int(s["max_lsn"]),
+            "keys": int(s["turn_keys"]),
+        }
+        for b, s in summary.items()
+        if s["turn_keys"] > 0
+    }
+    applied = sum(v["keys"] for v in lineage.values())
+    batch_max_lsn = max(
+        [table.last_committed_lsn(), int(batch_max_hint if batch_max_hint is not None else -1)]
+        + [int(s["any_max_lsn"]) for s in summary.values() if s["any_max_lsn"] is not None]
+    )
+    delta_epochs = int(table.catalog.current()["summary"].get("aqueduct.delta-epochs", 0)) + 1
+
+    offsets_row = {
+        "epoch": int(epoch),
+        "last_lsn": int(batch_max_lsn),
+        "applied": int(applied),
+        "skipped": 0,
+        "partition_lineage": json.dumps(lineage, sort_keys=True),
+        "committed_at": _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
+        "state": PIPE_UP_TO_DATE,
+    }
+    offsets_rel = table.write_offsets_row(offsets_row, label=f"epoch-{epoch}")
+    table.catalog.commit(
+        table.catalog.current(),
+        added_delta_buckets=by_bucket,
+        added_offsets_files=[offsets_rel],
+        summary_updates={
+            cfg.prop_epoch: int(epoch),
+            cfg.prop_max_lsn: int(batch_max_lsn),
+            "aqueduct.delta-epochs": delta_epochs,
+            **({"aqueduct.added-columns": ",".join(added_cols)} if added_cols else {}),
+        },
+        schema_fields=[f.jsonValue() for f in new_fields] if added_cols else None,
+    )
+    offsets_row["added_columns"] = added_cols
+
+    if cfg.mor_fold_every and delta_epochs >= cfg.mor_fold_every:
+        from aqueduct_core_spark.operators.compact import fold_deltas
+
+        fold_deltas(table)
+        offsets_row["folded"] = True
+    return offsets_row
+
+
+def _apply_inline(
+    table: ParquetTranscriptTable,
+    batch: DataFrame,
+    epoch: int,
+    cfg: EngineConfig,
+    new_fields,
+    payload_cols: list[str],
+    added_cols: list[str],
+    batch_max_hint: int | None = None,
+) -> dict:
+    """One Spark job per epoch — the throughput path for batches whose
+    keys span most buckets (the common case for CDC replay).
+
+    The unified-argmax, the conversation-delete watermark and the MERGE
+    all live in ONE plan: the argmax's shuffle Exchange is shared
+    between the winners branch and the broadcast watermark branch
+    (Catalyst ReuseExchange), so the raw batch is scanned and shuffled
+    exactly once.  Exact applied/max-lsn bookkeeping comes from
+    ``observe()`` metrics (accumulator-based, collected during the same
+    job — no extra pass); per-bucket lineage comes from the written
+    files' parquet footers, driver-side.  The whole live state is
+    re-committed as a full layout (copy-on-write), which is what a
+    broad batch rewrites anyway; sparse batches should use the
+    ``staged`` strategy, which prunes to affected buckets.
+    """
+    import pyspark.sql.types as T
+    from pyspark.sql import Observation
+
+    spark = table.spark
+    # the empty-batch probe is a real (tiny) job — only worth it on the
+    # streaming path, where idle triggers happen; replay triggers are
+    # planned from data and never empty (their max lsn rides in the hint)
+    if batch_max_hint is None and batch.isEmpty():
+        return {
+            "epoch": int(epoch),
+            "last_lsn": table.last_committed_lsn(),
+            "applied": 0,
+            "skipped": 0,
+            "partition_lineage": "{}",
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
+            "state": PIPE_UP_TO_DATE,
+            "added_columns": added_cols,
+        }
+
+    staged = lww.unified_argmax(batch, payload_cols, cfg.salt_buckets)
+    is_turn = F.col("_tkey") >= 0
+
+    obs_turn = Observation(f"epoch-{epoch}-turn")
+    turn_branch = staged.where(is_turn).observe(
+        obs_turn,
+        F.count(F.lit(1)).alias("keys"),
+        F.min("w.lsn").alias("min_lsn"),
+        F.max("w.lsn").alias("max_lsn"),
+    )
+    winners = turn_branch.select(
+        "conv_id",
+        F.col("_tkey").cast("int").alias("turn_idx"),
+        *[F.col(f"w.{c}").alias(c) for c in payload_cols],
+        F.col("w.op").alias("op"),
+        F.col("w.lsn").alias(LSN_COLUMN),
+    )
+
+    # (no Observation here: this branch is consumed by two broadcast
+    # joins, and CollectMetrics only supports single-consumer plans)
+    conv_del = staged.where(~is_turn).where(F.col("_dlsn").isNotNull()).select(
+        "conv_id", F.col("_dlsn").alias("conv_del_lsn")
+    )
+
+    if batch_max_hint is None:
+        # metadata-only with spark.sql.parquet.aggregatePushdown
+        row = batch.agg(F.max("lsn").alias("m")).collect()[0]
+        batch_max_hint = int(row["m"]) if row["m"] is not None else -1
+
+    # winners' op rewritten by the watermark (hierarchical delete)
+    winners = (
+        winners.join(F.broadcast(conv_del), on="conv_id", how="left")
+        .withColumn(
+            "op",
+            F.when(
+                F.col("conv_del_lsn").isNotNull()
+                & (F.col(LSN_COLUMN) <= F.col("conv_del_lsn")),
+                F.lit(OP_DELETE),
+            ).otherwise(F.col("op")),
+        )
+        .drop("conv_del_lsn")
+    )
+
+    existing = table.read_internal(None, schema=T.StructType(new_fields))
+    merged = merge_state(
+        existing.drop(BUCKET_COLUMN) if BUCKET_COLUMN in existing.columns else existing,
+        winners,
+        conv_del,
+        payload_cols,
+    ).withColumn(BUCKET_COLUMN, bucket_expr(table.num_buckets))
+
+    new_files = table.write_bucket_data(merged, label=f"epoch-{epoch}")
+
+    t_stats = obs_turn.get
+    applied = int(t_stats["keys"] or 0)
+    batch_max_lsn = max(
+        [table.last_committed_lsn(), int(batch_max_hint)]
+        + ([int(t_stats["max_lsn"])] if t_stats["max_lsn"] is not None else [])
+    )
+    lineage = table.data_files_lineage(new_files)
+
+    offsets_row = {
+        "epoch": int(epoch),
+        "last_lsn": int(batch_max_lsn),
+        "applied": applied,
+        "skipped": 0,
+        "partition_lineage": json.dumps(lineage, sort_keys=True),
+        "committed_at": _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
+        "state": PIPE_UP_TO_DATE,
+    }
+    offsets_rel = table.write_offsets_row(offsets_row, label=f"epoch-{epoch}")
+    table.catalog.commit(
+        table.catalog.current(),
+        full_files=new_files,
+        added_offsets_files=[offsets_rel],
+        summary_updates={
+            cfg.prop_epoch: int(epoch),
+            cfg.prop_max_lsn: int(batch_max_lsn),
+            **({"aqueduct.added-columns": ",".join(added_cols)} if added_cols else {}),
+        },
+        schema_fields=[f.jsonValue() for f in new_fields] if added_cols else None,
+    )
+    offsets_row["added_columns"] = added_cols
+    return offsets_row
+
+
+def _apply_staged(
+    table: ParquetTranscriptTable,
+    batch: DataFrame,
+    epoch: int,
+    cfg: EngineConfig,
+    new_fields,
+    payload_cols: list[str],
+    added_cols: list[str],
+) -> dict:
+    """Bucket-pruned MERGE via a staging buffer — reads and rewrites
+    only the buckets the batch touches; right for sparse batches."""
+    spark = table.spark
 
     # ---- single-pass resolution → staging buffer ---------------------
     # The unified argmax (turn + conversation keys in one aggregation)

@@ -52,6 +52,9 @@ def get_spark(
         # reference's Brotli/gzip codec (pipe-codec/.../BrotliCodec.java).
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # MIN/MAX/COUNT over parquet answered from footer statistics —
+        # makes the per-batch max-lsn bookkeeping metadata-only
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # Local mode: keep the UI off and the driver lean.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("AQUEDUCT_DRIVER_MEM", "8g"))

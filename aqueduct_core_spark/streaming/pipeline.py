@@ -66,7 +66,11 @@ def replay(
         batch = pending.where(
             (F.col("lsn") >= r.start_lsn) & (F.col("lsn") <= r.end_lsn)
         )
-        metrics.append(apply_batch(table, batch, epoch=epoch, cfg=cfg))
+        # trigger planning already knows the batch's max lsn — no
+        # per-epoch max() job needed
+        metrics.append(
+            apply_batch(table, batch, epoch=epoch, cfg=cfg, batch_max_lsn=r.end_lsn)
+        )
         epoch += 1
     return metrics
 

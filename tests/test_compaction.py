@@ -76,11 +76,16 @@ def test_rewrite_and_expire(spark, tmp_path):
         apply_batch(table, to_spark(spark, pdf.iloc[lo:hi]), epoch=e, cfg=cfg)
 
     before = final_state_pdf(table)
-    files_before = sum(len(v) for v in table.catalog.current()["files"].values())
 
+    def total_files():
+        snap = table.catalog.current()
+        return sum(len(v) for v in snap["files"].values()) + sum(
+            len(v) for v in snap.get("delta_files", {}).values()
+        )
+
+    files_before = total_files()
     rewrite_data_files(table)
     removed = expire_snapshots(table, keep_last=1)
     assert removed > 0
-    files_after = sum(len(v) for v in table.catalog.current()["files"].values())
-    assert files_after <= files_before
+    assert total_files() <= files_before
     assert_state_equal(final_state_pdf(table), before)

@@ -85,8 +85,10 @@ def test_duplicate_epoch_is_idempotent(spark, tmp_table_dir, changes_pdf):
 
 
 def test_merge_prunes_buckets(spark, tmp_table_dir, changes_pdf):
-    """A batch touching one conversation must not rewrite unrelated buckets."""
-    cfg = EngineConfig(num_buckets=8)
+    """Staged strategy: a batch touching one conversation must not
+    rewrite unrelated buckets (inline trades pruning for one-job
+    epochs and rewrites the full layout)."""
+    cfg = EngineConfig(num_buckets=8, merge_strategy="staged")
     table = ParquetTranscriptTable.create(spark, tmp_table_dir, num_buckets=8)
     apply_batch(table, to_spark(spark, changes_pdf), epoch=0, cfg=cfg)
     snap0 = table.catalog.current()
@@ -112,3 +114,46 @@ def test_window_vs_agg_lww_parity(spark, changes_pdf):
     b = lww.lww_dedup_window(turns).select("conv_id", "turn_idx", "lsn")
     assert a.count() == b.count()
     assert a.join(b, (a.conv_id == b.conv_id) & (a.turn_idx == b.turn_idx) & (a[LSN_COLUMN] == b.lsn)).count() == a.count()
+
+
+def test_inline_vs_staged_equivalence(spark, tmp_path, changes_pdf):
+    """Both merge strategies must converge to the identical final state
+    (inline = one-job full-layout commit; staged = bucket-pruned)."""
+    states = {}
+    for strategy in ("mor", "inline", "staged"):
+        cfg = EngineConfig(num_buckets=8, merge_strategy=strategy)
+        table = ParquetTranscriptTable.create(
+            spark, str(tmp_path / strategy), num_buckets=8
+        )
+        df = to_spark(spark, changes_pdf)
+        n = len(changes_pdf)
+        cut = int(changes_pdf["lsn"].iloc[n // 2])
+        from pyspark.sql import functions as F
+
+        apply_batch(table, df.where(F.col("lsn") <= cut), epoch=0, cfg=cfg)
+        apply_batch(table, df.where(F.col("lsn") > cut), epoch=1, cfg=cfg)
+        states[strategy] = final_state_pdf(table)
+    assert_state_equal(states["inline"], states["staged"])
+    assert_state_equal(states["inline"], states["mor"])
+    assert_state_equal(states["inline"], expected_state_pdf(changes_pdf))
+
+
+def test_mor_fold(spark, tmp_table_dir, changes_pdf):
+    """MOR deltas fold into the base after mor_fold_every epochs; the
+    resolved state is identical before and after the fold."""
+    cfg = EngineConfig(num_buckets=8, merge_strategy="mor", mor_fold_every=2)
+    table = ParquetTranscriptTable.create(spark, tmp_table_dir, num_buckets=8)
+    df = to_spark(spark, changes_pdf)
+    cut = int(changes_pdf["lsn"].iloc[len(changes_pdf) // 2])
+    from pyspark.sql import functions as F
+
+    m0 = apply_batch(table, df.where(F.col("lsn") <= cut), epoch=0, cfg=cfg)
+    assert not m0.get("folded")
+    snap = table.catalog.current()
+    assert any(snap["delta_files"].values()) and not any(snap["files"].values())
+
+    m1 = apply_batch(table, df.where(F.col("lsn") > cut), epoch=1, cfg=cfg)
+    assert m1.get("folded")
+    snap = table.catalog.current()
+    assert not any(snap["delta_files"].values()) and any(snap["files"].values())
+    assert_state_equal(final_state_pdf(table), expected_state_pdf(changes_pdf))
