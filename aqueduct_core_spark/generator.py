@@ -107,7 +107,10 @@ def _conv_events(conv_ordinal: int, seed: int, hot: bool, n_clusters: int) -> pd
     lsn0 = conv_ordinal * STRIDE
     ops, turn_idx, roles, texts, tools = (list(x) for x in zip(*rows))
     lsn = np.arange(lsn0, lsn0 + n, dtype=np.int64)
-    ts = pd.to_datetime(_EPOCH_BASE_S + lsn, unit="s", utc=True).tz_localize(None)
+    # event time advances 1 ms per lsn: keeps timestamps within pandas'
+    # ns-datetime range even at 10^8+ conversations (1 s/lsn overflowed
+    # the year-2262 ceiling past ~500k conversations)
+    ts = pd.to_datetime(_EPOCH_BASE_S * 1000 + lsn, unit="ms", utc=True).tz_localize(None)
     texts_arr = pd.array(texts, dtype="object")
     sizes = np.array([(len(x) if x is not None else 0) + 89 for x in texts], dtype=np.int32)
     return pd.DataFrame(

@@ -63,7 +63,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bench_replay(spark, n_convs: int, work: str) -> dict:
+def bench_replay(spark, n_convs: int, work: str, input_path: str | None = None) -> dict:
     """Replay throughput: ordered micro-batch apply of a synthetic log
     into a fresh transcript table; verified by consistency checksum."""
     from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
@@ -73,10 +73,16 @@ def bench_replay(spark, n_convs: int, work: str) -> dict:
     from aqueduct_core_spark.verify import consistency_sum, table_consistency_sum
 
     shutil.rmtree(work, ignore_errors=True)
-    log_path = f"{work}/changes"
-    # fixed partition count → byte-identical input layout regardless of
-    # the session's parallelism (required for the N-vs-4N scaling runs)
-    generate_changes(spark, n_convs=n_convs, seed=42, partitions=64).write.parquet(log_path)
+    os.makedirs(work, exist_ok=True)
+    if input_path and os.path.exists(os.path.join(input_path, "_SUCCESS")):
+        log_path = input_path
+    else:
+        log_path = input_path or f"{work}/changes"
+        # fixed partition count → byte-identical input layout regardless
+        # of the session's parallelism (required for N-vs-4N scaling)
+        generate_changes(spark, n_convs=n_convs, seed=42, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(log_path)
     log = spark.read.parquet(log_path)
     n_events = log.count()
 
@@ -136,6 +142,8 @@ def main() -> None:
     ap.add_argument("--replay-only", action="store_true")
     ap.add_argument("--convs", type=int, default=6000)
     ap.add_argument("--work", default="/tmp/aq-bench")
+    ap.add_argument("--input", default=None,
+                    help="pre-generated change-log dir to reuse (skips generation)")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -167,7 +175,7 @@ def main() -> None:
     if not args.replay_only:
         queries = bench_queries(spark, sf_dir)
 
-    replay_stats = bench_replay(spark, args.convs, args.work)
+    replay_stats = bench_replay(spark, args.convs, args.work, args.input)
     queries["cdc_replay"] = replay_stats["sec"]
 
     total = round(sum(queries.values()), 3)

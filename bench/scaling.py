@@ -27,11 +27,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, convs: int, work: str) -> dict:
+def run_level(cpus: int, convs: int, work: str, input_path: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--replay-only",
-         "--convs", str(convs), "--work", work],
+         "--convs", str(convs), "--work", work, "--input", input_path],
         env=env,
         capture_output=True,
         text=True,
@@ -50,10 +50,11 @@ def main() -> None:
     args = ap.parse_args()
 
     levels = {}
+    input_path = f"/tmp/aq-scale-input-{args.convs}"
     for cpus in (args.n, 4 * args.n):
         best = None
         for i in range(args.repeat):
-            r = run_level(cpus, args.convs, f"/tmp/aq-scale-{cpus}-{i}")
+            r = run_level(cpus, args.convs, f"/tmp/aq-scale-{cpus}-{i}", input_path)
             assert r["replay"]["state_ok"], f"state verify FAILED at local[{cpus}]"
             if best is None or r["replay"]["events_per_sec"] > best["events_per_sec"]:
                 best = r["replay"]
