@@ -31,11 +31,17 @@ doc_exact_dedup             exact dedup (hash groupBy)
 doc_text_stats              token count / quality / lang-ID / fingerprint
 emb_cosine_topk             brute-force cosine top-k (ANN baseline)
 emb_knn_join                broadcast k-NN join (probe set × base)
-doc_minhash_pairs           MinHash+LSH near-dup pairs  (rows-only check)
-doc_simhash_candidates      SimHash banded candidates   (rows-only check)
-emb_lsh_topk                hyperplane-LSH approximate top-k (rows-only)
-media_features              multimodal mapInPandas plumbing  (rows-only)
+doc_minhash_pairs           MinHash+LSH near-dup pairs (md5 hash variant)
+doc_simhash_candidates      SimHash banded candidates (md5 hash variant)
+emb_lsh_topk                hyperplane-LSH approximate top-k (inlined
+                            hyperplane literals in the oracle)
+media_features              multimodal mapInPandas plumbing (scalar view)
+cdc_routing_groups          F3 full cluster+location-group routing (J5 dim)
+cdc_cluster_lookup          J4 cluster uuid→id broadcast lookup
+cdc_max_offset_for_types    A6 max offset for consumer types
 ==========================  =================================================
+
+Every query has a DuckDB oracle — zero ``no_oracle`` rows.
 """
 
 from __future__ import annotations
@@ -274,15 +280,17 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5-derived hash primitive: same pipeline shape as the xxhash64
+    # production default, but exactly reproducible in the DuckDB oracle
     from aqueduct_core_spark.functions.dedup import minhash_dedup
 
-    return minhash_dedup(_docs(spark, sf_dir), threshold=0.3)
+    return minhash_dedup(_docs(spark, sf_dir), threshold=0.3, hash_method="md5")
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.functions.dedup import simhash_candidates
 
-    return simhash_candidates(_docs(spark, sf_dir))
+    return simhash_candidates(_docs(spark, sf_dir), band_bits=15, hash_method="md5")
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,9 +300,224 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aqueduct_core_spark.functions.multimodal import extract_features, synthetic_media
+    # scalar projection (the driver canonicalizer cannot hash an
+    # array<float> column); full extract_features is pytest-covered
+    from aqueduct_core_spark.functions.multimodal import (
+        media_feature_summary,
+        synthetic_media,
+    )
 
-    return extract_features(synthetic_media(spark, n=64))
+    return media_feature_summary(synthetic_media(spark, n=64))
+
+
+def _q_routing_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.sources.dims import location_groups_dim, route_for_location
+
+    return route_for_location(
+        load_changes(spark, sf_dir),
+        location_groups_dim(spark, n=10),
+        location_uuid="loc-0003",
+        cluster_ids=[1, 2, 3, 4, 5],
+    ).select("lsn", "conv_id", "turn_idx", "op", "cluster_id", "location_group")
+
+
+def _q_cluster_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.sources.dims import cluster_dim, resolve_cluster_ids
+
+    return resolve_cluster_ids(
+        load_changes(spark, sf_dir),
+        cluster_dim(spark, n=8),
+        uuids=["uuid-0002", "uuid-0005", "uuid-0007"],
+    ).select("lsn", "conv_id", "turn_idx", "op", "cluster_id")
+
+
+def _q_max_offset_for_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.sources.changes import max_offset_for_types
+
+    return max_offset_for_types(load_changes(spark, sf_dir), ops=["I", "D"])
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders for the hash-pipeline queries
+# ---------------------------------------------------------------------------
+# DuckDB equivalent of aqueduct_core_spark.functions.dedup.hash64
+# (method='md5'): the first 60 bits of md5 as a non-negative BIGINT.
+
+def _dh(expr: str, seed: int | None = None) -> str:
+    inp = expr if seed is None else f"({expr} || chr(31) || '{seed}')"
+    return f"('0x' || substr(md5({inp}), 1, 15))::BIGINT"
+
+
+#: shingle CTEs shared by the minhash/simhash oracles — must mirror
+#: aqueduct_core_spark.functions.dedup.word_shingles exactly
+def _shingle_ctes(k: int) -> str:
+    return f"""
+toks AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT id, CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+             ELSE list_distinct(list_transform(generate_series(1, len(t) - {k} + 1),
+                    i -> array_to_string(list_slice(t, i, i + {k} - 1), ' '))) END AS shingles
+  FROM toks
+),
+ex AS (SELECT id, unnest(shingles) AS s FROM sh)
+"""
+
+
+def _minhash_oracle(num_hashes: int = 64, bands: int = 16, k: int = 3,
+                    threshold: float = 0.3) -> str:
+    rpb = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min({_dh('s', i)}) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT id, {b} AS band, {bucket} AS bucket FROM sig".format(
+            b=b,
+            bucket=_dh(
+                "("
+                + " || ',' || ".join(
+                    f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+                )
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingle_ctes(k)},
+sig AS (
+  SELECT id,
+    {mins}
+  FROM ex GROUP BY id
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+ver AS (
+  SELECT c.id_a, c.id_b,
+    floor((len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles))))
+          * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
+"""
+
+
+def _simhash_oracle(k: int = 2, nbits: int = 60, band_bits: int = 15) -> str:
+    nb = nbits // band_bits
+    mask = (1 << band_bits) - 1
+    sums = ",\n    ".join(
+        f"sum((h >> {i}) & 1) AS b{i}" for i in range(nbits)
+    )
+    bits = "\n    + ".join(
+        f"(CASE WHEN b{i} * 2 > n THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(nbits)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT id, sh, {b} AS band, (sh >> {b * band_bits}) & {mask} AS bucket FROM sim"
+        for b in range(nb)
+    )
+    return f"""
+WITH {_shingle_ctes(k)},
+hh AS (SELECT id, {_dh('s')} AS h FROM ex),
+agg AS (
+  SELECT id, count(*) AS n,
+    {sums}
+  FROM hh GROUP BY id
+),
+sim AS (
+  SELECT id,
+    {bits} AS sh
+  FROM agg
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming FROM cand
+"""
+
+
+def _lsh_topk_oracle(dim: int = 64, n_planes: int = 8, n_tables: int = 4,
+                     kk: int = 20) -> str:
+    """Hyperplane constants inlined as SQL literals — same RandomState
+    stream as functions.similarity._hyperplanes."""
+    from aqueduct_core_spark.functions.similarity import _hyperplanes
+
+    table_preds = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=7 + t)
+        plane_eqs = []
+        for p in planes:
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            plane_eqs.append(
+                f"((list_inner_product(v, {lit}) >= 0) = (list_inner_product(qv, {lit}) >= 0))"
+            )
+        table_preds.append("(" + " AND ".join(plane_eqs) + ")")
+    cand = "\n     OR ".join(table_preds)
+    return f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+s AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, q.qv AS qv
+  FROM embeddings e, q
+),
+flt AS (
+  SELECT vec_id, v, qv FROM s
+  WHERE {cand}
+)
+SELECT vec_id,
+  floor((list_inner_product(v, qv)
+         / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))))
+        * 1000000 + 0.5) / 1000000 AS sim
+FROM flt ORDER BY sim DESC, vec_id LIMIT {kk}
+"""
+
+
+def _media_features_oracle(n: int = 64, dim: int = 16) -> str:
+    """Replicates multimodal._fake_decode over the ASCII-hex synthetic
+    payloads: feature[j] = float32(uint32_le(sha256(payload) bytes
+    4j..4j+3 mod 32) / 2^32)."""
+
+    def byte(x: int) -> str:
+        return f"('0x' || substr(hx, {2 * (x % 32) + 1}, 2))::BIGINT"
+
+    feats = []
+    for j in range(dim):
+        u32 = " + ".join(
+            f"{byte(4 * j + kk)} * {256 ** kk}" for kk in range(4)
+        )
+        feats.append(f"CAST(CAST(({u32}) AS DOUBLE) / 4294967296.0 AS FLOAT)::DOUBLE")
+    fsum = "\n    + ".join(feats)
+    return f"""
+WITH m AS (
+  SELECT i AS media_id,
+         ['image','audio','video'][(i % 3) + 1] AS kind,
+         repeat(sha256(CAST(i AS VARCHAR)), 1 + (i % 4)) AS payload,
+         64 * (1 + (i % 4)) AS n_bytes
+  FROM generate_series(0, {n - 1}) t(i)
+),
+h AS (SELECT media_id, kind, n_bytes, sha256(payload) AS hx FROM m)
+SELECT media_id, kind, CAST(n_bytes AS INTEGER) AS n_bytes,
+  floor(({fsum}) * 1000000 + 0.5) / 1000000 AS feat_sum
+FROM h
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -328,6 +551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_candidates": _q_simhash,
         "emb_lsh_topk": _q_lsh_topk,
         "media_features": _q_media_features,
+        "cdc_routing_groups": _q_routing_groups,
+        "cdc_cluster_lookup": _q_cluster_lookup,
+        "cdc_max_offset_for_types": _q_max_offset_for_types,
     }
 
 
@@ -363,7 +589,8 @@ r AS (
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
   FROM page
 )
-SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts, event_size, cluster_id
+SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts, event_size, cluster_id,
+       location_group
 FROM r WHERE running <= 100000
 """
     )
@@ -383,13 +610,14 @@ w AS (
 ),
 survivors AS (
   SELECT w.lsn, w.op, w.conv_id, w.turn_idx, w.role, w.text, w.tool, w.ts,
-         w.event_size, w.cluster_id
+         w.event_size, w.cluster_id, w.location_group
   FROM w, bounds b
   WHERE rn = 1 AND NOT (op = 'D' AND ts <= b.del_thr)
 )
 SELECT * FROM survivors
 UNION ALL
-SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts, event_size, cluster_id
+SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts, event_size, cluster_id,
+       location_group
 FROM recent
 """
     )
@@ -506,7 +734,34 @@ WHERE cluster_id IN (0,3,5)
         "doc_text_stats": text_stats,
         "emb_cosine_topk": cosine_topk,
         "emb_knn_join": knn_join,
-        # doc_minhash_pairs / doc_simhash_candidates / emb_lsh_topk /
-        # media_features: xxhash64-based or approximate/stubbed — not
-        # DuckDB-expressible; rows-only check.
+        "doc_minhash_pairs": _minhash_oracle(),
+        "doc_simhash_candidates": _simhash_oracle(),
+        "emb_lsh_topk": _lsh_topk_oracle(),
+        "media_features": _media_features_oracle(),
+        "cdc_routing_groups": oracle(
+            """
+loc AS (
+  SELECT list_sort(list_distinct([i % 5, (i * 2 + 1) % 5])) AS groups
+  FROM generate_series(0, 9) t(i)
+  WHERE printf('loc-%04d', i) = 'loc-0003'
+)
+SELECT c.lsn, c.conv_id, c.turn_idx, c.op, c.cluster_id, c.location_group
+FROM changes c, loc
+WHERE c.cluster_id IN (1,2,3,4,5)
+  AND (c.location_group IS NULL OR list_contains(loc.groups, c.location_group))
+"""
+        ),
+        "cdc_cluster_lookup": oracle(
+            """
+dim AS (
+  SELECT i AS cluster_id FROM generate_series(0, 7) t(i)
+  WHERE printf('uuid-%04d', i) IN ('uuid-0002','uuid-0005','uuid-0007')
+)
+SELECT c.lsn, c.conv_id, c.turn_idx, c.op, c.cluster_id
+FROM changes c JOIN dim USING (cluster_id)
+"""
+        ),
+        "cdc_max_offset_for_types": oracle(
+            "SELECT max(lsn) AS max_offset_consumers FROM changes WHERE op IN ('I','D')"
+        ),
     }

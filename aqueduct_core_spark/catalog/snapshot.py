@@ -91,6 +91,7 @@ class SnapshotCatalog:
         full_files: dict[str, list[str]] | None = None,
         added_delta_buckets: dict[str, list[str]] | None = None,
         clear_deltas: bool = False,
+        clear_delta_buckets: list[str] | None = None,
     ) -> dict:
         """Produce snapshot N+1 from ``base``.
 
@@ -98,7 +99,10 @@ class SnapshotCatalog:
         buckets (MERGE / compaction); ``full_files`` replaces the whole
         layout (bootstrap / full rewrite); ``added_delta_buckets``
         appends merge-on-read delta files (fast-append commit, Iceberg
-        MOR analog); ``clear_deltas`` drops all deltas (after a fold).
+        MOR analog); ``clear_deltas`` drops all deltas (full rewrite);
+        ``clear_delta_buckets`` drops only the named buckets' deltas
+        (incremental fold — Iceberg's per-partition
+        ``rewrite_data_files``).
         """
         files = dict(base["files"]) if full_files is None else dict(full_files)
         if replaced_buckets:
@@ -106,6 +110,8 @@ class SnapshotCatalog:
         deltas = {} if clear_deltas else {
             k: list(v) for k, v in base.get("delta_files", {}).items()
         }
+        for b in clear_delta_buckets or ():
+            deltas.pop(str(b), None)
         for b, fl in (added_delta_buckets or {}).items():
             deltas.setdefault(b, []).extend(fl)
         snap = {

@@ -299,8 +299,9 @@ class ParquetTranscriptTable:
 
     def data_files_lineage(self, files_by_bucket: dict[str, list[str]]) -> dict:
         """Post-merge per-bucket lineage from the written data files'
-        parquet footers (rows + min/max ``_lsn``) — driver-side, no
-        Spark job."""
+        parquet footers — driver-side, no Spark job.  The written state
+        holds exactly one row per live key, so the row count IS the key
+        count (uniform ``keys`` field across all merge strategies)."""
         import pyarrow.parquet as pq
 
         out: dict[str, dict] = {}
@@ -323,7 +324,7 @@ class ParquetTranscriptTable:
                         lo = int(st.min) if lo is None else min(lo, int(st.min))
                         hi = int(st.max) if hi is None else max(hi, int(st.max))
             if rows:
-                out[str(b)] = {"rows": rows, "min_lsn": lo, "max_lsn": hi}
+                out[str(b)] = {"keys": rows, "min_lsn": lo, "max_lsn": hi}
         return out
 
     @staticmethod
@@ -453,13 +454,11 @@ class IcebergTranscriptTable:
     def read_internal(self, buckets=None) -> DataFrame:
         return self.spark.table(self.identifier)
 
-    def merge_resolved(self, winners: DataFrame, conv_del: DataFrame) -> None:
-        """Native MERGE INTO: one row per key guaranteed by the LWW
-        resolve step (Iceberg cardinality requirement)."""
-        winners.createOrReplaceTempView("_aq_src")
-        conv_del.createOrReplaceTempView("_aq_conv_del")
-        self.spark.sql(
-            f"""
+    def merge_sql(self) -> str:
+        """The key-level upsert MERGE (statement text exposed so the
+        jar-less sandbox can at least parse-validate what will run on
+        the cluster)."""
+        return f"""
             MERGE INTO {self.identifier} t
             USING _aq_src s
             ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
@@ -471,13 +470,25 @@ class IcebergTranscriptTable:
               INSERT (conv_id, turn_idx, role, text, tool, ts, {LSN_COLUMN})
               VALUES (s.conv_id, s.turn_idx, s.role, s.text, s.tool, s.ts, s.{LSN_COLUMN})
             """
-        )
-        # conversation-level deletes against pre-existing state
-        self.spark.sql(
-            f"""
+
+    def conv_delete_merge_sql(self) -> str:
+        """Conversation-level deletes against pre-existing state.
+        Equi-ON + MATCHED-AND guard (not a non-equi ON): every engine
+        plans the equi-join, and a non-equi MERGE ON is rejected or
+        mis-planned by several Iceberg/Spark version combinations.
+        One source row fanning out to many target rows is legal — the
+        MERGE cardinality rule only forbids the reverse."""
+        return f"""
             MERGE INTO {self.identifier} t
             USING _aq_conv_del d
-            ON t.conv_id = d.conv_id AND t.{LSN_COLUMN} <= d.conv_del_lsn
-            WHEN MATCHED THEN DELETE
+            ON t.conv_id = d.conv_id
+            WHEN MATCHED AND t.{LSN_COLUMN} <= d.conv_del_lsn THEN DELETE
             """
-        )
+
+    def merge_resolved(self, winners: DataFrame, conv_del: DataFrame) -> None:
+        """Native MERGE INTO: one row per key guaranteed by the LWW
+        resolve step (Iceberg cardinality requirement)."""
+        winners.createOrReplaceTempView("_aq_src")
+        conv_del.createOrReplaceTempView("_aq_conv_del")
+        self.spark.sql(self.merge_sql())
+        self.spark.sql(self.conv_delete_merge_sql())

@@ -66,9 +66,11 @@ class EngineConfig:
     #: spread over N salt slots) and measured 3.3× slower on an
     #: unskewed 1.4M-event batch.  AQE skew-join splitting covers the
     #: MERGE join side.
+    #: (no automatic hot-key detection knob: deciding per-batch would
+    #: need an extra counting pass over the batch, and the measurement
+    #: above shows the unsalted aggregate already absorbs ordinary
+    #: hotspots — salting is an explicit operator decision)
     salt_buckets: int = 0
-    #: a conv_id is "hot" if its event count in the batch exceeds this
-    hot_key_threshold: int = 10_000
 
     # --- compaction / retention (reference: hourly cron, 30 d deletion
     # retention — application-prod.yml:36-40) --------------------------

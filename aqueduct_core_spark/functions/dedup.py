@@ -22,7 +22,27 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from aqueduct_core_spark.functions.text import fingerprint
+from aqueduct_core_spark.functions.text import fingerprint, round6
+
+
+def hash64(col: Column, seed: int | None = None, method: str = "xxhash64") -> Column:
+    """Seeded 64-bit-ish hash of a string column, JVM-side either way.
+
+    - ``xxhash64`` (default): full-range 64-bit, the fast production
+      primitive.
+    - ``md5``: the first 60 bits of md5 as a non-negative long —
+      exactly reproducible in DuckDB as
+      ``('0x' || substr(md5(x), 1, 15))::BIGINT``, which is what makes
+      the minhash/simhash correctness oracles expressible.  Seeding is
+      by suffixing ``\\x1f<seed>`` (a byte that never appears in
+      normalized text).
+    """
+    if method == "xxhash64":
+        return F.xxhash64(col, F.lit(seed)) if seed is not None else F.xxhash64(col)
+    if method == "md5":
+        inp = col if seed is None else F.concat(col, F.lit(f"\x1f{seed}"))
+        return F.conv(F.substring(F.md5(inp), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash method {method!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -75,9 +95,10 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<long>[num_hashes]) — sig[i] = min over shingles of
-    xxhash64(shingle, seed=i).
+    hash64(shingle, seed=i).
 
     Formulated as explode(shingles) → hash-aggregate with ``num_hashes``
     ``min`` columns: partial (map-side) combine collapses each
@@ -91,7 +112,7 @@ def minhash_signatures(
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
     )
     mins = [
-        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+        F.min(hash64(F.col("s"), seed=i, method=hash_method)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agged = shingled.groupBy("id").agg(*mins)
@@ -101,7 +122,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Banded LSH: equal band-hash ⇒ candidate pair.
 
@@ -119,14 +143,15 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        hash64(
                             F.concat_ws(
                                 ",",
                                 *[
                                     F.col("sig")[b * rows_per_band + r].cast("string")
                                     for r in range(rows_per_band)
                                 ],
-                            )
+                            ),
+                            method=hash_method,
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -174,7 +199,9 @@ def ngram_jaccard(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        j.withColumn("jaccard", F.round(inter / union, 6))
+        # round6 (floor(x·1e6+0.5)) rather than F.round: pure IEEE
+        # arithmetic, bit-identical in DuckDB for the oracle compare
+        j.withColumn("jaccard", round6(inter / union))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -188,11 +215,12 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end near-dup pipeline: minhash → LSH candidates → exact
     Jaccard verify.  Returns verified near-duplicate pairs."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    pairs = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hash_method)
+    pairs = lsh_candidate_pairs(sigs, bands, num_hashes // bands, hash_method)
     return ngram_jaccard(df, pairs, text_col, id_col, shingle_k, threshold)
 
 
@@ -200,28 +228,38 @@ def minhash_dedup(
 # simhash
 # ---------------------------------------------------------------------------
 
+def simhash_bits(hash_method: str) -> int:
+    """Usable hash bits per method (md5 variant carries 60 bits)."""
+    return 60 if hash_method == "md5" else 64
+
+
 def simhash64_df(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """(id, sh) — 64-bit SimHash: per-bit majority vote over shingle
-    hashes.
+    hashes (60-bit under ``hash_method='md5'``).
 
-    explode(shingles) → one hash-agg with 64 conditional-sum columns
-    (bit i of each shingle hash) + a count; the bit is set iff ones·2 >
-    total.  Map-side partial agg keeps the shuffle at one row per
-    (doc, partition) — the same scale shape as minhash.
+    explode(shingles) → one hash-agg with one conditional-sum column per
+    bit (bit i of each shingle hash) + a count; the bit is set iff
+    ones·2 > total.  Map-side partial agg keeps the shuffle at one row
+    per (doc, partition) — the same scale shape as minhash.
     """
+    nbits = simhash_bits(hash_method)
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
-    ).select("id", F.xxhash64(F.col("s")).alias("h"))
+    ).select("id", hash64(F.col("s"), method=hash_method).alias("h"))
     sums = [
         F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     agged = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *sums)
     acc = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(nbits):
         bit = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -230,11 +268,16 @@ def simhash64_df(
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup candidates: documents sharing any 16-bit simhash band."""
-    h = simhash64_df(df, text_col, id_col)
-    nb = 64 // band_bits
+    """Near-dup candidates: documents sharing any ``band_bits``-wide
+    simhash band (use ``band_bits=15`` with the 60-bit md5 variant)."""
+    h = simhash64_df(df, text_col, id_col, hash_method=hash_method)
+    nb = simhash_bits(hash_method) // band_bits
     mask = (1 << band_bits) - 1
     bands = h.select(
         "id",

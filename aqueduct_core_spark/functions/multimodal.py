@@ -90,6 +90,24 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+def media_feature_summary(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Contract-friendly scalar view of :func:`extract_features`:
+    ``(media_id, kind, n_bytes, feat_sum)`` where ``feat_sum`` is the
+    6-dp-rounded sum of the feature vector — hashable scalars only (the
+    driver's canonicalizer cannot sort an ``array<float>`` column), and
+    fully reproducible in the DuckDB oracle because the stub decode is
+    sha256-of-an-ASCII-payload."""
+    from aqueduct_core_spark.functions.text import round6
+
+    feats = extract_features(media, dim)
+    feat_sum = F.aggregate(
+        F.col("feature"), F.lit(0.0), lambda acc, v: acc + v.cast("double")
+    )
+    return feats.select(
+        "media_id", "kind", "n_bytes", round6(feat_sum).alias("feat_sum")
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explode each video into the frame
     timestamps a decoder would extract — pure column math (sequence +
@@ -111,12 +129,16 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (no external data)."""
+    """Deterministic fake media table for tests (no external data).
+
+    Payloads are ASCII hex strings (not raw digest bytes) so the DuckDB
+    oracle — whose ``sha256`` only accepts VARCHAR — can recompute the
+    stub decode byte-for-byte."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = bytes(hashlib.sha256(str(i).encode()).digest()) * (1 + i % 4)
+        payload = (hashlib.sha256(str(i).encode()).hexdigest() * (1 + i % 4)).encode("ascii")
         meta = {
             "width": 64 + i if kind == "image" else None,
             "height": 48 + i if kind == "image" else None,

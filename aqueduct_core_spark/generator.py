@@ -125,6 +125,13 @@ def _conv_events(conv_ordinal: int, seed: int, hot: bool, n_clusters: int) -> pd
             "ts": ts,
             "event_size": sizes,
             "cluster_id": np.int64(conv_ordinal % n_clusters),
+            # group-targeted rows: every 3rd conversation broadcasts
+            # (NULL group); others target group conv%5 (reference
+            # location_group routing, PostgresqlStorage.java:469-473)
+            "location_group": pd.array(
+                [None if conv_ordinal % 3 == 0 else conv_ordinal % 5] * n,
+                dtype="Int64",
+            ),
         }
     )
 

@@ -51,22 +51,50 @@ class TriggerRange:
     bytes: int
 
 
+#: driver-side block-stats budget: the greedy packer collects one row
+#: per occupied block, so the collect is bounded by this regardless of
+#: how many LSNs the log spans
+TARGET_BLOCKS = 1 << 16
+
+
+def choose_block_bits(lo: int, hi: int, min_bits: int = 14,
+                      target_blocks: int = TARGET_BLOCKS) -> int:
+    """Smallest shift ≥ ``min_bits`` for which the lsn span [lo, hi]
+    covers at most ``target_blocks`` blocks.  Pure function, O(1):
+    keeps the driver-side collect bounded at any log scale (10^10 LSNs
+    → ~2^16 block rows, not 10^8)."""
+    span = max(1, hi - lo + 1)
+    bits = min_bits
+    while (span >> bits) > target_blocks:
+        bits += 1
+    return bits
+
+
 def plan_triggers(
     changes: DataFrame,
     max_events: int,
     max_bytes: int,
-    block_bits: int = 14,
+    block_bits: int | None = None,
     overhead_per_msg: int = 89,
 ) -> list[TriggerRange]:
     """Cut the log into lsn-range micro-batches.
 
     One distributed agg computes (events, bytes, min/max lsn) per
     ``lsn >> block_bits`` block; the driver then greedily packs blocks
-    into ranges.  Block stats are O(max_lsn / 2^block_bits) — tiny.
+    into ranges.  ``block_bits`` defaults to
+    :func:`choose_block_bits` over the log's lsn bounds (one
+    metadata-only aggregate under parquet aggregate pushdown), so the
+    collected block stats stay ≤ :data:`TARGET_BLOCKS` rows no matter
+    how sparse or wide the lsn space is — at 10^10 LSNs a fixed
+    14-bit block would pull O(10^6–10^8) rows into the driver.
     A single block larger than both budgets still becomes its own
-    trigger (a block is the atomic unit; choose ``block_bits`` ≤ the
-    generator stride so conversations don't force giant triggers).
+    trigger (a block is the atomic unit).
     """
+    if block_bits is None:
+        b = changes.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
+        if b["lo"] is None:
+            return []
+        block_bits = choose_block_bits(int(b["lo"]), int(b["hi"]))
     stats = (
         changes.groupBy(F.shiftright(F.col("lsn"), block_bits).alias("_blk"))
         .agg(

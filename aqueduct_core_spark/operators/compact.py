@@ -75,25 +75,40 @@ def count_by_type(changes: DataFrame) -> DataFrame:
 
 
 def fold_deltas(table: ParquetTranscriptTable) -> dict:
-    """Fold MOR delta files into the base layout (Iceberg
-    ``rewrite_data_files`` for a merge-on-read table; reference analog:
-    the scheduled LWW compaction, CompactionTask.java:40-47).  One
-    resolved read + one clustered write; deltas cleared in the same
-    atomic commit."""
+    """Fold MOR delta files into the base layout — INCREMENTALLY: only
+    buckets that actually hold deltas are read and rewritten; untouched
+    buckets' base files are carried forward as-is (Iceberg's
+    per-partition ``rewrite_data_files``; reference analog: the
+    scheduled LWW compaction, CompactionTask.java:40-47).  At 100 TB a
+    full-table fold would rewrite the whole table every
+    ``mor_fold_every`` epochs; this rewrites only the touched slice,
+    so sustained fold cost is proportional to recent write activity.
+    One resolved read + one clustered write per fold; the affected
+    buckets' deltas are cleared in the same atomic commit."""
     snap = table.catalog.current()
-    if not any(snap.get("delta_files", {}).values()):
+    delta_buckets = sorted(
+        int(b) for b, fl in snap.get("delta_files", {}).items() if fl
+    )
+    if not delta_buckets:
         return {"folded": False}
-    resolved = table.read_internal().withColumn(
+    resolved = table.read_internal(delta_buckets).withColumn(
         BUCKET_COLUMN, bucket_expr(table.num_buckets)
     )
     new_files = table.write_bucket_data(resolved, label="fold")
+    # a bucket whose resolved state is empty (everything deleted) must
+    # still drop its stale base files
+    replaced = {str(b): new_files.get(str(b), []) for b in delta_buckets}
     out = table.catalog.commit(
-        table.catalog.current(),
-        full_files=new_files,
-        clear_deltas=True,
+        snap,
+        replaced_buckets=replaced,
+        clear_delta_buckets=[str(b) for b in delta_buckets],
         summary_updates={"aqueduct.delta-epochs": 0},
     )
-    return {"folded": True, "snapshot_id": out["snapshot_id"], "buckets": len(new_files)}
+    return {
+        "folded": True,
+        "snapshot_id": out["snapshot_id"],
+        "buckets": len(delta_buckets),
+    }
 
 
 def rewrite_data_files(

@@ -20,7 +20,10 @@ from pyspark.sql import types as T
 from aqueduct_core_spark.schema import KEY_COLUMNS, LSN_COLUMN
 
 #: change-log columns that are engine metadata, not payload
-_NON_PAYLOAD = {"lsn", "op", "event_size", "cluster_id", "_salt", "_bucket", "_lsn"}
+_NON_PAYLOAD = {
+    "lsn", "op", "event_size", "cluster_id", "location_group",
+    "_salt", "_bucket", "_lsn",
+}
 
 
 class IncompatibleSchemaChange(Exception):

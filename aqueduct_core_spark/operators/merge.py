@@ -85,6 +85,15 @@ def merge_state(
     return merged
 
 
+def _lineage_json(scope: str, buckets: dict) -> str:
+    """Uniform ``partition_lineage`` payload for every merge strategy:
+    ``{"scope": "batch"|"table", "buckets": {b: {keys, min_lsn,
+    max_lsn}}}``.  ``batch`` = only buckets the batch touched, counts
+    are batch-scoped; ``table`` = the full rewritten layout (inline
+    copy-on-write), counts are live keys per bucket."""
+    return json.dumps({"scope": scope, "buckets": buckets}, sort_keys=True)
+
+
 def apply_batch(
     table: ParquetTranscriptTable,
     batch: DataFrame,
@@ -103,11 +112,15 @@ def apply_batch(
     # ---- exactly-once guard (T5): replayed epoch is a no-op ----------
     last_epoch = table.last_committed_epoch()
     if epoch <= last_epoch:
+        # whole batch skipped idempotently; the batch is deliberately
+        # NOT scanned to count it, so applied/skipped are honest zeros
+        # and the condition rides in ``state`` (no magic sentinel —
+        # consumers summing ``skipped`` stay correct)
         return {
             "epoch": epoch,
             "last_lsn": table.last_committed_lsn(),
             "applied": 0,
-            "skipped": -1,  # unknown without scanning; marker for "whole batch"
+            "skipped": 0,
             "partition_lineage": None,
             "committed_at": _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
             "state": "SKIPPED_DUPLICATE_EPOCH",
@@ -162,6 +175,20 @@ def _apply_mor(
     folds deltas into the base every ``cfg.mor_fold_every`` epochs.
     Bookkeeping is footer-statistics only — no extra jobs.
     """
+    # streaming idle triggers (hint is None ⇔ not replay-planned) must
+    # not commit a snapshot or advance the fold counter — otherwise an
+    # idle stream churns snapshots and forces premature folds
+    if batch_max_hint is None and batch.isEmpty():
+        return {
+            "epoch": int(epoch),
+            "last_lsn": table.last_committed_lsn(),
+            "applied": 0,
+            "skipped": 0,
+            "partition_lineage": _lineage_json("batch", {}),
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
+            "state": PIPE_UP_TO_DATE,
+            "added_columns": added_cols,
+        }
     staged_df = (
         lww.unified_argmax(batch, payload_cols, cfg.salt_buckets)
         .withColumn(BUCKET_COLUMN, bucket_expr(table.num_buckets))
@@ -190,7 +217,7 @@ def _apply_mor(
         "last_lsn": int(batch_max_lsn),
         "applied": int(applied),
         "skipped": 0,
-        "partition_lineage": json.dumps(lineage, sort_keys=True),
+        "partition_lineage": _lineage_json("batch", lineage),
         "committed_at": _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
         "state": PIPE_UP_TO_DATE,
     }
@@ -255,7 +282,7 @@ def _apply_inline(
             "last_lsn": table.last_committed_lsn(),
             "applied": 0,
             "skipped": 0,
-            "partition_lineage": "{}",
+            "partition_lineage": _lineage_json("batch", {}),
             "committed_at": _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
             "state": PIPE_UP_TO_DATE,
             "added_columns": added_cols,
@@ -327,7 +354,7 @@ def _apply_inline(
         "last_lsn": int(batch_max_lsn),
         "applied": applied,
         "skipped": 0,
-        "partition_lineage": json.dumps(lineage, sort_keys=True),
+        "partition_lineage": _lineage_json("table", lineage),
         "committed_at": _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
         "state": PIPE_UP_TO_DATE,
     }
@@ -336,9 +363,16 @@ def _apply_inline(
         table.catalog.current(),
         full_files=new_files,
         added_offsets_files=[offsets_rel],
+        # the full layout is fully delta-resolved (``existing`` read
+        # base ∪ deltas), so any MOR deltas left by a strategy switch
+        # are folded in here and must stop being referenced — else
+        # every future read re-resolves them and a stale conv-delete
+        # watermark could kill late rows it no longer should
+        clear_deltas=True,
         summary_updates={
             cfg.prop_epoch: int(epoch),
             cfg.prop_max_lsn: int(batch_max_lsn),
+            "aqueduct.delta-epochs": 0,
             **({"aqueduct.added-columns": ",".join(added_cols)} if added_cols else {}),
         },
         schema_fields=[f.jsonValue() for f in new_fields] if added_cols else None,
@@ -407,7 +441,7 @@ def _apply_staged(
                 "last_lsn": int(batch_max_lsn),
                 "applied": 0,
                 "skipped": 0,
-                "partition_lineage": "{}",
+                "partition_lineage": _lineage_json("batch", {}),
                 "committed_at": _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
                 "state": PIPE_UP_TO_DATE,
                 "added_columns": added_cols,
@@ -439,7 +473,7 @@ def _apply_staged(
             "last_lsn": int(batch_max_lsn),
             "applied": int(applied),
             "skipped": 0,
-            "partition_lineage": json.dumps(lineage, sort_keys=True),
+            "partition_lineage": _lineage_json("batch", lineage),
             "committed_at": _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
             "state": PIPE_UP_TO_DATE,
         }
@@ -447,6 +481,10 @@ def _apply_staged(
         table.catalog.commit(
             table.catalog.current(),
             replaced_buckets=replaced,
+            # the rewritten buckets are fully delta-resolved (the read
+            # above resolved base ∪ deltas) — drop their stale deltas
+            # in the same commit (mor → staged strategy-switch hygiene)
+            clear_delta_buckets=[str(b) for b in affected],
             added_offsets_files=[offsets_rel],
             summary_updates={
                 cfg.prop_epoch: int(epoch),

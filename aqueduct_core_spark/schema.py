@@ -52,6 +52,10 @@ CHANGES_SCHEMA = T.StructType(
         # routing partition id (reference cluster_id,
         # PostgresqlStorageIntegrationSpec.groovy:71)
         T.StructField("cluster_id", T.LongType(), nullable=True),
+        # group-targeted routing (reference location_group,
+        # PostgresqlStorageIntegrationSpec.groovy:72; NULL = broadcast
+        # to every group — PostgresqlStorage.java:469-473)
+        T.StructField("location_group", T.LongType(), nullable=True),
     ]
 )
 
@@ -85,8 +89,15 @@ OFFSETS_SCHEMA = T.StructType(
         T.StructField("epoch", T.LongType(), nullable=False),
         T.StructField("last_lsn", T.LongType(), nullable=False),
         T.StructField("applied", T.LongType(), nullable=False),
+        # events deliberately not applied; 0 for a duplicate-epoch
+        # replay (the batch is not scanned to count it — the condition
+        # rides in ``state`` = SKIPPED_DUPLICATE_EPOCH)
         T.StructField("skipped", T.LongType(), nullable=False),
-        # JSON: per-partition (bucket) min/max lsn applied — lineage
+        # JSON, uniform across merge strategies:
+        # {"scope": "batch"|"table",
+        #  "buckets": {bucket: {keys, min_lsn, max_lsn}}}
+        # "batch" = buckets the batch touched (mor/staged);
+        # "table" = the full rewritten layout (inline copy-on-write)
         T.StructField("partition_lineage", T.StringType(), nullable=True),
         T.StructField("committed_at", T.TimestampType(), nullable=True),
         # UP_TO_DATE / OUT_OF_DATE / UNKNOWN

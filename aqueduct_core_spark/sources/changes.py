@@ -91,6 +91,14 @@ def page(
     return out.orderBy("lsn").limit(limit)
 
 
+def max_offset_for_types(df: DataFrame, ops: list[str] | None) -> DataFrame:
+    """A6: max offset among the given consumer types (empty = all) —
+    reference ``getMaxOffsetForConsumers`` (SQLiteQueries.java:114-124,
+    SQLiteStorage.java:397-418).  Returns a 1-row DataFrame
+    ``(max_offset_consumers)``; NULL when no matching rows."""
+    return type_filter(df, ops).agg(F.max("lsn").alias("max_offset_consumers"))
+
+
 def global_latest_offset(df: DataFrame) -> int:
     """A1: ``SELECT max(msg_offset)`` (GlobalLatestOffsetCache.java:16).
     On the snapshot-manifest table this is free from the commit summary;

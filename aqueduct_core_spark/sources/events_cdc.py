@@ -58,7 +58,9 @@ changes AS (
     CAST(CASE WHEN event_id % 97 = 0 OR event_type = 'error' THEN 89
               ELSE length('evt ' || CAST(event_id AS VARCHAR) || ' :: ' || props) + 89
          END AS INTEGER) AS event_size,
-    CAST(user_id % 8 AS BIGINT) AS cluster_id
+    CAST(user_id % 8 AS BIGINT) AS cluster_id,
+    CASE WHEN user_id % 3 = 0 THEN NULL
+         ELSE CAST(user_id % 5 AS BIGINT) END AS location_group
   FROM events
 )
 """
@@ -86,6 +88,12 @@ def changes_from_events(events: DataFrame) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"),
         F.when(is_tomb, F.lit(89)).otherwise(F.length(text) + 89).cast("int").alias("event_size"),
         (F.col("user_id") % 8).cast("long").alias("cluster_id"),
+        # NULL = broadcast to every location group (reference
+        # PostgresqlStorage.java:469-473); others target user%5
+        F.when(F.col("user_id") % 3 == 0, F.lit(None))
+        .otherwise(F.col("user_id") % 5)
+        .cast("long")
+        .alias("location_group"),
     )
 
 

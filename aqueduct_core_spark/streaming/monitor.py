@@ -1,0 +1,137 @@
+"""Health / lag monitoring (reference T9).
+
+The reference exposes ``GET /pipe/_status`` — pipe state plus offset
+registers (``/root/reference/pipe-http-server/.../PipeStatusController.java:16-19``)
+— and the registry marks nodes offline from ``lastSeen`` thresholds
+(``registry-core/.../NodeGroup.java:63-66``).  Spark re-expression:
+
+- :func:`pipe_status` — the ``/pipe/_status`` analog: last committed
+  epoch/lsn from the snapshot summary (zero jobs) plus, when the source
+  log is given, the source's global max lsn (one metadata-only
+  aggregate under parquet aggregate pushdown) → consumer lag in events.
+- :class:`BatchMetricsRecorder` — wraps the ``foreachBatch`` apply with
+  per-batch telemetry (duration, applied rows, events/s, lag) appended
+  as JSON lines under ``<table root>/metrics/`` — driver-side, O(1) per
+  batch, never a Spark job.  The exactly-once ``_offsets`` row rides in
+  the data commit; this is the operational side channel.
+- :func:`attach_progress_listener` — a ``StreamingQueryListener``
+  recording Structured Streaming progress events (batch duration,
+  rows/s) to the same metrics directory; the listener is async, so the
+  recorder above is the deterministic source of truth in tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+from aqueduct_core_spark.schema import PIPE_OUT_OF_DATE, PIPE_UP_TO_DATE
+
+
+def pipe_status(table, changes_df=None, up_to_date_lag: int = 0) -> dict:
+    """Reference ``/pipe/_status``: bookkeeping snapshot + lag.
+
+    ``changes_df``: the source log (optional).  Lag = source max lsn −
+    last committed lsn; state is UP_TO_DATE iff lag ≤ ``up_to_date_lag``
+    (reference PipeState semantics, pipe-api/.../PipeState.java:3-4).
+    """
+    out = {
+        "epoch": table.last_committed_epoch(),
+        "last_lsn": table.last_committed_lsn(),
+        "snapshot_id": table.catalog.current()["snapshot_id"],
+    }
+    if changes_df is not None:
+        row = changes_df.agg(F.max("lsn").alias("m")).collect()[0]
+        source_max = int(row["m"]) if row["m"] is not None else -1
+        lag = max(0, source_max - out["last_lsn"])
+        out.update(
+            {
+                "source_max_lsn": source_max,
+                "lag_events": lag,
+                "state": PIPE_UP_TO_DATE if lag <= up_to_date_lag else PIPE_OUT_OF_DATE,
+            }
+        )
+    return out
+
+
+class BatchMetricsRecorder:
+    """Per-batch telemetry hook for the apply loop.
+
+    Wraps :func:`aqueduct_core_spark.operators.merge.apply_batch`
+    results with wall-time and throughput and appends one JSON line per
+    batch to ``<table root>/metrics/batches.jsonl``.
+    """
+
+    def __init__(self, table):
+        self.table = table
+        self.dir = os.path.join(table.root, "metrics")
+        os.makedirs(self.dir, exist_ok=True)
+        self.path = os.path.join(self.dir, "batches.jsonl")
+
+    def record(self, metrics_row: dict, duration_s: float) -> dict:
+        applied = int(metrics_row.get("applied", 0))
+        line = {
+            "epoch": int(metrics_row["epoch"]),
+            "last_lsn": int(metrics_row["last_lsn"]),
+            "applied": applied,
+            "state": metrics_row.get("state"),
+            "duration_s": round(duration_s, 3),
+            "keys_per_sec": round(applied / duration_s, 1) if duration_s > 0 else None,
+        }
+        with open(self.path, "a") as f:
+            f.write(json.dumps(line) + "\n")
+        return line
+
+    def wrap(self, apply_fn):
+        """Wrap a ``(batch_df, epoch) -> metrics_row`` callable."""
+
+        def wrapped(batch_df, epoch):
+            t0 = time.time()
+            row = apply_fn(batch_df, epoch)
+            self.record(row, time.time() - t0)
+            return row
+
+        return wrapped
+
+    def read(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+
+def attach_progress_listener(spark: SparkSession, out_path: str):
+    """Record Structured Streaming progress (async) as JSON lines —
+    batch duration, input rows, rows/s.  Returns the listener (pass to
+    ``spark.streams.removeListener`` when done)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event):  # noqa: N802
+            p = event.progress
+            line = {
+                "batch_id": p.batchId,
+                "num_input_rows": p.numInputRows,
+                "input_rows_per_sec": p.inputRowsPerSecond,
+                "duration_ms": p.durationMs.get("triggerExecution"),
+                "timestamp": p.timestamp,
+            }
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            with open(out_path, "a") as f:
+                f.write(json.dumps(line) + "\n")
+
+        def onQueryIdle(self, event):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            pass
+
+    listener = _Listener()
+    spark.streams.addListener(listener)
+    return listener

@@ -75,10 +75,16 @@ def replay(
     return metrics
 
 
-def _foreach_batch_fn(table: ParquetTranscriptTable, cfg: EngineConfig):
+def _foreach_batch_fn(
+    table: ParquetTranscriptTable, cfg: EngineConfig, record_metrics: bool = False
+):
     def fn(batch_df: DataFrame, batch_id: int):
-        apply_batch(table, batch_df, epoch=batch_id, cfg=cfg)
+        return apply_batch(table, batch_df, epoch=batch_id, cfg=cfg)
 
+    if record_metrics:
+        from aqueduct_core_spark.streaming.monitor import BatchMetricsRecorder
+
+        return BatchMetricsRecorder(table).wrap(fn)
     return fn
 
 
@@ -91,10 +97,13 @@ def start_stream(
     max_files_per_trigger: int | None = None,
     processing_time: str | None = None,
     available_now: bool = False,
+    record_metrics: bool = False,
 ):
     """Continuous tail of a change-log directory via Structured
     Streaming.  Backpressure via ``maxFilesPerTrigger`` (the
-    row/byte-budget analog at file granularity)."""
+    row/byte-budget analog at file granularity).  ``record_metrics``
+    appends per-batch telemetry (T9 health/lag monitoring) to
+    ``<table root>/metrics/batches.jsonl``."""
     cfg = cfg or EngineConfig()
     reader = spark.readStream.schema(CHANGES_SCHEMA)
     if max_files_per_trigger:
@@ -102,7 +111,7 @@ def start_stream(
     stream = reader.parquet(changes_dir)
 
     writer = (
-        stream.writeStream.foreachBatch(_foreach_batch_fn(table, cfg))
+        stream.writeStream.foreachBatch(_foreach_batch_fn(table, cfg, record_metrics))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
@@ -121,6 +130,7 @@ def run_available_now(
     cfg: EngineConfig | None = None,
     max_files_per_trigger: int | None = None,
     timeout_s: int = 3600,
+    record_metrics: bool = False,
 ) -> None:
     """Drain everything currently in the log, then stop (the
     bootstrap / catch-up mode; reference BootstrapType PIPE replay)."""
@@ -132,6 +142,7 @@ def run_available_now(
         cfg,
         max_files_per_trigger=max_files_per_trigger,
         available_now=True,
+        record_metrics=record_metrics,
     )
     try:
         q.awaitTermination(timeout_s)

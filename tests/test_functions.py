@@ -113,7 +113,8 @@ def test_media_features(spark):
     assert len(feats) == 12
     by_id = {r["media_id"]: r for r in feats}
     assert len(by_id[0]["feature"]) == 8
-    assert by_id[0]["n_bytes"] == 32
+    # payload = ascii hexdigest (64 chars) repeated 1+i%4 times
+    assert by_id[0]["n_bytes"] == 64
     # deterministic: same payload hash → same fake feature
     feats2 = {r["media_id"]: r["feature"] for r in extract_features(media, dim=8).collect()}
     assert feats2[3] == by_id[3]["feature"]

@@ -94,6 +94,7 @@ def test_normalize_text_vectorized(spark):
             "ts": pd.to_datetime(["2024-01-01", "2024-01-01"]),
             "event_size": [10, 10],
             "cluster_id": [1, 1],
+            "location_group": [None, 2],
         }
     )
     df = to_spark(spark, pdf)
