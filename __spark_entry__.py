@@ -369,9 +369,14 @@ ex AS (SELECT id, unnest(shingles) AS s FROM sh)
 
 def _minhash_oracle(num_hashes: int = 64, bands: int = 16, k: int = 3,
                     threshold: float = 0.3) -> str:
+    from aqueduct_core_spark.functions.dedup import MINHASH_P, minhash_mixers
+
     rpb = num_hashes // bands
+    # one 60-bit md5 base per shingle, then the same universal-hash
+    # mixes the Spark pipeline uses (dedup.minhash_mixers)
     mins = ",\n    ".join(
-        f"min({_dh('s', i)}) AS h{i}" for i in range(num_hashes)
+        f"min(((h % {MINHASH_P}) * {a} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_mixers(num_hashes))
     )
     band_selects = "\n  UNION ALL ".join(
         "SELECT id, {b} AS band, {bucket} AS bucket FROM sig".format(
@@ -388,10 +393,11 @@ def _minhash_oracle(num_hashes: int = 64, bands: int = 16, k: int = 3,
     )
     return f"""
 WITH {_shingle_ctes(k)},
+hh AS (SELECT id, {_dh('s')} AS h FROM ex),
 sig AS (
   SELECT id,
     {mins}
-  FROM ex GROUP BY id
+  FROM hh GROUP BY id
 ),
 bands AS (
   {band_selects}
@@ -453,7 +459,7 @@ SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming FROM c
 """
 
 
-def _lsh_topk_oracle(dim: int = 64, n_planes: int = 8, n_tables: int = 4,
+def _lsh_topk_oracle(dim: int = 64, n_planes: int = 6, n_tables: int = 8,
                      kk: int = 20) -> str:
     """Hyperplane constants inlined as SQL literals — same RandomState
     stream as functions.similarity._hyperplanes."""

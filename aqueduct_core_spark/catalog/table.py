@@ -213,7 +213,12 @@ class ParquetTranscriptTable:
         rel_stage = os.path.join("data", f"{label}-{uuid.uuid4().hex[:8]}")
         stage = os.path.join(self.root, rel_stage)
         (
-            df.repartition(BUCKET_COLUMN)
+            # explicit num_buckets partitions → exactly one file per
+            # bucket regardless of session parallelism: the file count
+            # (and the driver's footer-stat reads) must not grow with
+            # core count, and the layout stays byte-comparable across
+            # cluster sizes
+            df.repartition(self.num_buckets, F.col(BUCKET_COLUMN))
             .sortWithinPartitions("conv_id", "turn_idx", "ts")
             .write.partitionBy(BUCKET_COLUMN)
             .parquet(stage)
@@ -239,7 +244,9 @@ class ParquetTranscriptTable:
         rel = os.path.join("delta", f"{label}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel)
         (
-            staged_df.repartition(BUCKET_COLUMN)
+            # one file per (bucket, isturn) at any parallelism — see
+            # write_bucket_data
+            staged_df.repartition(self.num_buckets, F.col(BUCKET_COLUMN))
             .write.partitionBy(BUCKET_COLUMN, "_isturn")
             .parquet(out_dir)
         )

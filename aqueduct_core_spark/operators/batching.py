@@ -76,6 +76,7 @@ def plan_triggers(
     max_bytes: int,
     block_bits: int | None = None,
     overhead_per_msg: int = 89,
+    lsn_bounds: tuple[int, int] | None = None,
 ) -> list[TriggerRange]:
     """Cut the log into lsn-range micro-batches.
 
@@ -87,14 +88,18 @@ def plan_triggers(
     collected block stats stay ≤ :data:`TARGET_BLOCKS` rows no matter
     how sparse or wide the lsn space is — at 10^10 LSNs a fixed
     14-bit block would pull O(10^6–10^8) rows into the driver.
-    A single block larger than both budgets still becomes its own
-    trigger (a block is the atomic unit).
+    Callers that already know the lsn bounds (snapshot summaries, file
+    footers, the resume watermark) pass ``lsn_bounds=(lo, hi)`` and
+    skip that job entirely.  A single block larger than both budgets
+    still becomes its own trigger (a block is the atomic unit).
     """
     if block_bits is None:
-        b = changes.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
-        if b["lo"] is None:
-            return []
-        block_bits = choose_block_bits(int(b["lo"]), int(b["hi"]))
+        if lsn_bounds is None:
+            b = changes.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
+            if b["lo"] is None:
+                return []
+            lsn_bounds = (int(b["lo"]), int(b["hi"]))
+        block_bits = choose_block_bits(int(lsn_bounds[0]), int(lsn_bounds[1]))
     stats = (
         changes.groupBy(F.shiftright(F.col("lsn"), block_bits).alias("_blk"))
         .agg(

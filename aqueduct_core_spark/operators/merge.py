@@ -406,6 +406,9 @@ def _apply_staged(
         lww.unified_argmax(batch, payload_cols, cfg.salt_buckets)
         .withColumn(BUCKET_COLUMN, bucket_expr(table.num_buckets))
         .withColumn("_isturn", (F.col("_tkey") >= 0).cast("int"))
+        # one file per (bucket, isturn) at any parallelism: footer-stat
+        # reads stay O(num_buckets), independent of core count
+        .repartition(table.num_buckets, F.col(BUCKET_COLUMN))
         .write.partitionBy(BUCKET_COLUMN, "_isturn")
         .parquet(staged_path)
     )

