@@ -123,8 +123,11 @@ def _q_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = ParquetTranscriptTable.create(spark, root, num_buckets=16, schema=epoch0_schema)
     cfg = EngineConfig(
         num_buckets=16,
-        max_events_per_trigger=50_000,
-        max_bytes_per_trigger=16 * 1024 * 1024,
+        # big enough that sf0.1 replays in a few epochs (per-epoch
+        # driver floors dominate toy-scale timings), small enough that
+        # sf0.01 still spans multiple epochs across the two segments
+        max_events_per_trigger=150_000,
+        max_bytes_per_trigger=48 * 1024 * 1024,
     )
     replay(table, changes.where(F.col("lsn") < split).drop("tool"), cfg, start_epoch=0, start_lsn=0)
     replay(table, changes.where(F.col("lsn") >= split), cfg)
@@ -335,6 +338,25 @@ def _q_max_offset_for_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.sources.changes import max_offset_for_types
 
     return max_offset_for_types(load_changes(spark, sf_dir), ops=["I", "D"])
+
+
+def _q_ttl_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/J1 two-phase compaction, phase 1: rows stamped with
+    time_to_live because an old deletion at-or-above them exists."""
+    import datetime as dt
+
+    from aqueduct_core_spark.operators.compact import mark_deletion_ttl
+
+    changes = load_changes(spark, sf_dir)
+    max_ts = changes.agg(F.max("ts")).collect()[0][0]
+    marked = mark_deletion_ttl(
+        changes,
+        threshold=max_ts - dt.timedelta(days=10),
+        ttl_ts=max_ts,
+    )
+    return marked.where(F.col("time_to_live").isNotNull()).select(
+        "lsn", "conv_id", "turn_idx", "op"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -560,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_routing_groups": _q_routing_groups,
         "cdc_cluster_lookup": _q_cluster_lookup,
         "cdc_max_offset_for_types": _q_max_offset_for_types,
+        "cdc_ttl_marked": _q_ttl_marked,
     }
 
 
@@ -614,11 +637,17 @@ w AS (
     PARTITION BY conv_id, coalesce(turn_idx, -1) ORDER BY lsn DESC) AS rn
   FROM old
 ),
+cw AS (
+  SELECT conv_id, max(lsn) AS cwl FROM old
+  WHERE turn_idx IS NULL AND op = 'D' GROUP BY conv_id
+),
 survivors AS (
   SELECT w.lsn, w.op, w.conv_id, w.turn_idx, w.role, w.text, w.tool, w.ts,
          w.event_size, w.cluster_id, w.location_group
-  FROM w, bounds b
-  WHERE rn = 1 AND NOT (op = 'D' AND ts <= b.del_thr)
+  FROM w LEFT JOIN cw ON w.conv_id = cw.conv_id, bounds b
+  WHERE rn = 1
+    AND (cw.cwl IS NULL OR w.lsn > cw.cwl OR w.op = 'D')
+    AND NOT (op = 'D' AND ts <= b.del_thr)
 )
 SELECT * FROM survivors
 UNION ALL
@@ -769,5 +798,22 @@ FROM changes c JOIN dim USING (cluster_id)
         ),
         "cdc_max_offset_for_types": oracle(
             "SELECT max(lsn) AS max_offset_consumers FROM changes WHERE op IN ('I','D')"
+        ),
+        "cdc_ttl_marked": oracle(
+            """
+thr AS (SELECT max(ts) - INTERVAL 10 DAY AS t FROM changes),
+ld AS (
+  SELECT conv_id, coalesce(turn_idx, -1) AS k, max(lsn) AS dl
+  FROM changes, thr WHERE ts <= thr.t AND op = 'D'
+  GROUP BY 1, 2
+),
+cd AS (SELECT conv_id, dl AS cdl FROM ld WHERE k = -1)
+SELECT c.lsn, c.conv_id, c.turn_idx, c.op
+FROM changes c
+LEFT JOIN ld ON c.conv_id = ld.conv_id AND coalesce(c.turn_idx, -1) = ld.k
+LEFT JOIN cd ON c.conv_id = cd.conv_id
+WHERE (ld.dl IS NOT NULL AND c.lsn <= ld.dl)
+   OR (cd.cdl IS NOT NULL AND c.lsn <= cd.cdl)
+"""
         ),
     }

@@ -43,11 +43,21 @@ def compact_log(
     - for older events, only the max-lsn event per key survives
       (key = (conv_id, turn_idx), with NULL turn_idx = the
       conversation-level key — the reference's (msg_key, type) analog);
+    - a surviving NON-tombstone at-or-below its conversation's old
+      delete watermark is dropped: it is dead state, and the retained
+      conversation tombstone still covers consumers resuming from an
+      earlier offset.  Without this, purging the conversation
+      tombstone (next rule) would resurrect the turns it killed —
+      replay equality would break.  Safe because ts is monotone with
+      lsn per source (reference BIGSERIAL + server clock,
+      SQLiteQueries.java:52): every row below an old watermark is
+      itself old;
     - a surviving tombstone older than ``deletions_threshold`` is
       dropped entirely (30-day deletion retention,
       application-prod.yml:36-40).
 
-    One hash aggregation + one union; no windows, no global sort.
+    One hash aggregation + one small watermark join + one union; no
+    windows, no global sort.
     """
     recent = changes.where(F.col("ts") > F.lit(threshold))
     old = changes.where(F.col("ts") <= F.lit(threshold))
@@ -61,11 +71,86 @@ def compact_log(
         .agg(winner)
         .select(*[F.col(f"w.{c}").alias(c) for c in cols])
     )
+    conv_wm = (
+        old.where(F.col("turn_idx").isNull() & (F.col("op") == OP_DELETE))
+        .groupBy(F.col("conv_id").alias("_wc"))
+        .agg(F.max("lsn").alias("_cwl"))
+    )
+    survivors = (
+        survivors.join(conv_wm, on=[survivors.conv_id == conv_wm._wc], how="left")
+        .where(
+            F.col("_cwl").isNull()
+            | (F.col("lsn") > F.col("_cwl"))
+            | (F.col("op") == OP_DELETE)
+        )
+        .drop("_wc", "_cwl")
+    )
     if deletions_threshold is not None:
         survivors = survivors.where(
             ~((F.col("op") == OP_DELETE) & (F.col("ts") <= F.lit(deletions_threshold)))
         )
     return survivors.unionByName(recent)
+
+
+def mark_deletion_ttl(changes: DataFrame, threshold, ttl_ts) -> DataFrame:
+    """F6/J1: the reference's two-phase compaction, phase 1 — stamp
+    ``time_to_live`` on every event at-or-below its key's latest OLD
+    deletion ("deletion kills everything ≤ its offset",
+    ``PostgresqlStorage.java:479-493``: UPDATE … FROM (SELECT
+    max(msg_offset) … WHERE created_utc <= ? AND data IS NULL GROUP BY
+    key) LD WHERE key = LD.key AND msg_offset <= LD.last_delete_offset).
+
+    Generalized to the conversation hierarchy: a conversation-level
+    deletion (turn_idx NULL) also marks every turn row of that
+    conversation at-or-below its lsn — without this, purging the
+    conversation tombstone would lose the watermark that still kills
+    older surviving turns, breaking replay equality.
+
+    ``threshold`` bounds which deletions trigger marking (only old
+    ones); the rows they kill are marked regardless of their own ts,
+    exactly like the reference.  ``ttl_ts`` is caller-supplied (no
+    wall clock — deterministic replays).  Adds a ``time_to_live``
+    column; :func:`purge_expired` drops expired rows.
+    """
+    key = F.coalesce(F.col("turn_idx"), F.lit(-1))
+    ld = (
+        changes.where((F.col("ts") <= F.lit(threshold)) & (F.col("op") == OP_DELETE))
+        .groupBy(F.col("conv_id").alias("_dc"), key.alias("_dk"))
+        .agg(F.max("lsn").alias("_dl"))
+    )
+    key_dl = ld.select("_dc", "_dk", "_dl")
+    conv_dl = (
+        ld.where(F.col("_dk") == -1)
+        .select(F.col("_dc").alias("_cc"), F.col("_dl").alias("_cdl"))
+    )
+    out = (
+        changes.join(
+            key_dl,
+            on=[
+                changes.conv_id == key_dl._dc,
+                F.coalesce(changes.turn_idx, F.lit(-1)) == key_dl._dk,
+            ],
+            how="left",
+        )
+        .join(conv_dl, on=[changes.conv_id == conv_dl._cc], how="left")
+    )
+    killed = (
+        (F.col("_dl").isNotNull() & (F.col("lsn") <= F.col("_dl")))
+        | (F.col("_cdl").isNotNull() & (F.col("lsn") <= F.col("_cdl")))
+    )
+    return (
+        out.withColumn("time_to_live", F.when(killed, F.lit(ttl_ts)))
+        .drop("_dc", "_dk", "_dl", "_cc", "_cdl")
+    )
+
+
+def purge_expired(changes: DataFrame, now_ts) -> DataFrame:
+    """F6 phase 2: physically drop rows whose TTL has passed
+    (``DELETE … WHERE time_to_live <= CURRENT_TIMESTAMP``,
+    PostgresqlStorage.java:475-477); ``now_ts`` caller-supplied."""
+    return changes.where(
+        F.col("time_to_live").isNull() | (F.col("time_to_live") > F.lit(now_ts))
+    )
 
 
 def count_by_type(changes: DataFrame) -> DataFrame:

@@ -49,6 +49,38 @@ def test_tombstone_purge(spark):
     assert kept.where("op = 'D'").count() > 0
 
 
+def test_ttl_mark_and_purge_replay_equal(spark, tmp_path):
+    """F6 two-phase compaction (mark time_to_live → purge expired,
+    PostgresqlStorage.java:479-493 + :475-477): replaying the purged
+    log yields the same final state — including the hierarchical case
+    where the conversation tombstone itself is purged but the turns it
+    killed must stay dead."""
+    from aqueduct_core_spark.operators.compact import mark_deletion_ttl, purge_expired
+
+    pdf = generate_changes_pdf(60, seed=1)  # seed 1 contains conv-level deletes
+    assert (pdf["turn_idx"].isna() & (pdf["op"] == "D")).any(), "need conv deletes"
+    df = to_spark(spark, pdf)
+    tmax = pdf["ts"].max()
+
+    marked = mark_deletion_ttl(df, threshold=tmax, ttl_ts=tmax)
+    # every tombstone marks itself (lsn <= its own delete lsn)
+    assert marked.where("op = 'D' AND time_to_live IS NULL").count() == 0
+    purged = purge_expired(marked, now_ts=tmax).drop("time_to_live")
+    assert purged.count() < df.count()
+    # no purged row may survive in the replayed state
+    t1 = ParquetTranscriptTable.create(spark, str(tmp_path / "full"), num_buckets=8)
+    t2 = ParquetTranscriptTable.create(spark, str(tmp_path / "purged"), num_buckets=8)
+    cfg = EngineConfig(num_buckets=8)
+    apply_batch(t1, df, epoch=0, cfg=cfg)
+    apply_batch(t2, purged, epoch=0, cfg=cfg)
+    assert states_equal(t1.read_internal(), t2.read_internal())
+    assert state_digest(t1.read_internal()) == state_digest(t2.read_internal())
+
+    # not-yet-expired TTLs are kept (purge honors the timestamp)
+    kept = purge_expired(marked, now_ts=tmax - pd.Timedelta(days=1))
+    assert kept.count() == df.count()
+
+
 def test_consistency_sum_matches_oracle(spark):
     pdf = generate_changes_pdf(40, seed=42)
     from aqueduct_core_spark.generator import consistency_sum_pdf
