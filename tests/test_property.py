@@ -1,0 +1,121 @@
+"""Property-based replay equivalence (hypothesis).
+
+The reference's contract: the log is totally ordered and delivered
+in order (``pipe-api/.../Writer.java:5-11`` — "Any missing offset
+should never arrive later"); duplication and re-delivery are the
+failure modes the engine must absorb (T4/T5).  So the property is:
+
+  for ANY in-order segmentation of the log, ANY merge strategy chosen
+  per epoch (mor / staged / inline — including mid-stream switches),
+  and ANY duplicate re-delivery of an already-applied prefix, the
+  final transcripts state equals the straight-line pandas oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+from aqueduct_core_spark.config import EngineConfig
+from aqueduct_core_spark.generator import expected_state_pdf, generate_changes_pdf
+from aqueduct_core_spark.operators.merge import apply_batch
+from aqueduct_core_spark.verify import state_digest
+from tests.test_merge import assert_state_equal, final_state_pdf, to_spark
+
+_PDF = generate_changes_pdf(40, seed=42)
+_EXPECTED = expected_state_pdf(_PDF)
+
+STRATEGIES = ["mor", "staged", "inline"]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    frac=st.floats(0.0, 1.0),
+    purge=st.booleans(),
+)
+def test_compaction_threshold_preserves_state(spark, frac, purge):
+    """compact_log at ANY event-time threshold — with or without
+    tombstone purge — replays to the same final state: the reference's
+    core compaction invariant
+    (SQLiteStorageIntegrationSpec.groovy:696-907), including the
+    hierarchical hazard where a purged conversation tombstone must not
+    resurrect the turns it killed."""
+    from aqueduct_core_spark.operators.compact import compact_log
+    from aqueduct_core_spark.operators import lww
+    from aqueduct_core_spark.schema import OP_DELETE
+    from pyspark.sql import functions as F
+
+    ts_sorted = _PDF["ts"].sort_values()
+    thr = ts_sorted.iloc[int(frac * (len(ts_sorted) - 1))]
+    df = to_spark(spark, _PDF)
+    compacted = compact_log(
+        df, thr, deletions_threshold=thr if purge else None
+    )
+
+    def state(changes):
+        winners, _ = lww.resolve_batch(changes, ["role", "text", "tool", "ts"])
+        return (
+            winners.where(F.col("op") != OP_DELETE)
+            .select("conv_id", "turn_idx", "text", "_lsn")
+        )
+
+    from aqueduct_core_spark.verify import states_equal
+
+    assert states_equal(state(df), state(compacted))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cuts=st.lists(st.floats(0.05, 0.95), min_size=0, max_size=3, unique=True),
+    strat_seed=st.integers(0, 2**16),
+    redeliver=st.booleans(),
+)
+def test_any_segmentation_any_strategy_converges(
+    spark, tmp_path_factory, cuts, strat_seed, redeliver
+):
+    lsns = sorted(_PDF["lsn"])
+    cut_lsns = sorted({lsns[int(f * (len(lsns) - 1))] for f in cuts})
+    bounds = [None, *cut_lsns, None]
+
+    root = str(tmp_path_factory.mktemp("prop") / "t")
+    table = ParquetTranscriptTable.create(spark, root, num_buckets=4)
+
+    epoch = 0
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        seg = _PDF
+        if lo is not None:
+            seg = seg[seg.lsn > lo]
+        if hi is not None:
+            seg = seg[seg.lsn <= hi]
+        if seg.empty:
+            continue
+        strategy = STRATEGIES[(strat_seed + i) % len(STRATEGIES)]
+        cfg = EngineConfig(num_buckets=4, merge_strategy=strategy, mor_fold_every=0)
+        apply_batch(table, to_spark(spark, seg), epoch=epoch, cfg=cfg)
+        epoch += 1
+
+    if redeliver:
+        # duplicate re-delivery of an already-applied prefix at a NEW
+        # epoch: LWW keeps the newer table rows → digest unchanged
+        d0 = state_digest(table.read_internal())
+        prefix = _PDF[_PDF.lsn <= lsns[len(lsns) // 2]]
+        cfg = EngineConfig(
+            num_buckets=4,
+            merge_strategy=STRATEGIES[strat_seed % len(STRATEGIES)],
+            mor_fold_every=0,
+        )
+        apply_batch(table, to_spark(spark, prefix), epoch=epoch, cfg=cfg)
+        assert state_digest(table.read_internal()) == d0
+
+    assert_state_equal(final_state_pdf(table), _EXPECTED)
