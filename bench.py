@@ -174,7 +174,10 @@ def main() -> None:
                     help="only write the change log to --input, then exit "
                          "(lets bench/scaling.py generate once at full "
                          "parallelism before the measured levels)")
-    ap.add_argument("--convs", type=int, default=6000)
+    # big enough that the timed epochs measure sustained apply
+    # throughput (per-epoch driver floors amortized), small enough that
+    # generation + verification keep the whole bench run in minutes
+    ap.add_argument("--convs", type=int, default=200_000)
     ap.add_argument("--work", default="/tmp/aq-bench")
     ap.add_argument("--input", default=None,
                     help="pre-generated change-log dir to reuse (skips generation)")

@@ -1,0 +1,127 @@
+"""Physical-plan assertions: the optimizer behaviors the engine's
+scale story depends on, pinned as tests.
+
+Each claim in BENCH.md/README maps to a check here: filters reach the
+parquet scan (Catalyst pushdown), projections prune the read schema,
+dim lookups broadcast instead of shuffling the log, the LWW argmax is
+ONE shuffle with map-side partial aggregation, and exact dedup
+partial-aggregates before its exchange.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueduct_core_spark.generator import generate_changes_pdf
+from tests.test_merge import to_spark
+
+
+@pytest.fixture(scope="module")
+def log_path(spark, tmp_path_factory):
+    # plan strings must not elide the pushed-filter list
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    p = str(tmp_path_factory.mktemp("plans") / "changes")
+    to_spark(spark, generate_changes_pdf(30, seed=42)).write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_page_filters_push_to_scan(spark, log_path):
+    from aqueduct_core_spark.sources import changes as src
+
+    df = src.page(
+        spark.read.parquet(log_path), start_lsn=1000, limit=50,
+        ops=["I"], cluster_ids=[1, 2], end_lsn=90000,
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    for frag in (
+        "GreaterThanOrEqual(lsn,1000",
+        "LessThanOrEqual(lsn,90000",
+        "EqualTo(op,I",
+        "In(cluster_id",
+    ):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+
+
+def test_projection_prunes_read_schema(spark, log_path):
+    df = spark.read.parquet(log_path).select("lsn", "conv_id")
+    plan = _plan(df)
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lsn" in schema and "conv_id" in schema
+    assert "text" not in schema and "event_size" not in schema
+
+
+def test_dim_lookup_broadcasts(spark, log_path):
+    from aqueduct_core_spark.sources.dims import (
+        cluster_dim,
+        location_groups_dim,
+        resolve_cluster_ids,
+        route_for_location,
+    )
+
+    log = spark.read.parquet(log_path)
+    p1 = _plan(resolve_cluster_ids(log, cluster_dim(spark), ["uuid-0001"]))
+    p2 = _plan(route_for_location(log, location_groups_dim(spark), "loc-0003"))
+    for p in (p1, p2):
+        assert "Broadcast" in p, "dim lookup must broadcast"
+        # the big side must NOT be exchanged for the join
+        assert p.count("Exchange hashpartitioning") == 0, p
+
+
+def test_unified_argmax_single_shuffle_with_partial_agg(spark, log_path):
+    from aqueduct_core_spark.operators import lww
+
+    df = lww.unified_argmax(
+        spark.read.parquet(log_path), ["role", "text", "tool", "ts"]
+    )
+    plan = _plan(df)
+    # exactly one exchange: the aggregation's own shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # partial (map-side) combine before it: two aggregate operators
+    # (SortAggregate for the struct-max buffer), partial + final
+    n_aggs = plan.count("SortAggregate") + plan.count("HashAggregate")
+    assert n_aggs >= 2, plan
+
+
+def test_exact_dedup_partial_aggregates(spark):
+    from aqueduct_core_spark.functions.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i % 3}") for i in range(30)], ["doc_id", "text"]
+    )
+    plan = _plan(exact_dedup(docs))
+    # map-side partial agg on the md5 fingerprint before one exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
+    # shuffle key is the fingerprint, never the document text
+    ex = plan.split("Exchange hashpartitioning(")[1].split(")")[0]
+    assert "fp" in ex and "text" not in ex
+
+
+def test_cosine_topk_is_take_ordered(spark):
+    from aqueduct_core_spark.functions.similarity import cosine_topk
+
+    embs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    plan = _plan(cosine_topk(embs, [1.0, 0.0, 0.0], k=5))
+    # per-partition heap + driver merge, not a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_replay_scan_pushes_trigger_range(spark, log_path):
+    """Each replay micro-batch re-reads only its lsn slice — the range
+    predicate must reach the scan."""
+    log = spark.read.parquet(log_path)
+    batch = log.where((F.col("lsn") >= 16384) & (F.col("lsn") <= 32768))
+    plan = _plan(batch)
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "GreaterThanOrEqual(lsn,16384" in pushed
+    assert "LessThanOrEqual(lsn,32768" in pushed
