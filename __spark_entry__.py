@@ -302,6 +302,17 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_embs(spark, sf_dir), _query_vec(spark, sf_dir), k=20)
 
 
+def _q_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The precomputed-bucket-index variant of emb_lsh_topk — same
+    candidates and scores (same oracle), but the scan path a clustered
+    100 TB index would use."""
+    from aqueduct_core_spark.functions.similarity import lsh_index, lsh_topk_indexed
+
+    qv = _query_vec(spark, sf_dir)
+    idx = lsh_index(_embs(spark, sf_dir), dim=len(qv))
+    return lsh_topk_indexed(idx, qv, k=20)
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar projection (the driver canonicalizer cannot hash an
     # array<float> column); full extract_features is pytest-covered
@@ -338,6 +349,14 @@ def _q_max_offset_for_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.sources.changes import max_offset_for_types
 
     return max_offset_for_types(load_changes(spark, sf_dir), ops=["I", "D"])
+
+
+def _q_hourly_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3×A5 over time: events + max offset per (hour, op) — the batch
+    twin of streaming_throughput's windowed aggregation (T3)."""
+    from aqueduct_core_spark.streaming.monitor import throughput_by_hour
+
+    return throughput_by_hour(load_changes(spark, sf_dir))
 
 
 def _q_ttl_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,11 +597,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_pairs": _q_minhash_pairs,
         "doc_simhash_candidates": _q_simhash,
         "emb_lsh_topk": _q_lsh_topk,
+        "emb_lsh_indexed": _q_lsh_indexed,
         "media_features": _q_media_features,
         "cdc_routing_groups": _q_routing_groups,
         "cdc_cluster_lookup": _q_cluster_lookup,
         "cdc_max_offset_for_types": _q_max_offset_for_types,
         "cdc_ttl_marked": _q_ttl_marked,
+        "cdc_hourly_throughput": _q_hourly_throughput,
     }
 
 
@@ -772,6 +793,8 @@ WHERE cluster_id IN (0,3,5)
         "doc_minhash_pairs": _minhash_oracle(),
         "doc_simhash_candidates": _simhash_oracle(),
         "emb_lsh_topk": _lsh_topk_oracle(),
+        # the indexed variant returns the identical result set
+        "emb_lsh_indexed": _lsh_topk_oracle(),
         "media_features": _media_features_oracle(),
         "cdc_routing_groups": oracle(
             """
@@ -814,6 +837,13 @@ LEFT JOIN ld ON c.conv_id = ld.conv_id AND coalesce(c.turn_idx, -1) = ld.k
 LEFT JOIN cd ON c.conv_id = cd.conv_id
 WHERE (ld.dl IS NOT NULL AND c.lsn <= ld.dl)
    OR (cd.cdl IS NOT NULL AND c.lsn <= cd.cdl)
+"""
+        ),
+        "cdc_hourly_throughput": oracle(
+            """
+SELECT date_trunc('hour', ts) AS hour, op,
+       CAST(count(*) AS BIGINT) AS events, max(lsn) AS max_lsn
+FROM changes GROUP BY 1, 2
 """
         ),
     }

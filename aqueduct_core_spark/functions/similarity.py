@@ -112,6 +112,77 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return acc
 
 
+def lsh_index(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    n_tables: int = 8,
+) -> DataFrame:
+    """The 100 TB shape of :func:`lsh_topk`: PRECOMPUTE the per-table
+    bucket ids as columns — ``(id, table, bucket, vec)`` — and persist
+    clustered by ``(table, bucket)``.  A query then prunes to
+    ``n_tables`` (table, bucket) groups via partition/file pruning
+    instead of scanning every vector; index build is one pass,
+    amortized over all queries."""
+    rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=7 + t)
+        rows.append(
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+            )
+        )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(F.array(*rows)).alias("tb"),
+    ).select("id", "vec", "tb.table", "tb.bucket")
+
+
+def lsh_topk_indexed(
+    index: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Query the precomputed index: compute the query's bucket per
+    table driver-side, keep index rows whose (table, bucket) matches —
+    an IN-filter that partition-prunes on a clustered index — then
+    exact-score the deduplicated candidates.  Result-identical to
+    :func:`lsh_topk` on the same parameters."""
+    import numpy as np
+
+    dim = len(query_vec)
+    hits = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=7 + t)
+        qbits = 0
+        for i, p in enumerate(planes):
+            if float(np.dot(query_vec, p)) >= 0:
+                qbits |= 1 << i
+        hits.append((F.col("table") == t) & (F.col("bucket") == qbits))
+    pred = hits[0]
+    for h in hits[1:]:
+        pred = pred | h
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cand = (
+        index.where(pred)
+        .groupBy("id")
+        .agg(F.first("vec").alias("vec"))
+    )
+    sim = round6(cosine_sim(F.col("vec"), q))
+    return (
+        cand.select(F.col("id").alias("vec_id"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

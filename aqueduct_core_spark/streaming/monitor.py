@@ -103,6 +103,46 @@ class BatchMetricsRecorder:
             return [json.loads(line) for line in f if line.strip()]
 
 
+def throughput_by_hour(changes) -> "DataFrame":
+    """Batch event-time throughput profile: events + max offset per
+    (hour, op) — the reference's count-by-type visibility metric (A3,
+    PostgresqlStorage.java:512-514) joined with its hour-truncated
+    max-offset register (A5, SQLiteStorage.java:371-380) over time."""
+    return (
+        changes.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("op")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.max("lsn").alias("max_lsn"),
+        )
+    )
+
+
+def streaming_throughput(
+    spark: SparkSession,
+    changes_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Streaming variant (T3): tumbling event-time windows with a
+    late-data watermark — late events inside the watermark still land
+    in their window; beyond it the window is finalized and emitted
+    (append mode).  Returns the unstarted streaming DataFrame; attach a
+    ``writeStream`` sink."""
+    from aqueduct_core_spark.schema import CHANGES_SCHEMA
+
+    stream = spark.readStream.schema(CHANGES_SCHEMA).parquet(changes_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("op"))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.max("lsn").alias("max_lsn"),
+        )
+    )
+
+
 def attach_progress_listener(spark: SparkSession, out_path: str):
     """Record Structured Streaming progress (async) as JSON lines —
     batch duration, input rows, rows/s.  Returns the listener (pass to
