@@ -10,10 +10,11 @@ separate JVMs and reports::
     efficiency = (events/sec at 4N) / (4 × events/sec at N)
 
 Each level runs in a fresh subprocess because a Spark master is fixed
-for the lifetime of a JVM.  Results are printed and appended to
-BENCH.md.  Usage::
+for the lifetime of a JVM; each subprocess is pinned with ``taskset``
+to exactly its core budget and uses tmpfs scratch (see BENCH.md
+"Measurement design").  Results go into BENCH.md.  Usage::
 
-    python bench/scaling.py [--n 8] [--convs 50000] [--repeat 2]
+    python bench/scaling.py [--n 2] [--convs 1000000] [--repeat 3]
 """
 
 from __future__ import annotations
