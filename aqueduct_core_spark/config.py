@@ -58,14 +58,15 @@ class EngineConfig:
 
     # --- skew handling (north rule axes A+B) --------------------------
     #: number of salt slices for the LWW aggregation; 0 (default)
-    #: disables salting.  Leave 0 unless a single (conv_id, turn_idx)
-    #: key receives millions of events per batch: the unsalted argmax
-    #: already collapses per-key events in the map-side partial
-    #: aggregation, so ordinary hot conversations never reach the
-    #: shuffle — salting *defeats* that combine (each key's events
-    #: spread over N salt slots) and measured 3.3× slower on an
-    #: unskewed 1.4M-event batch.  AQE skew-join splitting covers the
-    #: MERGE join side.
+    #: disables salting.  The unsalted argmax collapses per-key events
+    #: in the map-side partial aggregation, so hot keys never reach
+    #: the shuffle concentrated — measured: 3.3× slower WITH salting
+    #: on an unskewed 1.4M-event batch, and still 1.6× slower with
+    #: salting on a flood batch carrying 90% of 8M events on ONE key
+    #: (the combine is per-partition salting, for free).  Explicit
+    #: salting only pays where pre-shuffle combining is impossible
+    #: (window formulations, joins); AQE skew-join splitting covers
+    #: the MERGE join side.
     #: (no automatic hot-key detection knob: deciding per-batch would
     #: need an extra counting pass over the batch, and the measurement
     #: above shows the unsalted aggregate already absorbs ordinary

@@ -223,3 +223,57 @@ def expire_snapshots(table: ParquetTranscriptTable, keep_last: int = 2) -> int:
     data files; returns files removed."""
     orphans = table.catalog.expire_snapshots(keep_last=keep_last)
     return table.cleanup_orphans(orphans)
+
+
+def remove_orphan_files(table: ParquetTranscriptTable, older_than_s: float = 3600) -> int:
+    """Delete files under the table root that NO snapshot references —
+    the debris a crash leaves between the data write and the manifest
+    commit (Iceberg ``remove_orphan_files`` analog; the write protocol
+    makes such files invisible to readers, so deleting them is safe).
+    Also drops leftover staging dirs.  Returns files removed.
+
+    ``older_than_s`` guards in-flight writes: a file younger than this
+    may belong to an epoch whose commit hasn't landed yet (Iceberg's
+    action has the same knob for the same race).  Walks only
+    table-owned directories (``data``/``delta``/``offsets``/
+    ``staging``) driver-side; at production scale this is an O(files)
+    listing exactly like Iceberg's own action.
+    """
+    import os
+    import shutil
+    import time
+
+    referenced: set[str] = set()
+    for v in table.catalog.history():
+        snap = table.catalog.load(v)
+        for fl in snap["files"].values():
+            referenced.update(fl)
+        for fl in snap.get("delta_files", {}).values():
+            referenced.update(fl)
+        referenced.update(snap["offsets_files"])
+
+    cutoff = time.time() - older_than_s
+    removed = 0
+    for sub in ("data", "delta", "offsets"):
+        base = os.path.join(table.root, sub)
+        if not os.path.isdir(base):
+            continue
+        for dirpath, _dirnames, filenames in os.walk(base, topdown=False):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, table.root)
+                if rel not in referenced and os.path.getmtime(full) <= cutoff:
+                    os.remove(full)
+                    removed += 1
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+    # staging dirs are never referenced by a manifest — a crash mid-
+    # epoch leaves them whole
+    staging = os.path.join(table.root, "staging")
+    if os.path.isdir(staging):
+        for entry in os.listdir(staging):
+            p = os.path.join(staging, entry)
+            if os.path.getmtime(p) <= cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+    return removed

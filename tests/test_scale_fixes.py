@@ -280,6 +280,74 @@ def test_skipped_duplicate_epoch_is_honest(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# crash between data write and manifest commit → orphan cleanup
+# ---------------------------------------------------------------------------
+
+def test_crash_orphans_invisible_and_removable(spark, tmp_path):
+    """A writer that dies AFTER writing delta/data files but BEFORE the
+    manifest commit leaves debris that (a) no reader ever sees, (b) a
+    restarted apply ignores, and (c) remove_orphan_files deletes —
+    while never touching referenced files or in-flight-aged files
+    (Iceberg remove_orphan_files semantics)."""
+    from aqueduct_core_spark.catalog.table import BUCKET_COLUMN, bucket_expr
+    from aqueduct_core_spark.operators import lww
+    from aqueduct_core_spark.operators.compact import remove_orphan_files
+    from aqueduct_core_spark.verify import state_digest
+
+    pdf = generate_changes_pdf(15, seed=42)
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
+    cfg = EngineConfig(num_buckets=4, merge_strategy="mor", mor_fold_every=0)
+    half = int(pdf["lsn"].quantile(0.5))
+    apply_batch(table, to_spark(spark, pdf[pdf.lsn <= half]), epoch=0, cfg=cfg)
+
+    # simulate the crash: write epoch-1 delta files, never commit
+    batch = to_spark(spark, pdf[pdf.lsn > half])
+    staged = (
+        lww.unified_argmax(batch, ["role", "text", "tool", "ts"], 0)
+        .withColumn(BUCKET_COLUMN, bucket_expr(4))
+        .withColumn("_isturn", (F.col("_tkey") >= 0).cast("int"))
+    )
+    table.write_delta_data(staged, "epoch-crashed")
+    d0 = state_digest(table.read_internal())
+
+    # restart applies the same batch normally; state is correct
+    apply_batch(table, batch, epoch=1, cfg=cfg)
+    assert state_digest(table.read_internal()) != d0
+    good = state_digest(table.read_internal())
+
+    def all_files():
+        import os
+
+        out = set()
+        for sub in ("data", "delta", "offsets"):
+            base = str(tmp_path / "t" / sub)
+            for dirpath, _d, fns in os.walk(base):
+                out.update(
+                    os.path.relpath(os.path.join(dirpath, f), str(tmp_path / "t"))
+                    for f in fns
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = all_files()
+    # young files are protected (in-flight guard)
+    assert remove_orphan_files(table, older_than_s=3600) == 0
+    removed = remove_orphan_files(table, older_than_s=0)
+    assert removed > 0
+    after = all_files()
+    # everything removed was unreferenced; referenced files intact
+    snap = table.catalog.current()
+    referenced = {
+        f for fl in snap["files"].values() for f in fl
+    } | {f for fl in snap["delta_files"].values() for f in fl} | set(
+        snap["offsets_files"]
+    )
+    assert referenced <= after
+    assert (before - after) & referenced == set()
+    assert state_digest(table.read_internal()) == good
+
+
+# ---------------------------------------------------------------------------
 # Iceberg backend: statements must at least parse
 # ---------------------------------------------------------------------------
 
