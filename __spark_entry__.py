@@ -39,6 +39,9 @@ media_features              multimodal mapInPandas plumbing (scalar view)
 cdc_routing_groups          F3 full cluster+location-group routing (J5 dim)
 cdc_cluster_lookup          J4 cluster uuid→id broadcast lookup
 cdc_max_offset_for_types    A6 max offset for consumer types
+cdc_ttl_marked              F6/J1 two-phase TTL compaction, mark phase
+cdc_hourly_throughput       A3×A5/T3 event-time windowed throughput
+emb_lsh_indexed             precomputed-bucket LSH index scan path
 ==========================  =================================================
 
 Every query has a DuckDB oracle — zero ``no_oracle`` rows.
