@@ -180,8 +180,12 @@ def main() -> None:
     ap.add_argument("--convs", type=int, default=200_000)
     ap.add_argument("--work", default="/tmp/aq-bench")
     ap.add_argument("--input", default=None,
-                    help="pre-generated change-log dir to reuse (skips generation)")
+                    help="pre-generated change-log dir to reuse (skips generation; "
+                         "default: a deterministic per-size path, so repeated "
+                         "bench runs generate once)")
     args = ap.parse_args()
+    if args.input is None:
+        args.input = f"/tmp/aq-bench-input-{args.convs}"
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
