@@ -132,8 +132,11 @@ def _q_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_events_per_trigger=150_000,
         max_bytes_per_trigger=48 * 1024 * 1024,
     )
-    replay(table, changes.where(F.col("lsn") < split).drop("tool"), cfg, start_epoch=0, start_lsn=0)
-    replay(table, changes.where(F.col("lsn") >= split), cfg)
+    hi = split * 2  # split = max(lsn) // 2, computed above
+    replay(table, changes.where(F.col("lsn") < split).drop("tool"), cfg,
+           start_epoch=0, start_lsn=0, lsn_bounds=(0, split - 1))
+    replay(table, changes.where(F.col("lsn") >= split), cfg,
+           lsn_bounds=(split, hi + 1))
     return table.read_internal().select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         F.col(LSN_COLUMN).alias("lsn"),
