@@ -149,6 +149,21 @@ class SnapshotCatalog:
         os.replace(tmp, os.path.join(self.root, "VERSION"))
 
     # -- maintenance ---------------------------------------------------
+    def referenced_files(self, versions: list[int] | None = None) -> set[str]:
+        """Every file path referenced by the given snapshot versions
+        (default: all retained versions) — data, MOR deltas, offsets.
+        The single source of truth for liveness; both snapshot expiry
+        and orphan cleanup derive from it."""
+        out: set[str] = set()
+        for v in self.history() if versions is None else versions:
+            snap = self.load(v)
+            for fl in snap["files"].values():
+                out.update(fl)
+            for fl in snap.get("delta_files", {}).values():
+                out.update(fl)
+            out.update(snap["offsets_files"])
+        return out
+
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Drop old manifests and return data files no longer referenced
         by any retained snapshot (orphans for the caller to delete) —
@@ -157,22 +172,8 @@ class SnapshotCatalog:
         versions = self.history()
         keep = set(versions[-keep_last:])
         keep.add(self.current_version())
-        referenced: set[str] = set()
-        for v in keep:
-            snap = self.load(v)
-            for fl in snap["files"].values():
-                referenced.update(fl)
-            for fl in snap.get("delta_files", {}).values():
-                referenced.update(fl)
-            referenced.update(snap["offsets_files"])
-        all_referenced: set[str] = set()
-        for v in versions:
-            snap = self.load(v)
-            for fl in snap["files"].values():
-                all_referenced.update(fl)
-            for fl in snap.get("delta_files", {}).values():
-                all_referenced.update(fl)
-            all_referenced.update(snap["offsets_files"])
+        referenced = self.referenced_files(sorted(keep))
+        all_referenced = self.referenced_files(versions)
         orphans = sorted(all_referenced - referenced)
         for v in versions:
             if v not in keep:

@@ -295,13 +295,23 @@ def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    band_bits: int = 16,
+    band_bits: int | None = None,
     hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidates: documents sharing any ``band_bits``-wide
-    simhash band (use ``band_bits=15`` with the 60-bit md5 variant)."""
+    simhash band.  ``band_bits`` defaults per hash method (16 for the
+    64-bit xxhash variant, 15 for the 60-bit md5 variant) and must
+    divide the hash width — a remainder would silently drop the top
+    bits from banding and weaken recall."""
+    nbits = simhash_bits(hash_method)
+    if band_bits is None:
+        band_bits = 16 if nbits == 64 else 15
+    if nbits % band_bits:
+        raise ValueError(
+            f"band_bits={band_bits} must divide the {nbits}-bit simhash"
+        )
     h = simhash64_df(df, text_col, id_col, hash_method=hash_method)
-    nb = simhash_bits(hash_method) // band_bits
+    nb = nbits // band_bits
     mask = (1 << band_bits) - 1
     bands = h.select(
         "id",

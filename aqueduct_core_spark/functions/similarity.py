@@ -100,6 +100,24 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def query_bits(query_vec: list[float], n_planes: int, n_tables: int) -> list[int]:
+    """Driver-side bucket id of the query vector per LSH table — the
+    single definition of the seed/sign convention shared by
+    :func:`lsh_topk` and :func:`lsh_topk_indexed` (the SQL oracle
+    inlines the same ``_hyperplanes`` constants)."""
+    import numpy as np
+
+    out = []
+    for t in range(n_tables):
+        planes = _hyperplanes(len(query_vec), n_planes, seed=7 + t)
+        bits = 0
+        for i, p in enumerate(planes):
+            if float(np.dot(query_vec, p)) >= 0:
+                bits |= 1 << i
+        out.append(bits)
+    return out
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id from random hyperplanes (long)."""
     acc = F.lit(0).cast("long")
@@ -154,17 +172,10 @@ def lsh_topk_indexed(
     an IN-filter that partition-prunes on a clustered index — then
     exact-score the deduplicated candidates.  Result-identical to
     :func:`lsh_topk` on the same parameters."""
-    import numpy as np
-
-    dim = len(query_vec)
-    hits = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=7 + t)
-        qbits = 0
-        for i, p in enumerate(planes):
-            if float(np.dot(query_vec, p)) >= 0:
-                qbits |= 1 << i
-        hits.append((F.col("table") == t) & (F.col("bucket") == qbits))
+    hits = [
+        (F.col("table") == t) & (F.col("bucket") == qbits)
+        for t, qbits in enumerate(query_bits(query_vec, n_planes, n_tables))
+    ]
     pred = hits[0]
     for h in hits[1:]:
         pred = pred | h
@@ -204,15 +215,9 @@ def lsh_topk(
     pruning is a filter in the same scan.
     """
     dim = len(query_vec)
-    import numpy as np
-
     cand = None
-    for t in range(n_tables):
+    for t, qbits in enumerate(query_bits(query_vec, n_planes, n_tables)):
         planes = _hyperplanes(dim, n_planes, seed=7 + t)
-        qbits = 0
-        for i, p in enumerate(planes):
-            if float(np.dot(query_vec, p)) >= 0:
-                qbits |= 1 << i
         hit = lsh_bucket(F.col(vec_col), planes) == qbits
         cand = hit if cand is None else (cand | hit)
 

@@ -243,14 +243,7 @@ def remove_orphan_files(table: ParquetTranscriptTable, older_than_s: float = 360
     import shutil
     import time
 
-    referenced: set[str] = set()
-    for v in table.catalog.history():
-        snap = table.catalog.load(v)
-        for fl in snap["files"].values():
-            referenced.update(fl)
-        for fl in snap.get("delta_files", {}).values():
-            referenced.update(fl)
-        referenced.update(snap["offsets_files"])
+    referenced = table.catalog.referenced_files()
 
     cutoff = time.time() - older_than_s
     removed = 0
@@ -268,12 +261,25 @@ def remove_orphan_files(table: ParquetTranscriptTable, older_than_s: float = 360
             if not os.listdir(dirpath):
                 os.rmdir(dirpath)
     # staging dirs are never referenced by a manifest — a crash mid-
-    # epoch leaves them whole
+    # epoch leaves them whole.  Age = the NEWEST mtime inside the dir
+    # (the top-level dir mtime freezes when the stage write finishes).
+    # NOTE the contract on ``older_than_s``: it must exceed the longest
+    # possible epoch, because a live epoch keeps READING its stage
+    # after writing it and no mtime observes reads — the same contract
+    # Iceberg's remove_orphan_files places on its older_than.
     staging = os.path.join(table.root, "staging")
     if os.path.isdir(staging):
         for entry in os.listdir(staging):
             p = os.path.join(staging, entry)
-            if os.path.getmtime(p) <= cutoff:
+            newest = max(
+                (
+                    os.path.getmtime(os.path.join(dp, f))
+                    for dp, _dn, fns in os.walk(p)
+                    for f in fns
+                ),
+                default=os.path.getmtime(p),
+            )
+            if newest <= cutoff:
                 shutil.rmtree(p, ignore_errors=True)
                 removed += 1
     return removed

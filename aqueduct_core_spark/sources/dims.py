@@ -78,8 +78,14 @@ def route_for_location(
     given clusters that are either broadcast (NULL group) or targeted
     at one of the location's groups (reference
     ``PostgresqlStorage.java:109-132`` + ``:469-473``, behavior tests
-    ``PostgresqlStorageIntegrationSpec.groovy:881-948``)."""
+    ``PostgresqlStorageIntegrationSpec.groovy:881-948``).
+
+    An unknown location fails loudly (the reference 404s the read via
+    the location service) — silently cross-joining an empty dim would
+    drop even the broadcast rows every consumer is entitled to."""
     groups = loc_dim.where(F.col("location_uuid") == location_uuid).select("groups")
+    if groups.isEmpty():
+        raise KeyError(f"unknown location_uuid {location_uuid!r}")
     out = changes.join(F.broadcast(groups))
     if cluster_ids:
         out = out.where(F.col("cluster_id").isin([int(c) for c in cluster_ids]))

@@ -34,23 +34,27 @@ from aqueduct_core_spark.schema import PIPE_OUT_OF_DATE, PIPE_UP_TO_DATE
 def pipe_status(table, changes_df=None, up_to_date_lag: int = 0) -> dict:
     """Reference ``/pipe/_status``: bookkeeping snapshot + lag.
 
-    ``changes_df``: the source log (optional).  Lag = source max lsn −
-    last committed lsn; state is UP_TO_DATE iff lag ≤ ``up_to_date_lag``
-    (reference PipeState semantics, pipe-api/.../PipeState.java:3-4).
+    ``changes_df``: the source log (optional).  ``lag_lsn`` = source
+    max lsn − last committed lsn — an LSN DELTA, not an event count
+    (sparse lsn layouts make the two differ wildly; only ``lag_lsn ==
+    0`` means fully caught up).  State is UP_TO_DATE iff lag ≤
+    ``up_to_date_lag`` (reference PipeState semantics,
+    pipe-api/.../PipeState.java:3-4).
     """
+    from aqueduct_core_spark.sources.changes import global_latest_offset
+
     out = {
         "epoch": table.last_committed_epoch(),
         "last_lsn": table.last_committed_lsn(),
         "snapshot_id": table.catalog.current()["snapshot_id"],
     }
     if changes_df is not None:
-        row = changes_df.agg(F.max("lsn").alias("m")).collect()[0]
-        source_max = int(row["m"]) if row["m"] is not None else -1
+        source_max = global_latest_offset(changes_df)
         lag = max(0, source_max - out["last_lsn"])
         out.update(
             {
                 "source_max_lsn": source_max,
-                "lag_events": lag,
+                "lag_lsn": lag,
                 "state": PIPE_UP_TO_DATE if lag <= up_to_date_lag else PIPE_OUT_OF_DATE,
             }
         )

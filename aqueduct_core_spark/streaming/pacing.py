@@ -48,8 +48,7 @@ def retry_after_ms(
     if query_time_ms <= 0 or pool_size <= 0:
         base = float(floor_ms)
     else:
-        reads_per_ms = pool_size / query_time_ms
-        base = node_count / reads_per_ms if reads_per_ms > 0 else float(cap_ms)
+        base = node_count * query_time_ms / pool_size
     base *= 1.0 + JITTER_FRACTION * max(-1.0, min(1.0, jitter_unit))
     return int(min(max(math.ceil(base), floor_ms), cap_ms))
 

@@ -62,7 +62,7 @@ def main() -> None:
     # measures the serial floor, not the engine (measured: 50k convs →
     # efficiency 0.37 from serial ~3 s; 10^6 convs → the real number)
     ap.add_argument("--convs", type=int, default=1_000_000)
-    ap.add_argument("--repeat", type=int, default=2, help="take best of K per level")
+    ap.add_argument("--repeat", type=int, default=3, help="take best of K per level")
     args = ap.parse_args()
 
     levels = {}

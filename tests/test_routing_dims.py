@@ -49,6 +49,10 @@ def test_route_for_location(spark, changes):
     )
     assert sorted(r.lsn for r in got.collect()) == [1, 2, 4]
     assert "groups" not in got.columns
+    # unknown location fails loudly instead of silently dropping
+    # broadcast rows (reference 404s via the location service)
+    with pytest.raises(KeyError):
+        route_for_location(changes, location_groups_dim(spark), "loc-9999")
 
 
 def test_cluster_uuid_lookup(spark, changes):

@@ -170,13 +170,14 @@ def test_pipe_status_lag(spark, tmp_path):
 
     st = pipe_status(table, log)
     assert st["state"] == "OUT_OF_DATE"
-    assert st["lag_events"] == int(pdf["lsn"].max()) - int(
+    # lag_lsn is an lsn DELTA (sparse layouts ≠ event counts)
+    assert st["lag_lsn"] == int(pdf["lsn"].max()) - int(
         pdf[pdf.lsn <= half]["lsn"].max()
     )
 
     apply_batch(table, log.where(F.col("lsn") > half), epoch=1, cfg=cfg)
     st = pipe_status(table, log)
-    assert st["state"] == "UP_TO_DATE" and st["lag_events"] == 0
+    assert st["state"] == "UP_TO_DATE" and st["lag_lsn"] == 0
 
 
 def test_stream_records_metrics(spark, tmp_path):
