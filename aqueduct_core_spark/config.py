@@ -73,6 +73,18 @@ class EngineConfig:
     #: hotspots — salting is an explicit operator decision)
     salt_buckets: int = 0
 
+    # --- plan stability ------------------------------------------------
+    #: express each replay epoch's lsn-range slice as a broadcast join
+    #: against a 1-row bounds relation instead of literal predicates.
+    #: Literals are inlined into whole-stage-codegen source, so every
+    #: epoch's distinct range forced a serial Janino recompile (~1-2 s
+    #: at any parallelism — BENCH.md cost anatomy); the bounds-join plan
+    #: is identical across epochs and hits the codegen cache.  Scan
+    #: pruning is preserved driver-side via a parquet-footer file index
+    #: (see streaming.pipeline._epoch_batch).  Off = the literal-filter
+    #: formulation (kept for plan comparison/debugging).
+    plan_stable_filters: bool = True
+
     # --- compaction / retention (reference: hourly cron, 30 d deletion
     # retention — application-prod.yml:36-40) --------------------------
     tombstone_retention_hours: int = 30 * 24

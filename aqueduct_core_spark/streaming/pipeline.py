@@ -38,18 +38,104 @@ def resume_lsn(table: ParquetTranscriptTable) -> int:
     return table.last_committed_lsn() + 1
 
 
+def _lsn_file_index(changes: DataFrame) -> list[tuple[str, int, int]] | None:
+    """Driver-side ``(path, min_lsn, max_lsn)`` per input file, from
+    parquet footer statistics — the manifest a lake table would hand us
+    for free.
+
+    Only valid when the DataFrame is a *bare* file scan (a leaf
+    LogicalRelation): any transformation on top could change the row
+    set, so reading the raw files would silently bypass it.  Returns
+    None (caller falls back to filtering the DataFrame itself) when the
+    plan is not a leaf scan or footers are unreadable.  Cost: one footer
+    read per file, once per replay — at 10^10 events the file list comes
+    from table manifests, not a directory walk.
+    """
+    try:
+        if not changes._jdf.queryExecution().logical().children().isEmpty():
+            return None
+        files = changes.inputFiles()
+        if not files:
+            return None
+        import pyarrow.parquet as pq
+
+        out = []
+        for uri in files:
+            path = uri[len("file:"):] if uri.startswith("file:") else uri
+            md = pq.ParquetFile(path).metadata
+            lo = hi = None
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for i in range(md.num_columns):
+                    c = rg.column(i)
+                    if c.path_in_schema == "lsn" and c.statistics is not None \
+                            and c.statistics.has_min_max:
+                        lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                        hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+            if lo is None:
+                # no stats: the file can never be pruned
+                lo, hi = -(1 << 62), 1 << 62
+            out.append((path, int(lo), int(hi)))
+        return out
+    except Exception:
+        return None
+
+
+def _epoch_batch(
+    changes: DataFrame,
+    start_lsn: int,
+    end_lsn: int,
+    file_index: list[tuple[str, int, int]] | None,
+) -> DataFrame:
+    """Plan-stable epoch slice: ``lsn BETWEEN lo AND hi`` expressed as a
+    broadcast join against a 1-row bounds relation instead of literal
+    predicates.
+
+    Literal range filters generate new whole-stage-codegen source every
+    epoch (the literals are inlined as Java constants), so each epoch
+    paid a serial Janino recompile (~1-2 s, measured in BENCH.md's cost
+    anatomy) at every parallelism level — the residual that held the
+    N→4N scaling median below 0.8.  With the bounds riding in a
+    broadcast row, every epoch reuses one compiled plan.  The scan
+    pruning the literal pushdown used to give is restored driver-side:
+    when the log is a bare file scan, only files whose footer lsn range
+    intersects the epoch (``file_index``) are read — the file list is
+    not part of the generated code, so the codegen cache still hits.
+    """
+    spark = changes.sparkSession
+    src = changes
+    if file_index is not None:
+        paths = [p for (p, flo, fhi) in file_index
+                 if fhi >= start_lsn and flo <= end_lsn]
+        if not paths:
+            return changes.where(F.lit(False))
+        src = spark.read.schema(changes.schema).parquet(*paths)
+    bounds = spark.createDataFrame([(int(start_lsn), int(end_lsn))],
+                                   "_lo bigint, _hi bigint")
+    return src.join(
+        F.broadcast(bounds),
+        (F.col("lsn") >= F.col("_lo")) & (F.col("lsn") <= F.col("_hi")),
+        "inner",
+    ).drop("_lo", "_hi")
+
+
 def replay(
     table: ParquetTranscriptTable,
     changes: DataFrame,
     cfg: EngineConfig | None = None,
     start_epoch: int | None = None,
     start_lsn: int | None = None,
+    end_lsn: int | None = None,
     lsn_bounds: tuple[int, int] | None = None,
 ) -> list[dict]:
     """Batch-mode ordered replay honoring row+byte trigger budgets.
 
-    Predicates (lsn range per trigger) are pushed down to the scan, so
-    each micro-batch re-reads only its slice of the log.
+    Each micro-batch reads only its lsn slice of the log: file-level
+    pruning comes from the driver-side footer index, the residual range
+    predicate from a plan-stable broadcast-bounds join (see
+    :func:`_epoch_batch`).  ``start_lsn``/``end_lsn`` bound the replay
+    window (inclusive; pass the *bare* log plus these bounds rather than
+    a pre-filtered DataFrame so file pruning stays available).
     ``lsn_bounds``: the pending log's (min, max) lsn when the caller
     already knows it (source snapshot metadata / resume watermark) —
     skips the planner's bounds job.
@@ -58,7 +144,13 @@ def replay(
     start_lsn = resume_lsn(table) if start_lsn is None else start_lsn
     epoch = table.last_committed_epoch() + 1 if start_epoch is None else start_epoch
 
+    # footer index over the caller's (unfiltered) scan, BEFORE the
+    # window filters are applied — they would make the plan non-leaf
+    file_index = _lsn_file_index(changes) if cfg.plan_stable_filters else None
+
     pending = changes.where(F.col("lsn") >= start_lsn)
+    if end_lsn is not None:
+        pending = pending.where(F.col("lsn") <= end_lsn)
     ranges = plan_triggers(
         pending,
         max_events=cfg.max_events_per_trigger,
@@ -68,9 +160,20 @@ def replay(
     )
     metrics = []
     for r in ranges:
-        batch = pending.where(
-            (F.col("lsn") >= r.start_lsn) & (F.col("lsn") <= r.end_lsn)
-        )
+        if cfg.plan_stable_filters:
+            # trigger ranges are planned from the windowed rows, so the
+            # [start, end] interval intersected with the window bounds
+            # selects exactly the planned rows even from the raw files
+            batch = _epoch_batch(
+                changes,
+                max(r.start_lsn, start_lsn),
+                r.end_lsn if end_lsn is None else min(r.end_lsn, end_lsn),
+                file_index,
+            )
+        else:
+            batch = pending.where(
+                (F.col("lsn") >= r.start_lsn) & (F.col("lsn") <= r.end_lsn)
+            )
         # trigger planning already knows the batch's max lsn — no
         # per-epoch max() job needed
         metrics.append(

@@ -112,14 +112,15 @@ def bench_replay(spark, n_convs: int, work: str, input_path: str | None = None) 
     lo, hi = int(b["lo"]), int(b["hi"])
     split = lo + (hi - lo) // 10
     # lsn_bounds: known here for free (and from snapshot metadata in a
-    # real deployment) → the trigger planner skips its bounds job
-    replay(table, log.where(F.col("lsn") <= split), cfg, start_epoch=0,
-           start_lsn=0, lsn_bounds=(lo, split))
+    # real deployment) → the trigger planner skips its bounds job.
+    # The BARE log + start/end bounds (not a pre-filtered DataFrame)
+    # keeps replay's driver-side file pruning available.
+    replay(table, log, cfg, start_epoch=0,
+           start_lsn=0, end_lsn=split, lsn_bounds=(lo, split))
     timed_events = n_events - log.where(F.col("lsn") <= split).count()
 
     t0 = time.time()
-    metrics = replay(table, log.where(F.col("lsn") > split), cfg,
-                     lsn_bounds=(split + 1, hi))
+    metrics = replay(table, log, cfg, lsn_bounds=(split + 1, hi))
     dt = time.time() - t0
 
     # MOR read amplification: resolving base ∪ deltas costs extra
