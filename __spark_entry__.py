@@ -42,6 +42,8 @@ cdc_max_offset_for_types    A6 max offset for consumer types
 cdc_ttl_marked              F6/J1 two-phase TTL compaction, mark phase
 cdc_hourly_throughput       A3×A5/T3 event-time windowed throughput
 emb_lsh_indexed             precomputed-bucket LSH index scan path
+emb_sketch_topk             Hamming-sketch scan + exact rerank (the
+                            recall-engineered ANN path)
 ==========================  =================================================
 
 Every query has a DuckDB oracle — zero ``no_oracle`` rows.
@@ -319,6 +321,17 @@ def _q_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_indexed(idx, qv, k=20)
 
 
+def _q_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: 256-bit Hamming-sketch scan keeps the 15% closest
+    signatures, exact cosine reranks only those — the path that meets
+    recall ≥ 0.8 at ≤ 25% of vectors scored (bucket-LSH tops out at
+    ~0.79 on these near-isotropic embeddings; curve in BENCH.md)."""
+    from aqueduct_core_spark.functions.similarity import sketch_topk
+
+    return sketch_topk(_embs(spark, sf_dir), _query_vec(spark, sf_dir),
+                       k=20, rerank_fraction=0.15)
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar projection (the driver canonicalizer cannot hash an
     # array<float> column); full extract_features is pytest-covered
@@ -543,6 +556,49 @@ FROM flt ORDER BY sim DESC, vec_id LIMIT {kk}
 """
 
 
+def _sketch_topk_oracle(dim: int = 64, n_bits: int = 256,
+                        rerank_fraction: float = 0.15, kk: int = 20) -> str:
+    """Hamming-sketch rerank oracle: the signature hyperplanes (rounded
+    to 6 dp so the literals are exact — similarity._sketch_planes) are
+    inlined ONCE as a constant list-of-lists; Hamming distance =
+    count of sign disagreements; candidates = the ceil(f·n) smallest
+    (ham, vec_id); exact cosine rerank on those only."""
+    from aqueduct_core_spark.functions.similarity import _sketch_planes
+
+    planes = _sketch_planes(dim, n_bits)
+    lits = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+    )
+    return f"""
+WITH p AS (SELECT [{lits}] AS planes),
+q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+s AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, q.qv, p.planes
+  FROM embeddings e, q, p
+),
+h AS (
+  SELECT vec_id, v, qv,
+         len(list_filter(range(1, {n_bits} + 1), i ->
+             (list_inner_product(v, planes[i]) >= 0)
+             != (list_inner_product(qv, planes[i]) >= 0))) AS ham
+  FROM s
+),
+cand AS (
+  SELECT vec_id, v, qv FROM h
+  QUALIFY row_number() OVER (ORDER BY ham, vec_id)
+          <= (SELECT CAST(ceil(count(*) * {rerank_fraction!r}) AS BIGINT)
+              FROM embeddings)
+)
+SELECT vec_id,
+  floor((list_inner_product(v, qv)
+         / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))))
+        * 1000000 + 0.5) / 1000000 AS sim
+FROM cand ORDER BY sim DESC, vec_id LIMIT {kk}
+"""
+
+
 def _media_features_oracle(n: int = 64, dim: int = 16) -> str:
     """Replicates multimodal._fake_decode over the ASCII-hex synthetic
     payloads: feature[j] = float32(uint32_le(sha256(payload) bytes
@@ -604,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_candidates": _q_simhash,
         "emb_lsh_topk": _q_lsh_topk,
         "emb_lsh_indexed": _q_lsh_indexed,
+        "emb_sketch_topk": _q_sketch_topk,
         "media_features": _q_media_features,
         "cdc_routing_groups": _q_routing_groups,
         "cdc_cluster_lookup": _q_cluster_lookup,
@@ -801,6 +858,7 @@ WHERE cluster_id IN (0,3,5)
         "emb_lsh_topk": _lsh_topk_oracle(),
         # the indexed variant returns the identical result set
         "emb_lsh_indexed": _lsh_topk_oracle(),
+        "emb_sketch_topk": _sketch_topk_oracle(),
         "media_features": _media_features_oracle(),
         "cdc_routing_groups": oracle(
             """

@@ -14,6 +14,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from aqueduct_core_spark.functions.text import round6
@@ -140,10 +141,12 @@ def lsh_index(
 ) -> DataFrame:
     """The 100 TB shape of :func:`lsh_topk`: PRECOMPUTE the per-table
     bucket ids as columns — ``(id, table, bucket, vec)`` — and persist
-    clustered by ``(table, bucket)``.  A query then prunes to
-    ``n_tables`` (table, bucket) groups via partition/file pruning
-    instead of scanning every vector; index build is one pass,
-    amortized over all queries."""
+    clustered by ``(table, bucket)``.  A query then prunes to a few
+    (table, bucket) groups via partition/file pruning instead of
+    scanning every vector; index build is one pass, amortized over all
+    queries.  The build parameters are stamped into every row
+    (``n_planes``/``n_tables`` columns) so a query with mismatched
+    parameters fails loudly instead of silently probing wrong buckets."""
     rows = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed=7 + t)
@@ -157,7 +160,64 @@ def lsh_index(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.explode(F.array(*rows)).alias("tb"),
-    ).select("id", "vec", "tb.table", "tb.bucket")
+    ).select(
+        "id",
+        "vec",
+        "tb.table",
+        "tb.bucket",
+        F.lit(int(n_planes)).alias("n_planes"),
+        F.lit(int(n_tables)).alias("n_tables"),
+    )
+
+
+def _check_index_params(index: DataFrame, n_planes: int, n_tables: int) -> None:
+    """Fail loudly when the query parameters don't match the stamped
+    build parameters (ADVICE: a silent mismatch yields wrong/empty
+    candidates).  One tiny first()-row check; indexes built before the
+    stamp (no columns) are accepted for compatibility."""
+    if "n_planes" not in index.columns:
+        return
+    row = index.select("n_planes", "n_tables").first()
+    if row is None:
+        return
+    if int(row["n_planes"]) != int(n_planes) or int(row["n_tables"]) != int(n_tables):
+        raise ValueError(
+            f"lsh index was built with n_planes={row['n_planes']}, "
+            f"n_tables={row['n_tables']}; query asked for n_planes={n_planes}, "
+            f"n_tables={n_tables}"
+        )
+
+
+def multiprobe_bits(
+    query_vec: list[float], n_planes: int, n_tables: int, n_probes: int = 1
+) -> list[list[int]]:
+    """Per-table probe sequence for multi-probe LSH (Lv et al., VLDB'07):
+    the query's own bucket first, then buckets reached by flipping the
+    lowest-|margin| sign bits — the most likely near-miss buckets —
+    ordered by total flipped margin.  Driver-side enumeration; the
+    result feeds the same IN-filter the single-probe query uses."""
+    import itertools
+    import numpy as np
+
+    out = []
+    for t in range(n_tables):
+        planes = np.asarray(_hyperplanes(len(query_vec), n_planes, seed=7 + t))
+        proj = planes @ np.asarray(query_vec, dtype=np.float64)
+        qbits = 0
+        for i in range(n_planes):
+            if proj[i] >= 0:
+                qbits |= 1 << i
+        margins = np.abs(proj)
+        pool = list(np.argsort(margins)[: min(n_planes, 12)])
+        cands = [(0.0, 0)]
+        for r in range(1, min(3, len(pool)) + 1):
+            for combo in itertools.combinations(pool, r):
+                cands.append(
+                    (float(sum(margins[list(combo)])), sum(1 << int(c) for c in combo))
+                )
+        cands.sort()
+        out.append([qbits ^ m for _, m in cands[:n_probes]])
+    return out
 
 
 def lsh_topk_indexed(
@@ -166,15 +226,20 @@ def lsh_topk_indexed(
     k: int = 10,
     n_planes: int = 6,
     n_tables: int = 8,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Query the precomputed index: compute the query's bucket per
-    table driver-side, keep index rows whose (table, bucket) matches —
-    an IN-filter that partition-prunes on a clustered index — then
-    exact-score the deduplicated candidates.  Result-identical to
-    :func:`lsh_topk` on the same parameters."""
+    """Query the precomputed index: compute the query's probe buckets
+    per table driver-side (``n_probes`` > 1 = multi-probe: also probe
+    the buckets behind the query's lowest-margin sign bits), keep index
+    rows whose (table, bucket) matches — an IN-filter that
+    partition-prunes on a clustered index — then exact-score the
+    deduplicated candidates.  With ``n_probes=1`` this is
+    result-identical to :func:`lsh_topk` on the same parameters."""
+    _check_index_params(index, n_planes, n_tables)
+    probes = multiprobe_bits(query_vec, n_planes, n_tables, n_probes)
     hits = [
-        (F.col("table") == t) & (F.col("bucket") == qbits)
-        for t, qbits in enumerate(query_bits(query_vec, n_planes, n_tables))
+        (F.col("table") == t) & F.col("bucket").isin([int(b) for b in tbl_probes])
+        for t, tbl_probes in enumerate(probes)
     ]
     pred = hits[0]
     for h in hits[1:]:
@@ -189,6 +254,147 @@ def lsh_topk_indexed(
     sim = round6(cosine_sim(F.col("vec"), q))
     return (
         cand.select(F.col("id").alias("vec_id"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# Hamming-sketch rerank: the ANN path that actually meets the recall
+# target on near-isotropic embeddings.
+#
+# Bucket-membership LSH (above) was parameter-swept (planes 6-16 ×
+# tables 4-16 × margin-ordered multi-probe 1-32) and tops out around
+# recall 0.79 at 23% scanned on the synthetic embeddings — the top-20
+# neighbors sit at cos ≈ 0.3 while the background 99th percentile is
+# 0.285, so sign-agreement per plane is 0.59 vs 0.50: too little
+# selectivity for bucket equality (the full curve is in BENCH.md).
+# A two-stage sketch-scan + exact-rerank sidesteps this: precompute a
+# B-bit SimHash signature per vector (B=256 → 4 longs, 32 bytes =
+# 1/8 the 64-float vector width); a query scans the narrow signature
+# column, keeps the m = ceil(fraction·n) smallest Hamming distances
+# (TakeOrderedAndProject: per-partition heap, no global sort), and
+# exact-scores only those — measured recall@20 0.94 mean / 0.85 min
+# over 10 queries at 15% reranked.  This is the standard two-stage
+# retrieval shape (coarse sketch scan → full-precision rerank) that
+# IVF/PQ systems use.
+# --------------------------------------------------------------------------
+
+SKETCH_BITS = 256
+
+
+def _sketch_planes(dim: int, n_bits: int = SKETCH_BITS, seed: int = 7):
+    """Deterministic signature hyperplanes, rounded to 6 decimals so
+    the SQL oracle's inlined literals are exact."""
+    import numpy as np
+
+    return np.round(
+        np.random.RandomState(seed).standard_normal((n_bits, dim)), 6
+    )
+
+
+def sketch_signature_py(vec, dim: int, n_bits: int = SKETCH_BITS, seed: int = 7) -> list[int]:
+    """Driver-side signature of one vector: ``n_bits/64`` longs, bit i
+    of word w = sign(vec · plane[64w+i])."""
+    import numpy as np
+
+    planes = _sketch_planes(dim, n_bits, seed)
+    bits = (planes @ np.asarray(vec, dtype=np.float64)) >= 0
+    words = []
+    for w in range(n_bits // 64):
+        chunk = bits[w * 64 : (w + 1) * 64].astype(np.uint64)
+        words.append(int((chunk << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).view(np.int64)))
+    return words
+
+
+def sketch_index(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = SKETCH_BITS,
+    seed: int = 7,
+) -> DataFrame:
+    """Precompute the ``(id, vec, sig: array<bigint>)`` signature table
+    (persist it next to the embeddings at scale; one pass, amortized).
+
+    The 256×dim projection runs as ONE Arrow-batched pandas UDF doing a
+    numpy matmul per batch — a JVM expression tree of 256 inlined
+    hyperplanes would be a multi-second whole-stage-codegen compile for
+    no runtime win (measured on the md5 minhash variant, BENCH.md)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _sig(col: pd.Series) -> pd.Series:
+        planes = _sketch_planes(dim, n_bits, seed)  # regenerated per worker
+        m = np.stack(col.to_numpy())  # (batch, dim)
+        bits = (m.astype(np.float64) @ planes.T) >= 0  # (batch, n_bits)
+        out = np.zeros((len(m), n_bits // 64), dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for w in range(n_bits // 64):
+            out[:, w] = (bits[:, w * 64 : (w + 1) * 64].astype(np.uint64) << shifts).sum(
+                axis=1, dtype=np.uint64
+            )
+        return pd.Series(list(out.view(np.int64)))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _sig(F.col(vec_col)).alias("sig"),
+    )
+
+
+def sketch_topk(
+    df_or_index: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rerank_fraction: float = 0.15,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = SKETCH_BITS,
+    seed: int = 7,
+    rerank_limit: int | None = None,
+) -> DataFrame:
+    """Two-stage approximate top-k: Hamming-sketch scan → exact rerank.
+
+    Stage 1 scans only the signature column (n_bits/8 bytes per row)
+    and keeps the ``m`` rows with the smallest Hamming distance to the
+    query's signature (ties broken by id — deterministic at any
+    parallelism; Spark plans TakeOrderedAndProject).  Stage 2
+    exact-scores those ``m`` vectors.  ``m`` = ``rerank_limit`` if
+    given, else ``ceil(rerank_fraction · n)`` (one count job).  At
+    10^10 rows pass a fixed ``rerank_limit`` (or switch to a Hamming
+    threshold) instead of a fraction — a fraction of 10^10 is not a
+    rerank, it's a scan."""
+    if "sig" in df_or_index.columns and "id" in df_or_index.columns:
+        idx = df_or_index
+    else:
+        idx = sketch_index(df_or_index, dim=len(query_vec), vec_col=vec_col,
+                           id_col=id_col, n_bits=n_bits, seed=seed)
+
+    qsig = sketch_signature_py(query_vec, dim=len(query_vec), n_bits=n_bits, seed=seed)
+    ham = None
+    for w, qw in enumerate(qsig):
+        term = F.bit_count(F.col("sig").getItem(w).bitwiseXOR(F.lit(int(qw))))
+        ham = term if ham is None else (ham + term)
+
+    m = rerank_limit if rerank_limit is not None else int(
+        -(-idx.count() * rerank_fraction // 1)
+    )
+    cand = (
+        idx.select("id", ham.alias("_ham"))
+        .orderBy(F.col("_ham").asc(), F.col("id").asc())
+        .limit(m)
+    )
+    # join back for the full-width vectors: only the m candidates are
+    # ever scored at full precision (column pruning keeps the heavy
+    # vec column out of stage 1's scan)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    rescored = cand.join(idx.select("id", "vec"), on="id", how="inner")
+    sim = round6(cosine_sim(F.col("vec"), q))
+    return (
+        rescored.select(F.col("id").alias("vec_id"), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(k)
     )

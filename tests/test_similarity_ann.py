@@ -1,0 +1,95 @@
+"""ANN recall engineering: Hamming-sketch rerank + multi-probe LSH."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aqueduct_core_spark.functions.similarity import (
+    cosine_topk,
+    lsh_index,
+    lsh_topk,
+    lsh_topk_indexed,
+    multiprobe_bits,
+    sketch_index,
+    sketch_signature_py,
+    sketch_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((400, 32))
+    # plant a genuine neighborhood around vector 0 so recall is testable
+    base[1:40] = base[0] * 0.6 + base[1:40] * 0.8
+    vecs = [(i, base[i].astype(float).tolist()) for i in range(400)]
+    return spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+
+def test_sketch_signature_spark_matches_driver(spark, embs):
+    """The Arrow-batched numpy signature kernel and the driver-side
+    single-vector kernel agree bit-for-bit."""
+    idx = sketch_index(embs, dim=32).orderBy("id").limit(20).collect()
+    for r in idx:
+        assert r["sig"] == sketch_signature_py(r["vec"], dim=32), r["id"]
+
+
+def test_sketch_topk_recall_and_budget(spark, embs):
+    q = embs.where("vec_id = 0").first()["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(embs, list(q), k=20).collect()]
+    approx = sketch_topk(embs, list(q), k=20, rerank_fraction=0.15).collect()
+    assert len(approx) == 20
+    rec = len(set(exact) & {r["vec_id"] for r in approx}) / 20
+    assert rec >= 0.8, f"sketch recall {rec} below target"
+    # rerank_limit variant: candidate stage bounded by the explicit m
+    lim = sketch_topk(embs, list(q), k=20, rerank_limit=60).collect()
+    assert len(lim) == 20
+
+
+def test_sketch_topk_deterministic_across_parallelism(spark, embs):
+    """The (ham, id) tie-break makes the candidate cut — and therefore
+    the result — independent of partitioning."""
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    a = sketch_topk(embs.repartition(1), q, k=20, rerank_fraction=0.15).collect()
+    b = sketch_topk(embs.repartition(13), q, k=20, rerank_fraction=0.15).collect()
+    assert [(r.vec_id, r.sim) for r in a] == [(r.vec_id, r.sim) for r in b]
+
+
+def test_sketch_accepts_prebuilt_index(spark, embs):
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    idx = sketch_index(embs, dim=32)
+    a = sketch_topk(idx, q, k=10)
+    b = sketch_topk(embs, q, k=10)
+    assert [(r.vec_id, r.sim) for r in a.collect()] == [
+        (r.vec_id, r.sim) for r in b.collect()
+    ]
+
+
+def test_multiprobe_supersets_single_probe(spark, embs):
+    """Probe 1 is always the query's own bucket; more probes only add
+    candidates, so recall is monotone in n_probes."""
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    probes = multiprobe_bits(q, n_planes=8, n_tables=4, n_probes=6)
+    assert all(len(p) == 6 for p in probes)
+    single = multiprobe_bits(q, n_planes=8, n_tables=4, n_probes=1)
+    for t in range(4):
+        assert probes[t][0] == single[t][0]  # own bucket first
+        assert len(set(probes[t])) == len(probes[t])  # distinct buckets
+
+    idx = lsh_index(embs, dim=32, n_planes=8, n_tables=4)
+    r1 = {r.vec_id for r in lsh_topk_indexed(idx, q, k=50, n_planes=8,
+                                             n_tables=4, n_probes=1).collect()}
+    r6 = {r.vec_id for r in lsh_topk_indexed(idx, q, k=50, n_planes=8,
+                                             n_tables=4, n_probes=6).collect()}
+    assert len(r6) >= len(r1)
+
+
+def test_index_param_stamp_validates(spark, embs):
+    idx = lsh_index(embs, dim=32, n_planes=6, n_tables=4)
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    with pytest.raises(ValueError, match="n_planes"):
+        lsh_topk_indexed(idx, q, n_planes=8, n_tables=4)
+    with pytest.raises(ValueError, match="n_tables"):
+        lsh_topk_indexed(idx, q, n_planes=6, n_tables=8)
+    # matching params pass
+    lsh_topk_indexed(idx, q, k=5, n_planes=6, n_tables=4).collect()
