@@ -44,6 +44,8 @@ cdc_hourly_throughput       A3×A5/T3 event-time windowed throughput
 emb_lsh_indexed             precomputed-bucket LSH index scan path
 emb_sketch_topk             Hamming-sketch scan + exact rerank (the
                             recall-engineered ANN path)
+media_real_decode           REAL WAV (RIFF/PCM) byte decode vs an
+                            arithmetic oracle
 ==========================  =================================================
 
 Every query has a DuckDB oracle — zero ``no_oracle`` rows.
@@ -332,6 +334,19 @@ def _q_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k=20, rerank_fraction=0.15)
 
 
+def _q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode check: WAV payloads are genuine RIFF/PCM bytes
+    (stdlib-built square waves), parsed back by the mapInPandas decoder;
+    the oracle predicts every feature arithmetically from the synthesis
+    parameters without seeing the bytes — a parser bug hash-mismatches."""
+    from aqueduct_core_spark.functions.multimodal import (
+        real_decode_summary,
+        synthetic_real_media,
+    )
+
+    return real_decode_summary(synthetic_real_media(spark, n=32))
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar projection (the driver canonicalizer cannot hash an
     # array<float> column); full extract_features is pytest-covered
@@ -599,6 +614,25 @@ FROM cand ORDER BY sim DESC, vec_id LIMIT {kk}
 """
 
 
+def _media_real_decode_oracle(n: int = 32) -> str:
+    """Arithmetic prediction of the real WAV decode (never parses
+    bytes): rate/samples/amplitude/half-period are pure functions of
+    media_id; square-wave RMS = amp/32768 (exact IEEE: power-of-two
+    denominator), zero crossings = floor((n-1)/half)."""
+    return f"""
+SELECT
+  CAST(i AS BIGINT) AS media_id,
+  CAST(8000 + 100 * i AS INTEGER) AS sample_rate,
+  CAST(1 AS INTEGER) AS channels,
+  CAST(((400 + 10 * i) * 1000) // (8000 + 100 * i) AS INTEGER) AS duration_ms,
+  floor((CAST(1000 + i AS DOUBLE) / 32768.0) * 1000000 + 0.5) / 1000000 AS rms,
+  floor((CAST((400 + 10 * i - 1) // (4 + (i % 5)) AS DOUBLE)
+         / CAST(400 + 10 * i - 1 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS zcr,
+  CAST(44 + 2 * (400 + 10 * i) AS INTEGER) AS n_bytes
+FROM generate_series(0, {n - 1}) t(i)
+"""
+
+
 def _media_features_oracle(n: int = 64, dim: int = 16) -> str:
     """Replicates multimodal._fake_decode over the ASCII-hex synthetic
     payloads: feature[j] = float32(uint32_le(sha256(payload) bytes
@@ -661,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": _q_lsh_topk,
         "emb_lsh_indexed": _q_lsh_indexed,
         "emb_sketch_topk": _q_sketch_topk,
+        "media_real_decode": _q_media_real_decode,
         "media_features": _q_media_features,
         "cdc_routing_groups": _q_routing_groups,
         "cdc_cluster_lookup": _q_cluster_lookup,
@@ -860,6 +895,7 @@ WHERE cluster_id IN (0,3,5)
         "emb_lsh_indexed": _lsh_topk_oracle(),
         "emb_sketch_topk": _sketch_topk_oracle(),
         "media_features": _media_features_oracle(),
+        "media_real_decode": _media_real_decode_oracle(),
         "cdc_routing_groups": oracle(
             """
 loc AS (

@@ -2,16 +2,24 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract run as Arrow-batched ``mapInPandas`` stages.
-The codec libraries (PIL/ffmpeg/librosa) are not in this container, so
-the decode kernels are STUBBED with a deterministic fake (clearly
-marked) — the Spark-side contract (schema, batch shape, partitioning,
-UDF signature) is real and tested, which is the part that matters for
-the 100 TB plan.
+
+Two decode tiers:
+
+- **Real, dependency-free decoders** for PNG (zlib inflate + full
+  scanline unfiltering → pixel array) and WAV (RIFF parse + PCM sample
+  decode) — stdlib ``zlib``/``struct`` only, so they run in this
+  container and their features are functions of the actual bytes.
+- **Declared stub** (:func:`_fake_decode`, sha256-derived) for formats
+  that need codec libraries not present here (JPEG/MP4/…).  A real
+  deployment swaps the stub for PIL/ffmpeg; everything around it
+  (Arrow batching, schema, partition sizing) is production-shaped.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -48,6 +56,188 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# Real decoders (pure stdlib — zlib/struct; no codec libraries needed)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: samples per pixel by PNG color type (palette unsupported — needs PLTE)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (types 0-4, 8-bit depth) →
+    ``(height, width*channels)`` uint8.  Sub/Up are vectorized (Sub is
+    a per-channel prefix sum mod 256); Average/Paeth are per-pixel —
+    fine for a correctness kernel; a production decoder is a codec."""
+    stride = width * channels
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(height):
+        ft = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).astype(
+            np.int64
+        )
+        pos += 1 + stride
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub: prefix sum per channel, mod 256
+            cur = np.cumsum(line.reshape(width, channels), axis=0).reshape(-1) & 0xFF
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 3:  # Average
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                cur[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes) -> dict | None:
+    """Full PNG decode from bytes: chunk walk → IHDR, concatenated IDAT
+    inflate, scanline unfilter.  Returns ``{width, height, channels,
+    bit_depth, pixels}`` (pixels: (h, w, channels) uint8) or None when
+    the payload is not a decodable PNG (interlaced, paletted and
+    non-8-bit images are out of scope for the dependency-free path)."""
+    try:
+        if payload is None or not payload.startswith(_PNG_SIG):
+            return None
+        pos, width, height = len(_PNG_SIG), None, None
+        bit_depth = color_type = interlace = None
+        idat = bytearray()
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            elif ctype == b"IDAT":
+                idat.extend(data)
+            elif ctype == b"IEND":
+                break
+        if width is None or bit_depth != 8 or interlace != 0:
+            return None
+        channels = _PNG_CHANNELS.get(color_type)
+        if channels is None:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != height * (1 + width * channels):
+            return None
+        px = _png_unfilter(raw, width, height, channels).reshape(
+            height, width, channels
+        )
+        return {
+            "width": width,
+            "height": height,
+            "channels": channels,
+            "bit_depth": bit_depth,
+            "pixels": px,
+        }
+    except Exception:
+        return None
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """RIFF/WAVE parse + PCM sample decode (8/16-bit integer PCM).
+    Returns ``{sample_rate, channels, bits, n_samples, duration_ms,
+    samples}`` (samples: float64 in [-1, 1], mono-mixed) or None."""
+    try:
+        if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" \
+                or payload[8:12] != b"WAVE":
+            return None
+        pos = 12
+        fmt = None
+        data = None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + clen]
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+        if fmt is None or data is None:
+            return None
+        audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
+        if audio_fmt != 1 or bits not in (8, 16) or channels < 1:
+            return None  # integer PCM only
+        if bits == 16:
+            s = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+            samples = s.astype(np.float64) / 32768.0
+        else:
+            samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        if channels > 1:
+            n = len(samples) // channels
+            samples = samples[: n * channels].reshape(n, channels).mean(axis=1)
+        n_samples = len(samples)
+        return {
+            "sample_rate": rate,
+            "channels": channels,
+            "bits": bits,
+            "n_samples": n_samples,
+            "duration_ms": int(n_samples * 1000 // rate) if rate else 0,
+            "samples": samples,
+        }
+    except Exception:
+        return None
+
+
+def _png_features(d: dict, dim: int) -> np.ndarray:
+    """Feature vector from real pixel structure: dimensions + per-channel
+    means + luminance std, padded with a coarse luminance histogram."""
+    px = d["pixels"].astype(np.float64)
+    lum = px.mean(axis=2)
+    means = px.reshape(-1, d["channels"]).mean(axis=0) / 255.0
+    head = [
+        float(d["width"]),
+        float(d["height"]),
+        float(d["channels"]),
+        *[float(m) for m in means[:3]],
+        float(lum.std() / 255.0),
+    ]
+    hist, _ = np.histogram(lum, bins=max(1, dim - len(head)), range=(0.0, 255.0))
+    tail = hist.astype(np.float64) / max(1, lum.size)
+    return np.concatenate([head, tail])[:dim].astype(np.float32)
+
+
+def _wav_features(d: dict, dim: int) -> np.ndarray:
+    """Feature vector from real PCM samples: rate/shape + RMS, peak,
+    zero-crossing rate, mean absolute amplitude."""
+    s = d["samples"]
+    zc = int(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1]))) if len(s) > 1 else 0
+    head = [
+        float(d["sample_rate"]),
+        float(d["channels"]),
+        float(d["duration_ms"]),
+        float(np.sqrt(np.mean(s**2))) if len(s) else 0.0,
+        float(np.max(np.abs(s))) if len(s) else 0.0,
+        float(zc) / max(1, len(s) - 1),
+        float(np.mean(np.abs(s))) if len(s) else 0.0,
+    ]
+    return np.concatenate([head, np.zeros(max(0, dim - len(head)))])[:dim].astype(
+        np.float32
+    )
+
+
 def _fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
     """STUB decode: deterministic pseudo-feature from the payload hash.
 
@@ -62,6 +252,22 @@ def _fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
     return (raw.astype(np.float64) / 2**32).astype(np.float32)
 
 
+def decode_features(payload: bytes, dim: int = 16) -> np.ndarray | None:
+    """Feature vector for one payload: REAL decode when the bytes are a
+    PNG or WAV (pure-stdlib decoders above — features are functions of
+    actual pixel/sample structure), sha256 stub otherwise (declared;
+    other codecs need libraries not in this container)."""
+    if payload is None:
+        return None
+    d = decode_png(payload)
+    if d is not None:
+        return _png_features(d, dim)
+    d = decode_wav(payload)
+    if d is not None:
+        return _wav_features(d, dim)
+    return _fake_decode(payload, dim)
+
+
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """mapInPandas feature extraction: one Arrow batch in, one out.
 
@@ -73,7 +279,9 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_decode(p, dim).tolist() if p is not None else None
+                (lambda f: f.tolist() if f is not None else None)(
+                    decode_features(p, dim)
+                )
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(
@@ -125,6 +333,119 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 )
             ).alias("frame_ts_ms"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic real-format encoders (test/bench inputs; stdlib only)
+# ---------------------------------------------------------------------------
+
+def make_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """A real, spec-valid solid-color RGB PNG (8-bit, filter 0, correct
+    CRCs) built with stdlib zlib — decodable by any PNG reader."""
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = b"\x00" + bytes(rgb) * width  # filter type 0 + pixels
+    idat = zlib.compress(row * height)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def make_wav(
+    sample_rate: int, n_samples: int, amplitude: int, half_period: int
+) -> bytes:
+    """A real 16-bit mono PCM WAV containing a ±amplitude square wave
+    with the given half period (samples) — every derived feature
+    (duration, RMS, zero crossings) is exact integer arithmetic, which
+    is what lets an oracle predict them without parsing bytes."""
+    idx = np.arange(n_samples)
+    samples = np.where((idx // half_period) % 2 == 0, amplitude, -amplitude).astype(
+        "<i2"
+    )
+    data = samples.tobytes()
+    byte_rate = sample_rate * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def synthetic_real_media(spark, n: int = 32) -> DataFrame:
+    """Deterministic table of REAL WAV payloads (construction parameters
+    are pure functions of ``media_id``, so an oracle can predict every
+    decoded feature arithmetically without ever seeing the bytes)."""
+    rows = []
+    for i in range(n):
+        rate = 8000 + 100 * i
+        n_samples = 400 + 10 * i
+        amp = 1000 + i
+        half = 4 + (i % 5)
+        rows.append((i, "audio", make_wav(rate, n_samples, amp, half), None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(2)
+
+
+def real_decode_summary(media: DataFrame) -> DataFrame:
+    """Contract view of the REAL WAV decode: scalar features parsed
+    from the actual RIFF/PCM bytes in the mapInPandas kernel.  Columns
+    are chosen to be exactly predictable from the synthesis parameters
+    (square-wave RMS = amplitude, zero crossings = floor((n-1)/half)),
+    so the DuckDB oracle is an independent arithmetic check: if the
+    parser misreads any header field or sample, the hash mismatches."""
+    from aqueduct_core_spark.functions.text import round6
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_wav(payload)
+                if d is None:
+                    continue
+                s = d["samples"]
+                zc = int(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": int(d["sample_rate"]),
+                        "channels": int(d["channels"]),
+                        "duration_ms": int(d["duration_ms"]),
+                        "rms": float(np.sqrt(np.mean(s**2))),
+                        "zcr": float(zc) / max(1, len(s) - 1),
+                        "n_bytes": int(len(payload)),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "channels", "duration_ms",
+                    "rms", "zcr", "n_bytes",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("duration_ms", T.IntegerType(), True),
+            T.StructField("rms", T.DoubleType(), True),
+            T.StructField("zcr", T.DoubleType(), True),
+            T.StructField("n_bytes", T.IntegerType(), True),
+        ]
+    )
+    decoded = media.mapInPandas(kernel, schema=schema)
+    return decoded.select(
+        "media_id", "sample_rate", "channels", "duration_ms",
+        round6(F.col("rms")).alias("rms"), round6(F.col("zcr")).alias("zcr"),
+        "n_bytes",
     )
 
 
