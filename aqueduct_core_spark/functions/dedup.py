@@ -150,14 +150,27 @@ def lsh_candidate_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     hash_method: str = "xxhash64",
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Banded LSH: equal band-hash ⇒ candidate pair.
 
     explode to (band, bucket=hash(band slice), id) → self-join on
     (band, bucket) with id<id — the join key is 12 bytes, so the
     shuffle is tiny regardless of document size; distinct pairs out.
-    At 100 TB you'd additionally salt giant buckets (boilerplate
-    identical to the merge path's skew salting).
+
+    **Giant-bucket cap** (``max_bucket``, 0 = unlimited): a degenerate
+    corpus can put 10⁶ near-identical documents into one (band, bucket)
+    — all-pairs there is 10¹² rows on a single reducer.  Buckets whose
+    membership exceeds the cap switch to STAR pairing: every member is
+    paired with the bucket's min-id representative only, so the pair
+    count is linear in membership and the duplicate cluster stays
+    connected through the representative (each member is still
+    exact-Jaccard-verified against it downstream).  The trade-off,
+    documented: inside an over-cap bucket, two documents that are
+    near-dups of each other but NOT of the representative are no longer
+    candidates from that bucket (they usually re-collide in another
+    band).  Detection costs one extra aggregate + join on the same
+    (band, bucket) key the self-join already shuffles on.
     """
     assert bands * rows_per_band <= 1024
     buckets = sigs.select(
@@ -183,8 +196,23 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (
+
+    if max_bucket:
+        stats = buckets.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_n"), F.min("id").alias("_rep")
+        )
+        tagged = buckets.join(stats, on=["band", "bucket"])
+        small = tagged.where(F.col("_n") <= max_bucket).drop("_n", "_rep")
+        giant_pairs = (
+            tagged.where(F.col("_n") > max_bucket)
+            .where(F.col("id") != F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
+        )
+    else:
+        small, giant_pairs = buckets, None
+
+    a, b = small.alias("a"), small.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -192,8 +220,10 @@ def lsh_candidate_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    if giant_pairs is not None:
+        pairs = pairs.unionByName(giant_pairs)
+    return pairs.distinct()
 
 
 def ngram_jaccard(

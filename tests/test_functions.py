@@ -146,3 +146,33 @@ def test_events_cdc_mapping_matches_duckdb(spark):
         a = sp[c].astype(object).where(sp[c].notna(), None).tolist()
         b = du[c].astype(object).where(du[c].notna(), None).tolist()
         assert a == b, c
+
+
+def test_lsh_giant_bucket_cap(spark):
+    """A degenerate bucket (10^4 identical docs) must not explode into
+    ~5·10^7 all-pairs rows: over-cap buckets switch to star pairing
+    (linear in membership, cluster stays connected via the rep)."""
+    from aqueduct_core_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n = 10_000
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id", "'identical text for every single document here' AS text"
+    )
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, bands=2, rows_per_band=4, max_bucket=100)
+    cnt = pairs.count()
+    # star topology: exactly n-1 pairs (id 0 x everyone), not n(n-1)/2
+    assert cnt == n - 1, cnt
+    assert pairs.agg({"id_a": "max"}).collect()[0][0] == 0
+    # under the cap the result is the classic all-pairs within buckets
+    small = spark.range(5).selectExpr("id AS doc_id", "'same text again and again' AS text")
+    ssigs = minhash_signatures(small, num_hashes=8, shingle_k=3)
+    allp = lsh_candidate_pairs(ssigs, bands=2, rows_per_band=4, max_bucket=100)
+    assert allp.count() == 10  # 5*4/2
+    uncapped = lsh_candidate_pairs(ssigs, bands=2, rows_per_band=4, max_bucket=0)
+    assert {(r.id_a, r.id_b) for r in allp.collect()} == {
+        (r.id_a, r.id_b) for r in uncapped.collect()
+    }
