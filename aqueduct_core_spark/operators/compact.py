@@ -34,6 +34,7 @@ def compact_log(
     changes: DataFrame,
     threshold,
     deletions_threshold=None,
+    validate_ts_monotone: bool = False,
 ) -> DataFrame:
     """LWW-compact the change log below an event-time threshold.
 
@@ -58,7 +59,24 @@ def compact_log(
 
     One hash aggregation + one small watermark join + one union; no
     windows, no global sort.
+
+    ``validate_ts_monotone``: the dead-state drop and tombstone purge
+    are only safe when event time is monotone with lsn (the reference's
+    BIGSERIAL + server clock gives this for free); sources that can't
+    guarantee it pass True to pay one extra bounded aggregate
+    (:func:`aqueduct_core_spark.verify.ts_lsn_inversions`) and fail
+    loudly instead of silently breaking replay equality.
     """
+    if validate_ts_monotone:
+        from aqueduct_core_spark.verify import ts_lsn_inversions
+
+        bad = ts_lsn_inversions(changes)
+        if bad:
+            raise ValueError(
+                f"compact_log requires ts monotone with lsn; found {bad} "
+                "inverted lsn-blocks — compacting this log would break "
+                "replay equality (see compact_log docstring)"
+            )
     recent = changes.where(F.col("ts") > F.lit(threshold))
     old = changes.where(F.col("ts") <= F.lit(threshold))
 
@@ -225,25 +243,54 @@ def expire_snapshots(table: ParquetTranscriptTable, keep_last: int = 2) -> int:
     return table.cleanup_orphans(orphans)
 
 
+def _is_marker(fn: str) -> bool:
+    """Spark job markers (``_SUCCESS``, ``.crc``, dotfiles) — never data,
+    never manifest-referenced; deleted (uncounted) only when their
+    directory holds no surviving data file."""
+    return fn == "_SUCCESS" or fn.endswith(".crc") or fn.startswith(".")
+
+
+def _staged_epoch(dirname: str) -> int | None:
+    """Epoch number from a staging-dir name (``epoch-<n>-<hex>``);
+    None for non-epoch labels."""
+    import re
+
+    m = re.match(r"epoch-(\d+)-", dirname)
+    return int(m.group(1)) if m else None
+
+
 def remove_orphan_files(table: ParquetTranscriptTable, older_than_s: float = 3600) -> int:
     """Delete files under the table root that NO snapshot references —
     the debris a crash leaves between the data write and the manifest
     commit (Iceberg ``remove_orphan_files`` analog; the write protocol
     makes such files invisible to readers, so deleting them is safe).
-    Also drops leftover staging dirs.  Returns files removed.
+    Also drops leftover staging dirs.  Returns data files removed
+    (markers like ``_SUCCESS`` are cleaned with their directory but
+    never counted).
 
-    ``older_than_s`` guards in-flight writes: a file younger than this
-    may belong to an epoch whose commit hasn't landed yet (Iceberg's
-    action has the same knob for the same race).  Walks only
-    table-owned directories (``data``/``delta``/``offsets``/
-    ``staging``) driver-side; at production scale this is an O(files)
-    listing exactly like Iceberg's own action.
+    Concurrent-safe: a commit, fold, or second maintenance run racing
+    this walk can delete files first — every stat/remove tolerates
+    FileNotFoundError and skips.
+
+    ``older_than_s`` guards in-flight DATA writes: a file younger than
+    this may belong to an epoch whose commit hasn't landed yet
+    (Iceberg's action has the same knob for the same race).  Staging
+    dirs get a stronger structural guard: their names carry the owning
+    epoch, and any stage with epoch > the table's last committed epoch
+    is ALWAYS skipped regardless of age — a live epoch keeps reading
+    its stage without touching mtimes, so age alone cannot prove it
+    dead.  Stages at-or-below the committed epoch are finished (commit
+    landed or the epoch was superseded) and are removed once older than
+    the cutoff.  Walks only table-owned directories (``data``/``delta``/
+    ``offsets``/``staging``) driver-side; at production scale this is
+    an O(files) listing exactly like Iceberg's own action.
     """
     import os
     import shutil
     import time
 
     referenced = table.catalog.referenced_files()
+    last_epoch = table.last_committed_epoch()
 
     cutoff = time.time() - older_than_s
     removed = 0
@@ -252,33 +299,63 @@ def remove_orphan_files(table: ParquetTranscriptTable, older_than_s: float = 360
         if not os.path.isdir(base):
             continue
         for dirpath, _dirnames, filenames in os.walk(base, topdown=False):
+            survivors = False
             for fn in filenames:
+                if _is_marker(fn):
+                    continue
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, table.root)
-                if rel not in referenced and os.path.getmtime(full) <= cutoff:
-                    os.remove(full)
-                    removed += 1
-            if not os.listdir(dirpath):
-                os.rmdir(dirpath)
+                try:
+                    if rel not in referenced and os.path.getmtime(full) <= cutoff:
+                        os.remove(full)
+                        removed += 1
+                    else:
+                        survivors = True
+                except FileNotFoundError:
+                    pass  # a racing writer/cleaner got there first
+            if not survivors:
+                # markers go only when the whole subtree is dead: no
+                # surviving files here AND no remaining subdirectories
+                # (bottom-up walk already rmdir'd fully-dead children;
+                # a live child dir means this tree still holds data)
+                try:
+                    leftover = [
+                        e for e in os.listdir(dirpath) if not _is_marker(e)
+                    ]
+                except FileNotFoundError:
+                    leftover = []
+                if not leftover:
+                    for fn in filenames:
+                        if _is_marker(fn):
+                            try:
+                                os.remove(os.path.join(dirpath, fn))
+                            except FileNotFoundError:
+                                pass
+            try:
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+            except (FileNotFoundError, OSError):
+                pass
     # staging dirs are never referenced by a manifest — a crash mid-
-    # epoch leaves them whole.  Age = the NEWEST mtime inside the dir
-    # (the top-level dir mtime freezes when the stage write finishes).
-    # NOTE the contract on ``older_than_s``: it must exceed the longest
-    # possible epoch, because a live epoch keeps READING its stage
-    # after writing it and no mtime observes reads — the same contract
-    # Iceberg's remove_orphan_files places on its older_than.
+    # epoch leaves them whole.
     staging = os.path.join(table.root, "staging")
     if os.path.isdir(staging):
         for entry in os.listdir(staging):
+            ep = _staged_epoch(entry)
+            if ep is not None and ep > last_epoch:
+                continue  # possibly in-flight: structurally protected
             p = os.path.join(staging, entry)
-            newest = max(
-                (
-                    os.path.getmtime(os.path.join(dp, f))
-                    for dp, _dn, fns in os.walk(p)
-                    for f in fns
-                ),
-                default=os.path.getmtime(p),
-            )
+            try:
+                newest = max(
+                    (
+                        os.path.getmtime(os.path.join(dp, f))
+                        for dp, _dn, fns in os.walk(p)
+                        for f in fns
+                    ),
+                    default=os.path.getmtime(p),
+                )
+            except FileNotFoundError:
+                continue
             if newest <= cutoff:
                 shutil.rmtree(p, ignore_errors=True)
                 removed += 1

@@ -49,6 +49,31 @@ def state_digest(state: DataFrame, cols: list[str] | None = None) -> int:
     return int(row["d"]) if row["d"] is not None else 0
 
 
+def ts_lsn_inversions(changes: DataFrame, block_bits: int = 14) -> int:
+    """Count lsn-block-level violations of "event time is monotone with
+    lsn" — the source-clock assumption compact_log's dead-state drop
+    (and the reference's created_utc-threshold compaction,
+    SQLiteQueries.java:52) relies on.
+
+    One distributed agg over ``lsn >> block_bits`` blocks (bounded rows,
+    same trick as trigger planning), then a single-pass window check
+    that each block's min ts is ≥ every earlier block's max ts.  Zero ⇒
+    any row above a compaction ts-threshold also has a higher lsn than
+    every row below it, at block granularity.  Sub-block jitter (a few
+    ms inside one 2^14-lsn block) is invisible and harmless: compaction
+    thresholds are hours, blocks are instants."""
+    from pyspark.sql.window import Window
+
+    blocks = changes.groupBy(
+        F.shiftright(F.col("lsn"), block_bits).alias("_blk")
+    ).agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    w = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    viol = blocks.select(
+        (F.col("lo") < F.max("hi").over(w)).alias("bad")
+    ).where(F.col("bad"))
+    return viol.count()
+
+
 def states_equal(a: DataFrame, b: DataFrame, cols: list[str] | None = None) -> bool:
     """Exact set equality via symmetric anti-joins (null-safe)."""
     cols = cols or sorted(set(a.columns) & set(b.columns))
