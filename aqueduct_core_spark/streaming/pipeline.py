@@ -259,6 +259,78 @@ def run_available_now(
             q.stop()
 
 
+def tail_loop(
+    spark: SparkSession,
+    table: ParquetTranscriptTable,
+    changes_dir: str,
+    checkpoint_dir: str,
+    cfg: EngineConfig | None = None,
+    iterations: int = 3,
+    node_count: int = 1,
+    pool_size: int = 1,
+    floor_ms: int = 100,
+    cap_ms: int | None = None,
+    jitter_unit: float = 0.0,
+    sleep_fn=None,
+    max_files_per_trigger: int | None = None,
+    record_metrics: bool = False,
+) -> list[dict]:
+    """Adaptive long-poll tail: the reference's client loop with the
+    server's Retry-After pacing, closed end-to-end.
+
+    Each iteration drains the log incrementally (``availableNow`` over
+    the shared checkpoint — exactly-once preserved across drains),
+    measures the drain's wall time, and derives the next poll delay
+    with the reference formula (``retry_after_ms``:
+    PostgresqlStorage.java:203-225 computes it from measured query
+    time; HttpPipeClient.java:49-81 sleeps it).  A busy source → long
+    drains → long back-off so ``node_count`` consumers fit the source's
+    ``pool_size`` read capacity; an idle source → the floor.
+    ``jitter_unit`` ∈ [-1, 1] is the deterministic per-consumer ±10%
+    spread.  ``sleep_fn`` is injectable for tests (default
+    ``time.sleep``).  Returns one pacing record per iteration.
+    """
+    import time as _time
+
+    from aqueduct_core_spark.streaming.pacing import DEFAULT_CAP_MS, retry_after_ms
+
+    cfg = cfg or EngineConfig()
+    cap_ms = DEFAULT_CAP_MS if cap_ms is None else cap_ms
+    sleep_fn = _time.sleep if sleep_fn is None else sleep_fn
+    out: list[dict] = []
+    for i in range(iterations):
+        t0 = _time.time()
+        run_available_now(
+            spark,
+            table,
+            changes_dir,
+            checkpoint_dir,
+            cfg,
+            max_files_per_trigger=max_files_per_trigger,
+            record_metrics=record_metrics,
+        )
+        query_time_ms = (_time.time() - t0) * 1000.0
+        wait_ms = retry_after_ms(
+            query_time_ms,
+            node_count=node_count,
+            pool_size=pool_size,
+            floor_ms=floor_ms,
+            cap_ms=cap_ms,
+            jitter_unit=jitter_unit,
+        )
+        out.append(
+            {
+                "iteration": i,
+                "query_time_ms": round(query_time_ms, 1),
+                "retry_after_ms": wait_ms,
+                "last_lsn": table.last_committed_lsn(),
+            }
+        )
+        if i < iterations - 1:
+            sleep_fn(wait_ms / 1000.0)
+    return out
+
+
 def bootstrap(
     spark: SparkSession,
     root: str,

@@ -96,3 +96,51 @@ def test_batch_replay_with_trigger_budgets(spark, tmp_path, log_dir):
     # resume replay: nothing pending → no new epochs
     again = replay(table, to_spark(spark, pdf), cfg)
     assert again == []
+
+
+def test_tail_loop_pacing_adapts(spark, tmp_path):
+    """X7 closed-loop: the tail derives each poll delay from the
+    MEASURED drain time (reference Retry-After fed by query time) — a
+    busy drain produces a longer back-off than an idle one, new data
+    arriving between polls is applied, and exactly-once holds across
+    drains."""
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.generator import generate_changes_pdf
+    from aqueduct_core_spark.schema import CHANGES_SCHEMA
+    from aqueduct_core_spark.streaming.pipeline import tail_loop
+    from aqueduct_core_spark.verify import consistency_sum, table_consistency_sum
+
+    changes_dir = str(tmp_path / "changes")
+    pdf = generate_changes_pdf(n_convs=120, seed=21)
+    mid = int(pdf["lsn"].median())
+    first, second = pdf[pdf["lsn"] <= mid], pdf[pdf["lsn"] > mid]
+    spark.createDataFrame(first, schema=CHANGES_SCHEMA).write.parquet(changes_dir)
+
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
+    sleeps = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        if len(sleeps) == 1:  # new data lands between poll 1 and poll 2
+            spark.createDataFrame(second, schema=CHANGES_SCHEMA).write.mode(
+                "append"
+            ).parquet(changes_dir)
+
+    recs = tail_loop(
+        spark, table, changes_dir, str(tmp_path / "ckpt"),
+        EngineConfig(num_buckets=4), iterations=3,
+        node_count=4, pool_size=1, floor_ms=100, sleep_fn=fake_sleep,
+    )
+    assert len(recs) == 3 and len(sleeps) == 2
+    # pacing follows measured time: retry == clamp(node_count * q / pool)
+    for r in recs:
+        expect = max(100, -(-r["query_time_ms"] * 4 // 1))
+        assert abs(r["retry_after_ms"] - expect) <= 1, r
+    # the busy drains paced a longer back-off than an idle-ish one
+    assert max(r["retry_after_ms"] for r in recs) > min(
+        r["retry_after_ms"] for r in recs
+    )
+    # all data (including late-arriving) applied exactly once
+    full = spark.createDataFrame(pdf, schema=CHANGES_SCHEMA)
+    assert consistency_sum(full) == table_consistency_sum(table.read_internal())
