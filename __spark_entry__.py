@@ -334,6 +334,28 @@ def _q_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k=20, rerank_fraction=0.15)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse-quantizer cells (16), query probes
+    its 4 nearest cells (~25% of an evenly-split corpus), exact cosine
+    rerank on survivors.  The standard inverted-file scale path next to
+    the LSH and Hamming-sketch variants."""
+    from aqueduct_core_spark.functions.similarity import ivf_index, ivf_topk
+
+    qv = _query_vec(spark, sf_dir)
+    idx = ivf_index(_embs(spark, sf_dir), dim=len(qv))
+    return ivf_topk(idx, qv, k=20)
+
+
+def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH blocking
+    (≥1 shared bucket over 8 tables) then exact cosine ≥ 0.4 verify —
+    the embedding companion to doc_minhash_pairs.  Never all-pairs; a
+    true duplicate collides in every table so dup recall → 1."""
+    from aqueduct_core_spark.functions.similarity import near_dup_pairs
+
+    return near_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
 def _q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode check: WAV payloads are genuine RIFF/PCM bytes
     (stdlib-built square waves), parsed back by the mapInPandas decoder;
@@ -571,6 +593,91 @@ FROM flt ORDER BY sim DESC, vec_id LIMIT {kk}
 """
 
 
+def _ivf_topk_oracle(dim: int = 64, n_cells: int = 16, n_probes: int = 4,
+                     kk: int = 20) -> str:
+    """Centroid literals inlined (similarity.ivf_centroids, rounded to
+    6 dp so they are exact); assignment = first-max inner product
+    (list_position/list_max, the same tie rule as Spark's
+    array_position/array_max); query probes = top n_probes cells by
+    (dot desc, cell)."""
+    from aqueduct_core_spark.functions.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_cells)
+    lits = [
+        "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents
+    ]
+    vec_dots = ", ".join(f"list_inner_product(v, {c})" for c in lits)
+    q_dots = ", ".join(f"list_inner_product(qv, {c})" for c in lits)
+    return f"""
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+asg AS (
+  SELECT vec_id, v, list_position(l, list_max(l)) AS cell
+  FROM (SELECT vec_id, v, [{vec_dots}] AS l FROM s)
+),
+qcells AS (
+  SELECT cell FROM (
+    SELECT unnest(range(1, {n_cells + 1})) AS cell,
+           unnest([{q_dots}]) AS d
+    FROM q
+  ) ORDER BY d DESC, cell LIMIT {n_probes}
+)
+SELECT a.vec_id,
+  floor((list_inner_product(a.v, q.qv)
+         / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(q.qv, q.qv))))
+        * 1000000 + 0.5) / 1000000 AS sim
+FROM asg a JOIN qcells c ON a.cell = c.cell, q
+ORDER BY sim DESC, a.vec_id LIMIT {kk}
+"""
+
+
+def _near_dup_oracle(dim: int = 64, n_planes: int = 6, n_tables: int = 8,
+                     threshold: float = 0.4) -> str:
+    """All-pairs reformulation of the LSH-blocked near-dup: a pair is a
+    candidate iff some table's planes all agree in sign between the two
+    vectors (identical predicate shape to _lsh_topk_oracle, with the
+    query vector replaced by the pair's second vector); exact cosine
+    verify ≥ threshold with the shared round6 rounding."""
+    from aqueduct_core_spark.functions.similarity import _hyperplanes
+
+    table_preds = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=7 + t)
+        plane_eqs = []
+        for p in planes:
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            plane_eqs.append(
+                f"((list_inner_product(va, {lit}) >= 0) = (list_inner_product(vb, {lit}) >= 0))"
+            )
+        table_preds.append("(" + " AND ".join(plane_eqs) + ")")
+    cand = "\n     OR ".join(table_preds)
+    return f"""
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+),
+flt AS (
+  SELECT id_a, id_b, va, vb FROM p
+  WHERE {cand}
+),
+scored AS (
+  SELECT id_a, id_b,
+    floor((list_inner_product(va, vb)
+           / (sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb))))
+          * 1000000 + 0.5) / 1000000 AS sim
+  FROM flt
+)
+SELECT id_a, id_b, sim FROM scored WHERE sim >= {threshold}
+"""
+
+
 def _sketch_topk_oracle(dim: int = 64, n_bits: int = 256,
                         rerank_fraction: float = 0.15, kk: int = 20) -> str:
     """Hamming-sketch rerank oracle: the signature hyperplanes (rounded
@@ -695,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": _q_lsh_topk,
         "emb_lsh_indexed": _q_lsh_indexed,
         "emb_sketch_topk": _q_sketch_topk,
+        "emb_near_dup": _q_near_dup,
+        "emb_ivf_topk": _q_ivf_topk,
         "media_real_decode": _q_media_real_decode,
         "media_features": _q_media_features,
         "cdc_routing_groups": _q_routing_groups,
@@ -894,6 +1003,8 @@ WHERE cluster_id IN (0,3,5)
         # the indexed variant returns the identical result set
         "emb_lsh_indexed": _lsh_topk_oracle(),
         "emb_sketch_topk": _sketch_topk_oracle(),
+        "emb_near_dup": _near_dup_oracle(),
+        "emb_ivf_topk": _ivf_topk_oracle(),
         "media_features": _media_features_oracle(),
         "media_real_decode": _media_real_decode_oracle(),
         "cdc_routing_groups": oracle(

@@ -435,3 +435,157 @@ def lsh_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+IVF_CELLS = 16
+
+
+def ivf_centroids(dim: int, n_cells: int = IVF_CELLS, seed: int = 11) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids, rounded to 6 decimals
+    so the SQL oracle's inlined literals are exact (same convention as
+    :func:`_sketch_planes`).  Fixed pseudo-random centroids stand in
+    for a trained k-means codebook: the *partitioning* semantics (each
+    vector lives in exactly one Voronoi cell; a query probes the
+    ``n_probes`` nearest cells) are identical, only cell balance
+    differs — and at scale the codebook would be trained once offline
+    on a bounded sample and inlined the same way."""
+    import numpy as np
+
+    return np.round(
+        np.random.RandomState(seed).standard_normal((n_cells, dim)), 6
+    ).tolist()
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """1-based nearest-centroid cell id by inner product (first max
+    wins ties) — a pure JVM expression tree, no Python."""
+    dots = F.array(
+        *[_dot(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    )
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def ivf_index(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = IVF_CELLS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Precompute ``(id, vec, cell)`` — the IVF inverted-list table.
+    At 100 TB this is written once, clustered/partitioned by ``cell``,
+    so a query's probe turns into partition pruning over ~n_probes/
+    n_cells of the data instead of a full scan."""
+    cents = ivf_centroids(dim, n_cells, seed)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        ivf_assign(F.col(vec_col), cents).alias("cell"),
+    )
+
+
+def ivf_probe_cells(
+    query_vec: list[float], n_cells: int = IVF_CELLS, n_probes: int = 4,
+    seed: int = 11,
+) -> list[int]:
+    """Driver-side: the ``n_probes`` cells nearest the query (by inner
+    product, desc, cell-id tiebreak).  Left-fold float arithmetic to
+    mirror the engines' sequential inner product."""
+    cents = ivf_centroids(len(query_vec), n_cells, seed)
+    scored = []
+    for i, c in enumerate(cents):
+        s = 0.0
+        for x, y in zip(query_vec, c):
+            s += float(x) * float(y)
+        scored.append((-s, i + 1))
+    return [cell for _, cell in sorted(scored)[:n_probes]]
+
+
+def ivf_topk(
+    index: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = IVF_CELLS,
+    n_probes: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF ANN top-k over a precomputed :func:`ivf_index`: prune to the
+    query's ``n_probes`` nearest cells (a literal IN over the cell
+    column — partition pruning on a cell-clustered table), exact cosine
+    rerank on the survivors only."""
+    cells = ivf_probe_cells(query_vec, n_cells, n_probes, seed)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = round6(cosine_sim(F.col("vec"), q))
+    return (
+        index.where(F.col("cell").isin(cells))
+        .select(F.col("id").alias("vec_id"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    Candidates are pairs of vectors sharing a bucket in ≥1 of
+    ``n_tables`` hyperplane-LSH tables (identical plane/seed convention
+    to :func:`lsh_topk`); each candidate is then exact-verified with
+    cosine ≥ ``threshold``.  The self-join runs within (table, bucket)
+    only — never all-pairs — so cost stays near-linear on isotropic
+    data, and a true duplicate (cosine → 1) agrees with its twin on
+    every plane's sign, so it collides in *every* table: recall on real
+    duplicates approaches 1 while moderate-similarity pairs are traded
+    for scan cost exactly as in ``lsh_topk``.
+
+    At 100 TB the bucket projection is one narrow shuffle key
+    (table, bucket) and the verify join moves only candidate ids plus
+    two vectors per surviving pair.  Reference semantics: the dedup
+    companion to ``emb_lsh_topk`` (exact-verify-after-LSH, same shape
+    as ``functions.dedup.minhash_dedup`` for text).
+    """
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(
+                        F.col(vec_col), _hyperplanes(dim, n_planes, seed=7 + t)
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("tb")
+    b = df.select(F.col(id_col).alias("id"), tb).select(
+        "id", "tb.tbl", "tb.bucket"
+    )
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    sim = round6(cosine_sim(F.col("_va"), F.col("_vb")))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", sim)
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -70,6 +70,61 @@ def choose_block_bits(lo: int, hi: int, min_bits: int = 14,
     return bits
 
 
+def plan_triggers_from_files(
+    file_index: list[tuple],
+    max_events: int,
+    max_bytes: int,
+    start_lsn: int | None = None,
+    end_lsn: int | None = None,
+) -> list[TriggerRange] | None:
+    """Manifest-based trigger planning: cut micro-batches from parquet
+    footer statistics alone — ZERO Spark jobs.
+
+    ``file_index`` rows are ``(path, min_lsn, max_lsn, rows, bytes)``
+    (``streaming.pipeline._lsn_file_index``).  Files must be pairwise
+    lsn-disjoint (the log's natural layout: an ordered stream written
+    in lsn order); returns None when they overlap — caller falls back
+    to the scan-based planner.  Epochs align to file boundaries, so
+    each epoch's read is exactly its files (no partial-file scan
+    waste), and the row/byte budgets act on footer-exact row counts
+    and footer byte sizes (storage bytes, a proxy for the serialized
+    event_size budget — admission control, not accounting).
+
+    This is how a lake table plans streaming admission at 100 TB: from
+    the manifest, never a data scan (Iceberg/Delta file-source
+    ``maxFilesPerTrigger`` semantics, made lsn-range-exact here).
+    """
+    files = []
+    for f in file_index:
+        if len(f) < 5:
+            return None  # stats-less index: cannot budget
+        _, lo, hi, rows, nbytes = f[0], int(f[1]), int(f[2]), f[3], f[4]
+        if rows is None or nbytes is None:
+            return None
+        if end_lsn is not None and lo > end_lsn:
+            continue
+        if start_lsn is not None and hi < start_lsn:
+            continue
+        files.append((lo, hi, int(rows), int(nbytes)))
+    files.sort()
+    for (_, hi_a, _, _), (lo_b, _, _, _) in zip(files, files[1:]):
+        if lo_b <= hi_a:
+            return None  # overlapping lsn ranges: footer budgeting invalid
+    out: list[TriggerRange] = []
+    cur_start, cur_end, cur_n, cur_b = None, None, 0, 0
+    for lo, hi, n, b in files:
+        if cur_start is not None and (cur_n + n > max_events or cur_b + b > max_bytes):
+            out.append(TriggerRange(cur_start, cur_end, cur_n, cur_b))
+            cur_start, cur_n, cur_b = None, 0, 0
+        if cur_start is None:
+            cur_start = max(lo, start_lsn) if start_lsn is not None else lo
+        cur_end = min(hi, end_lsn) if end_lsn is not None else hi
+        cur_n, cur_b = cur_n + n, cur_b + b
+    if cur_start is not None:
+        out.append(TriggerRange(cur_start, cur_end, cur_n, cur_b))
+    return out
+
+
 def plan_triggers(
     changes: DataFrame,
     max_events: int,

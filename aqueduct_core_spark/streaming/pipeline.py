@@ -38,10 +38,14 @@ def resume_lsn(table: ParquetTranscriptTable) -> int:
     return table.last_committed_lsn() + 1
 
 
-def _lsn_file_index(changes: DataFrame) -> list[tuple[str, int, int]] | None:
-    """Driver-side ``(path, min_lsn, max_lsn)`` per input file, from
-    parquet footer statistics — the manifest a lake table would hand us
-    for free.
+def _lsn_file_index(changes: DataFrame) -> list[tuple[str, int, int, int | None, int | None]] | None:
+    """Driver-side ``(path, min_lsn, max_lsn, rows, bytes)`` per input
+    file, from parquet footer statistics — the manifest a lake table
+    would hand us for free.  ``rows``/``bytes`` (footer-exact row count
+    and compressed byte size) feed manifest-based trigger planning
+    (:func:`aqueduct_core_spark.operators.batching.plan_triggers_from_files`);
+    they are None when the footer lacks lsn stats (pruning disabled for
+    that file, budgeting disabled for the index).
 
     Only valid when the DataFrame is a *bare* file scan (a leaf
     LogicalRelation): any transformation on top could change the row
@@ -64,8 +68,10 @@ def _lsn_file_index(changes: DataFrame) -> list[tuple[str, int, int]] | None:
             path = uri[len("file:"):] if uri.startswith("file:") else uri
             md = pq.ParquetFile(path).metadata
             lo = hi = None
+            nbytes = 0
             for g in range(md.num_row_groups):
                 rg = md.row_group(g)
+                nbytes += rg.total_byte_size
                 for i in range(md.num_columns):
                     c = rg.column(i)
                     if c.path_in_schema == "lsn" and c.statistics is not None \
@@ -73,9 +79,10 @@ def _lsn_file_index(changes: DataFrame) -> list[tuple[str, int, int]] | None:
                         lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
                         hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
             if lo is None:
-                # no stats: the file can never be pruned
-                lo, hi = -(1 << 62), 1 << 62
-            out.append((path, int(lo), int(hi)))
+                # no stats: the file can never be pruned nor budgeted
+                out.append((path, -(1 << 62), 1 << 62, None, None))
+            else:
+                out.append((path, int(lo), int(hi), int(md.num_rows), int(nbytes)))
         return out
     except Exception:
         return None
@@ -105,8 +112,8 @@ def _epoch_batch(
     spark = changes.sparkSession
     src = changes
     if file_index is not None:
-        paths = [p for (p, flo, fhi) in file_index
-                 if fhi >= start_lsn and flo <= end_lsn]
+        paths = [f[0] for f in file_index
+                 if f[2] >= start_lsn and f[1] <= end_lsn]
         if not paths:
             return changes.where(F.lit(False))
         src = spark.read.schema(changes.schema).parquet(*paths)
@@ -151,13 +158,29 @@ def replay(
     pending = changes.where(F.col("lsn") >= start_lsn)
     if end_lsn is not None:
         pending = pending.where(F.col("lsn") <= end_lsn)
-    ranges = plan_triggers(
-        pending,
-        max_events=cfg.max_events_per_trigger,
-        max_bytes=cfg.max_bytes_per_trigger,
-        overhead_per_msg=cfg.message_overhead_bytes,
-        lsn_bounds=lsn_bounds,
-    )
+
+    ranges = None
+    if file_index is not None:
+        # manifest-based planning: trigger ranges from footer stats
+        # alone — no Spark job, file-aligned epochs (None on overlap
+        # or missing stats → scan-based fallback below)
+        from aqueduct_core_spark.operators.batching import plan_triggers_from_files
+
+        ranges = plan_triggers_from_files(
+            file_index,
+            max_events=cfg.max_events_per_trigger,
+            max_bytes=cfg.max_bytes_per_trigger,
+            start_lsn=start_lsn,
+            end_lsn=end_lsn,
+        )
+    if ranges is None:
+        ranges = plan_triggers(
+            pending,
+            max_events=cfg.max_events_per_trigger,
+            max_bytes=cfg.max_bytes_per_trigger,
+            overhead_per_msg=cfg.message_overhead_bytes,
+            lsn_bounds=lsn_bounds,
+        )
     metrics = []
     for r in ranges:
         if cfg.plan_stable_filters:
@@ -176,9 +199,14 @@ def replay(
             )
         # trigger planning already knows the batch's max lsn — no
         # per-epoch max() job needed
-        metrics.append(
-            apply_batch(table, batch, epoch=epoch, cfg=cfg, batch_max_lsn=r.end_lsn)
-        )
+        import time as _time
+
+        t0 = _time.time()
+        m = apply_batch(table, batch, epoch=epoch, cfg=cfg, batch_max_lsn=r.end_lsn)
+        # per-epoch wall time: with plan-stable filters, steady-state
+        # epochs should be flat (no per-epoch codegen recompile)
+        m["epoch_sec"] = round(_time.time() - t0, 3)
+        metrics.append(m)
         epoch += 1
     return metrics
 

@@ -45,6 +45,8 @@ HEADLINE = [
     "emb_cosine_topk",
     "emb_knn_join",
     "emb_sketch_topk",
+    "emb_ivf_topk",
+    "emb_near_dup",
 ]
 
 
@@ -160,6 +162,9 @@ def bench_replay(spark, n_convs: int, work: str, input_path: str | None = None) 
         "read_with_deltas_sec": round(read_with_deltas_sec, 3),
         "read_after_fold_sec": round(read_after_fold_sec, 3),
         "epochs": len(metrics),
+        # flat steady-state epoch times = the plan-stable-filter
+        # evidence (no per-epoch codegen recompile); see BENCH.md
+        "epoch_secs": [m.get("epoch_sec") for m in metrics],
         "state_ok": bool(ok),
     }
 
@@ -181,10 +186,13 @@ def bench_ann_recall(spark, sf_dir: str, k: int = 20) -> dict:
         return {}
     sketch = {r["vec_id"] for r in qs["emb_sketch_topk"](spark, sf_dir).collect()}
     bucket = {r["vec_id"] for r in qs["emb_lsh_topk"](spark, sf_dir).collect()}
+    ivf = {r["vec_id"] for r in qs["emb_ivf_topk"](spark, sf_dir).collect()}
     return {
         "lsh_recall": round(len(exact & sketch) / len(exact), 3),
         "lsh_scanned_fraction": 0.15,
         "lsh_bucket_recall": round(len(exact & bucket) / len(exact), 3),
+        # 4 of 16 cells probed → ~25% of an evenly-split corpus scored
+        "ivf_recall": round(len(exact & ivf) / len(exact), 3),
     }
 
 

@@ -92,7 +92,12 @@ def main() -> None:
             best = levels.get(cpus)
             if best is None or r["replay"]["events_per_sec"] > best["events_per_sec"]:
                 levels[cpus] = r["replay"]
-            print(f"  rep {i} local[{cpus}]: {r['replay']['events_per_sec']} events/s",
+            # 1-min load BEFORE this rep started is unknowable here, so
+            # report it after: a high number flags tenant contamination
+            # of this sample (the best-of-K estimator exists for this)
+            load = os.getloadavg()[0]
+            print(f"  rep {i} local[{cpus}]: {r['replay']['events_per_sec']} events/s"
+                  f" (host load {load:.1f})",
                   flush=True)
     for cpus in (args.n, 4 * args.n):
         best = levels[cpus]

@@ -101,6 +101,78 @@ def test_cosine_topk_and_knn(spark):
     assert approx and approx[0]["vec_id"] == 0
 
 
+def test_near_dup_pairs(spark):
+    """LSH-blocked embedding near-dup: exact/near duplicates must be
+    found (they collide in every table); output ⊆ brute-force pairs at
+    the same threshold; no self- or reversed pairs."""
+    import numpy as np
+
+    from aqueduct_core_spark.functions.similarity import near_dup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((12, 8)).astype("float64")
+    vecs = [(i, base[i].tolist()) for i in range(12)]
+    vecs.append((12, base[0].tolist()))  # exact dup of 0
+    jig = base[5] + 0.01 * rng.standard_normal(8)  # near dup of 5
+    vecs.append((13, jig.tolist()))
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+    got = near_dup_pairs(df, threshold=0.9, dim=8, n_planes=4, n_tables=6).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (0, 12) in pairs
+    assert (5, 13) in pairs
+    for a, b in pairs:
+        assert a < b
+
+    # subset of brute force at the same threshold
+    def cos(x, y):
+        return float(np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y)))
+
+    brute = {
+        (a, b)
+        for a in range(14)
+        for b in range(a + 1, 14)
+        if cos(dict(vecs)[a], dict(vecs)[b]) >= 0.9 - 1e-9
+    }
+    assert pairs <= brute
+    sims = {(r["id_a"], r["id_b"]): r["sim"] for r in got}
+    assert sims[(0, 12)] == 1.0
+
+
+def test_ivf_topk(spark):
+    """IVF: every vector lands in exactly one cell; the query's own
+    cell is probed so the query vector itself is always recalled with
+    sim 1.0; output ⊆ probed cells; ordered by sim desc."""
+    import numpy as np
+
+    from aqueduct_core_spark.functions.similarity import (
+        ivf_index,
+        ivf_probe_cells,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(4)
+    vecs = [(i, rng.standard_normal(8).tolist()) for i in range(40)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    idx = ivf_index(df, dim=8, n_cells=4)
+    cells = {r["id"]: r["cell"] for r in idx.collect()}
+    assert set(cells.values()) <= {1, 2, 3, 4}
+    assert len(cells) == 40
+
+    q = vecs[7][1]
+    got = ivf_topk(idx, q, k=5, n_cells=4, n_probes=2).collect()
+    assert got[0]["vec_id"] == 7 and got[0]["sim"] == 1.0
+    probed = set(ivf_probe_cells(q, n_cells=4, n_probes=2))
+    for r in got:
+        assert cells[r["vec_id"]] in probed
+    sims = [r["sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+
+    # n_probes = n_cells degenerates to exact brute force
+    full = ivf_topk(idx, q, k=40, n_cells=4, n_probes=4)
+    assert full.count() == 40
+
+
 def test_media_features(spark):
     from aqueduct_core_spark.functions.multimodal import (
         extract_features,

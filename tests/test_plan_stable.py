@@ -57,12 +57,12 @@ def test_file_index_prunes_scan(spark, log_dir):
     intersecting files (the pushdown-pruning replacement)."""
     log = spark.read.schema(CHANGES_SCHEMA).parquet(log_dir)
     idx = _lsn_file_index(log)
-    path0, lo0, hi0 = sorted(idx, key=lambda t: t[1])[0]
+    path0, lo0, hi0 = sorted(idx, key=lambda t: t[1])[0][:3]
     batch = _epoch_batch(log, lo0, hi0, idx)
     touched = {f.replace("file:", "") for f in batch.inputFiles()}
     assert path0 in touched
     # only files overlapping [lo0, hi0] may be read
-    for p, flo, fhi in idx:
+    for p, flo, fhi, _rows, _bytes in idx:
         if fhi < lo0 or flo > hi0:
             assert p not in touched
 
@@ -111,6 +111,73 @@ def test_replay_state_identical_both_modes(spark, log_dir, tmp_path):
         assert len(got) == len(expected)
         assert (got["text"].fillna("") == expected["text"].fillna("")).all()
         assert (got["_lsn"] == expected["_lsn"]).all()
+
+
+def test_plan_triggers_from_files_unit():
+    """Pure-driver manifest planning: budget packing, window clipping,
+    overlap and missing-stats fallbacks."""
+    from aqueduct_core_spark.operators.batching import plan_triggers_from_files
+
+    idx = [
+        ("a", 0, 99, 100, 1000),
+        ("b", 100, 199, 100, 1000),
+        ("c", 200, 299, 100, 1000),
+        ("d", 300, 399, 50, 500),
+    ]
+    # row budget 200 → files pack pairwise
+    r = plan_triggers_from_files(idx, max_events=200, max_bytes=1 << 30)
+    assert [(t.start_lsn, t.end_lsn, t.events) for t in r] == [
+        (0, 199, 200), (200, 399, 150)]
+    # byte budget dominates: a | b | c+d (1000+500 fits 1500 exactly)
+    r = plan_triggers_from_files(idx, max_events=10**9, max_bytes=1500)
+    assert [(t.start_lsn, t.end_lsn) for t in r] == [
+        (0, 99), (100, 199), (200, 399)]
+    # window clipping drops non-intersecting files and clamps bounds
+    r = plan_triggers_from_files(idx, 10**9, 1 << 30, start_lsn=150, end_lsn=250)
+    assert len(r) == 1 and r[0].start_lsn == 150 and r[0].end_lsn == 250
+    # overlapping lsn ranges → None (scan-planner fallback)
+    assert plan_triggers_from_files(
+        [("a", 0, 150, 10, 10), ("b", 100, 300, 10, 10)], 10, 10) is None
+    # stats-less file → None
+    assert plan_triggers_from_files(
+        [("a", 0, 99, None, None)], 10, 10) is None
+    # fully-replayed window → []
+    assert plan_triggers_from_files(idx, 10, 10, start_lsn=1000) == []
+
+
+def test_replay_manifest_planned(spark, tmp_path):
+    """A log written in lsn order (disjoint per-file ranges) replays
+    through the manifest planner — epochs align to file groups, zero
+    planner Spark jobs — and the final state matches the oracle."""
+    from aqueduct_core_spark.operators.batching import plan_triggers_from_files
+
+    d = str(tmp_path / "sorted-log")
+    pdf = generate_changes_pdf(n_convs=120, seed=7).sort_values("lsn")
+    n = len(pdf)
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i, (a, b) in enumerate(zip(cuts, cuts[1:])):
+        spark.createDataFrame(pdf.iloc[a:b], schema=CHANGES_SCHEMA).coalesce(
+            1
+        ).write.parquet(d, mode="append")
+    log = spark.read.schema(CHANGES_SCHEMA).parquet(d)
+    idx = _lsn_file_index(log)
+    assert idx is not None and all(t[3] is not None for t in idx)
+    # disjoint files → the manifest plan exists and is file-aligned
+    plan = plan_triggers_from_files(
+        idx, max_events=n // 4 + 1, max_bytes=1 << 40, start_lsn=0)
+    assert plan is not None and len(plan) == 4
+
+    t = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
+    cfg = EngineConfig(
+        num_buckets=4, max_events_per_trigger=n // 4 + 1,
+        max_bytes_per_trigger=1 << 40,
+    )
+    metrics = replay(t, log, cfg, start_epoch=0, start_lsn=0)
+    assert len(metrics) == 4  # one epoch per file: manifest-aligned
+    expected = expected_state_pdf(pdf)
+    got = t.read_internal().orderBy("conv_id", "turn_idx").toPandas()
+    assert len(got) == len(expected)
+    assert (got["_lsn"].to_numpy() == expected["_lsn"].to_numpy()).all()
 
 
 def test_replay_window_end_lsn(spark, log_dir, tmp_path):
