@@ -278,6 +278,24 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in row[0]]
 
 
+def _q_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counts + fertility (subword/whitespace
+    ratio) per document — the token-budget estimator a pretraining
+    pipeline runs over every corpus."""
+    from aqueduct_core_spark.functions import text as tx
+
+    c = F.col("text")
+    n_ws = tx.token_count(c)
+    n_sub = tx.subword_token_count(c)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_sub.alias("n_subword"),
+        F.when(n_ws == 0, F.lit(0.0))
+        .otherwise(tx.round6(n_sub / n_ws))
+        .alias("fertility"),
+    )
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.functions.similarity import cosine_topk
 
@@ -795,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tombstones": _q_tombstones,
         "doc_exact_dedup": _q_exact_dedup,
         "doc_text_stats": _q_text_stats,
+        "doc_subword_tokens": _q_subword_tokens,
         "emb_cosine_topk": _q_cosine_topk,
         "emb_knn_join": _q_knn_join,
         "doc_minhash_pairs": _q_minhash_pairs,
@@ -995,6 +1014,19 @@ WHERE cluster_id IN (0,3,5)
         ),
         "doc_exact_dedup": exact_dedup,
         "doc_text_stats": text_stats,
+        "doc_subword_tokens": """
+WITH t AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS n_subword,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws
+  FROM documents
+)
+SELECT doc_id, CAST(n_subword AS INTEGER) AS n_subword,
+  CASE WHEN n_ws = 0 THEN 0.0
+       ELSE floor((n_subword * 1.0 / n_ws) * 1000000 + 0.5) / 1000000 END AS fertility
+FROM t
+""",
         "emb_cosine_topk": cosine_topk,
         "emb_knn_join": knn_join,
         "doc_minhash_pairs": _minhash_oracle(),

@@ -86,6 +86,17 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+def subword_token_count(col: Column, max_piece: int = 4) -> Column:
+    """BPE-ish subword token-count estimate, pure JVM regex: letter
+    runs split into ≤``max_piece``-char pieces (≈ mean merged-BPE piece
+    length), each digit its own token, each non-alphanumeric symbol its
+    own token.  A deterministic, oracle-replicable stand-in for a real
+    BPE vocab (which would be a broadcast merge table + the same
+    regexp pre-tokenizer at scale)."""
+    pat = "[A-Za-z]{1,%d}|[0-9]|[^A-Za-z0-9\\s]" % max_piece
+    return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+
+
 def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """All stats in one projection — a single pass over the scan."""
     c = F.col(col)

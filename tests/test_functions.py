@@ -43,6 +43,28 @@ def test_text_stats(spark, docs):
     assert out[0]["fp"] != out[1]["fp"]
 
 
+def test_subword_token_count(spark, docs):
+    from aqueduct_core_spark.functions import text as tx
+
+    out = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", tx.subword_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    # doc 0: 13 words, all ≤4 letters except happy(5)/there(5) → 2 each
+    assert out[0] == 15
+    assert out[5] == 0
+    # "completely different words entirely unrelated content stream":
+    # ceil(10/4)+ceil(9/4)+ceil(5/4)+ceil(8/4)+ceil(9/4)+ceil(7/4)+ceil(6/4)
+    assert out[2] == 3 + 3 + 2 + 2 + 3 + 2 + 2
+    row = spark.createDataFrame(
+        [("ab3 x-y, 12",)], ["text"]
+    ).select(tx.subword_token_count(F.col("text")).alias("n")).first()
+    # ab|3  x|-|y|,  1|2  → 8 pieces (digits and symbols one token each)
+    assert row["n"] == 8
+
+
 def test_exact_dedup(spark, docs):
     from aqueduct_core_spark.functions.dedup import exact_dedup
 
