@@ -318,6 +318,18 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(_docs(spark, sf_dir), threshold=0.3, hash_method="md5")
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (alternating
+    large-star/small-star) over the verified minhash near-dup pairs —
+    pairwise output → per-document keep/drop representative.  The
+    iterative algorithm is pure DataFrame joins; the oracle replays the
+    same reachability with a recursive CTE."""
+    from aqueduct_core_spark.functions.dedup import dup_clusters, minhash_dedup
+
+    pairs = minhash_dedup(_docs(spark, sf_dir), threshold=0.3, hash_method="md5")
+    return dup_clusters(pairs.select("id_a", "id_b"))
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.functions.dedup import simhash_candidates
 
@@ -532,6 +544,26 @@ ver AS (
   JOIN sh sb ON sb.id = c.id_b
 )
 SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
+"""
+
+
+def _dup_clusters_oracle() -> str:
+    """Connected components over the minhash near-dup pairs: the exact
+    reachability fixpoint via a recursive CTE (min reachable id =
+    component representative) — tractable at oracle scale, where the
+    Spark side runs the O(log² n)-round star algorithm."""
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT id_a AS u, id_b AS v FROM ({_minhash_oracle()}) mh
+  UNION
+  SELECT id_b, id_a FROM ({_minhash_oracle()}) mh
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS id, least(u, min(v)) AS rep FROM reach GROUP BY u
 """
 
 
@@ -817,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_cosine_topk,
         "emb_knn_join": _q_knn_join,
         "doc_minhash_pairs": _q_minhash_pairs,
+        "doc_dup_clusters": _q_dup_clusters,
         "doc_simhash_candidates": _q_simhash,
         "emb_lsh_topk": _q_lsh_topk,
         "emb_lsh_indexed": _q_lsh_indexed,
@@ -1030,6 +1063,7 @@ FROM t
         "emb_cosine_topk": cosine_topk,
         "emb_knn_join": knn_join,
         "doc_minhash_pairs": _minhash_oracle(),
+        "doc_dup_clusters": _dup_clusters_oracle(),
         "doc_simhash_candidates": _simhash_oracle(),
         "emb_lsh_topk": _lsh_topk_oracle(),
         # the indexed variant returns the identical result set

@@ -279,6 +279,94 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components over near-duplicate pairs → one cluster
+    representative per document: the step that turns pairwise dedup
+    output into keep/drop decisions.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): converges in
+    O(log² n) rounds, each round is two shuffle joins on the node id —
+    no driver-side adjacency, no ``collect_list`` (a celebrity node
+    with 10⁸ neighbors would OOM a grouped-list formulation; here its
+    neighbors stay as rows).  Lineage is truncated with an eager
+    ``localCheckpoint`` per round so the plan doesn't grow with
+    iterations (on a multi-node cluster use a reliable checkpoint dir;
+    the algorithm is unchanged).
+
+    Input: (id_a, id_b) pairs (any orientation, self-pairs ignored).
+    Output: (id, rep) for every node appearing in a pair, where rep is
+    the minimum id of the node's component (rep rows included with
+    id = rep).  Singleton documents never enter ``pairs`` and are
+    implicitly their own representative.
+    """
+    edges = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("hi"),
+            F.least("id_a", "id_b").alias("lo"),
+        )
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if not edges.take(1):
+        return edges.select(F.col("hi").alias("id"), F.col("lo").alias("rep"))
+
+    def _digest(e: DataFrame) -> tuple[int, int]:
+        # bit_xor, not sum: order-insensitive and can't overflow under
+        # ANSI arithmetic (sum of 2⁶³-range hashes overflows fast).
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(hi, lo))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    prev = _digest(edges)
+    for _ in range(max_rounds):
+        # large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
+        sym = edges.select("hi", "lo").unionByName(
+            edges.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
+        )
+        mins = sym.groupBy("hi").agg(F.min("lo").alias("mn")).select(
+            F.col("hi").alias("u"), F.least(F.col("mn"), F.col("hi")).alias("m")
+        )
+        edges = (
+            sym.join(mins, sym.hi == mins.u)
+            .where(F.col("lo") > F.col("hi"))  # neighbors larger than u
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star: per node, all ≤-neighbors re-link to the min
+        mins2 = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+        star = edges.join(mins2, on="hi")
+        edges = (
+            star.where(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(star.select("hi", F.col("m").alias("lo")))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _digest(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"dup_clusters did not converge in {max_rounds} rounds")
+
+    reps = edges.select(F.col("lo").alias("id"), F.col("lo").alias("rep")).distinct()
+    return (
+        edges.select(F.col("hi").alias("id"), F.col("lo").alias("rep"))
+        .unionByName(reps)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

@@ -75,6 +75,32 @@ def test_exact_dedup(spark, docs):
     assert len(res) == 5
 
 
+def test_dup_clusters(spark):
+    from aqueduct_core_spark.functions.dedup import dup_clusters
+
+    # two components: a chain 1-2-3-4 (given in mixed orientation, with
+    # a duplicate and a self-pair) and a triangle 10-11-12
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (4, 3), (7, 7),
+         (10, 11), (11, 12), (12, 10)],
+        ["id_a", "id_b"],
+    )
+    got = {r["id"]: r["rep"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+    # empty input → empty output with the right columns
+    empty = dup_clusters(pairs.where(F.lit(False)))
+    assert empty.columns == ["id", "rep"] and empty.count() == 0
+
+    # long path (worst case for star rounds): 0-1-2-...-19
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], ["id_a", "id_b"]
+    )
+    out = dup_clusters(chain).collect()
+    assert {r["id"] for r in out} == set(range(20))
+    assert all(r["rep"] == 0 for r in out)
+
+
 def test_minhash_near_dup(spark, docs):
     from aqueduct_core_spark.functions.dedup import minhash_dedup
 
