@@ -154,6 +154,15 @@ def replay(
     # footer index over the caller's (unfiltered) scan, BEFORE the
     # window filters are applied — they would make the plan non-leaf
     file_index = _lsn_file_index(changes) if cfg.plan_stable_filters else None
+    # Plan-stable epochs only pay off when driver-side file pruning can
+    # replace the lost parquet pushdown.  For a non-leaf input (a
+    # projection/filter view over the log, e.g. a CDC mapping layer)
+    # there is no file index, and the bounds join would re-scan the
+    # ENTIRE source once per epoch — measured 4× slower than literal
+    # filters, whose range predicate Catalyst pushes through the
+    # projection into the scan (row-group pruning).  There, the
+    # per-epoch Janino recompile is the cheaper evil.
+    plan_stable = cfg.plan_stable_filters and file_index is not None
 
     pending = changes.where(F.col("lsn") >= start_lsn)
     if end_lsn is not None:
@@ -183,7 +192,7 @@ def replay(
         )
     metrics = []
     for r in ranges:
-        if cfg.plan_stable_filters:
+        if plan_stable:
             # trigger ranges are planned from the windowed rows, so the
             # [start, end] interval intersected with the window bounds
             # selects exactly the planned rows even from the raw files

@@ -25,7 +25,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_mode(spark, log, n_events: int, epochs: int, plan_stable: bool) -> list[float]:
+def _codegen_metrics(spark) -> tuple[int, float]:
+    """(compilation count, total compile ms) from the JVM-global
+    ``CodegenMetrics`` source — Janino recompiles measured directly,
+    immune to host wall-clock noise."""
+    cls = getattr(spark._jvm.org.apache.spark.metrics.source, "CodegenMetrics$")
+    m = getattr(cls, "MODULE$")
+    h = m.METRIC_COMPILATION_TIME()
+    # histogram of per-compilation milliseconds; count × mean ≈ total
+    return int(h.getCount()), h.getSnapshot().getMean()
+
+
+def run_mode(spark, log, n_events: int, epochs: int, plan_stable: bool) -> dict:
     from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
     from aqueduct_core_spark.config import EngineConfig
     from aqueduct_core_spark.streaming.pipeline import replay
@@ -39,8 +50,17 @@ def run_mode(spark, log, n_events: int, epochs: int, plan_stable: bool) -> list[
             max_bytes_per_trigger=8 * 1024 * 1024 * 1024,
             plan_stable_filters=plan_stable,
         )
+        c0, ms0 = _codegen_metrics(spark)
         metrics = replay(table, log, cfg, start_epoch=0, start_lsn=0)
-        return [m["epoch_sec"] for m in metrics]
+        c1, ms1 = _codegen_metrics(spark)
+        n_epochs = len(metrics)
+        return {
+            "epoch_secs": [m["epoch_sec"] for m in metrics],
+            "compilations": c1 - c0,
+            "compilations_per_epoch": round((c1 - c0) / max(1, n_epochs), 2),
+            # approximate (reservoir-sampled mean × count at each point)
+            "compile_ms_total": round(max(0.0, c1 * ms1 - c0 * ms0), 1),
+        }
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -69,22 +89,34 @@ def main() -> None:
         # warm shared costs (session JIT, scan of the log) once
         log.count()
 
+        # one plan-stable warmup pass compiles every shape the two modes
+        # share (scan, merge, commit); the measured passes then count
+        # only mode-specific compilations.  NOTE: literal mode cannot be
+        # self-warmed — a second identical replay would reuse the same
+        # inlined constants and hit the codegen cache, which production
+        # epochs (always-fresh lsn ranges) never do.
+        run_mode(spark, log, n, args.epochs, plan_stable=True)
         out = {}
         for plan_stable in (False, True):
             label = "plan_stable" if plan_stable else "literal_filters"
             out[label] = run_mode(spark, log, n, args.epochs, plan_stable)
-        for label, secs in out.items():
+        for label, r in out.items():
+            secs = r["epoch_secs"]
             steady = secs[1:] or secs
             print(f"{label}: epochs {['%.2f' % s for s in secs]}"
-                  f"  steady-state mean {sum(steady)/len(steady):.2f}s",
+                  f"  steady-state mean {sum(steady)/len(steady):.2f}s"
+                  f"  codegen compilations {r['compilations']}"
+                  f" ({r['compilations_per_epoch']}/epoch,"
+                  f" ~{r['compile_ms_total']} ms)",
                   file=sys.stderr)
         print(json.dumps({
             "events": n,
             "epochs": args.epochs,
             "cpus": args.cpus,
-            "epoch_secs": out,
+            "modes": out,
             "steady_mean": {
-                k: round(sum(v[1:]) / max(1, len(v) - 1), 3) for k, v in out.items()
+                k: round(sum(v["epoch_secs"][1:]) / max(1, len(v["epoch_secs"]) - 1), 3)
+                for k, v in out.items()
             },
         }))
     finally:
