@@ -296,6 +296,19 @@ def _q_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality gates: word-count + mean-word-
+    length bounds, duplicate-word fraction, top-bigram fraction → keep
+    flag.  One shuffle-free projection pass (the per-doc bigram mode is
+    a sorted-run-length array aggregate, not an explode+groupBy)."""
+    from aqueduct_core_spark.functions.text import gopher_quality_filter
+
+    return gopher_quality_filter(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "mean_word_len", "dup_word_frac",
+        "top_bigram_frac", "keep",
+    )
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.functions.similarity import cosine_topk
 
@@ -846,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": _q_exact_dedup,
         "doc_text_stats": _q_text_stats,
         "doc_subword_tokens": _q_subword_tokens,
+        "doc_quality_filter": _q_quality_filter,
         "emb_cosine_topk": _q_cosine_topk,
         "emb_knn_join": _q_knn_join,
         "doc_minhash_pairs": _q_minhash_pairs,
@@ -1047,6 +1061,47 @@ WHERE cluster_id IN (0,3,5)
         ),
         "doc_exact_dedup": exact_dedup,
         "doc_text_stats": text_stats,
+        "doc_quality_filter": r"""
+WITH w AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE string_split_regex(trim(text), '\s+') END AS ws
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+    len(ws) AS n_words,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE floor((CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                     / len(ws)) * 1000000 + 0.5) / 1000000 END AS mean_word_len,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE floor((1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+                    * 1000000 + 0.5) / 1000000 END AS dup_word_frac,
+    ws
+  FROM w
+),
+bg AS (
+  SELECT s.doc_id, s.ws[t.i] || ' ' || s.ws[t.i + 1] AS b
+  FROM stats s, UNNEST(range(1, len(s.ws))) AS t(i)
+),
+top AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS tot
+  FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+  GROUP BY doc_id
+)
+SELECT s.doc_id,
+  CAST(s.n_words AS INTEGER) AS n_words,
+  s.mean_word_len,
+  s.dup_word_frac,
+  COALESCE(floor((CAST(t.mx AS DOUBLE) / t.tot) * 1000000 + 0.5) / 1000000, 0.0)
+    AS top_bigram_frac,
+  (s.n_words >= 25 AND s.n_words <= 100000
+   AND s.mean_word_len >= 3.0 AND s.mean_word_len <= 10.0
+   AND s.dup_word_frac <= 0.60
+   AND COALESCE(floor((CAST(t.mx AS DOUBLE) / t.tot) * 1000000 + 0.5) / 1000000, 0.0)
+       <= 0.05) AS keep
+FROM stats s LEFT JOIN top t USING (doc_id)
+""",
         "doc_subword_tokens": """
 WITH t AS (
   SELECT doc_id,

@@ -97,6 +97,103 @@ def subword_token_count(col: Column, max_piece: int = 4) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
 
 
+def _max_run_of_sorted(arr: Column) -> Column:
+    """Highest multiplicity of any element in ``arr`` — computed as the
+    longest run of equal adjacent elements after ``array_sort``.
+
+    This is the zero-shuffle mode-count: an O(n log n) per-row sort plus
+    one linear ``aggregate`` pass, entirely inside whole-stage codegen.
+    The classic explode → groupBy(doc, gram) → max formulation shuffles
+    every n-gram of the corpus twice; at 100 TB that is the single
+    largest shuffle a quality-filter pass would run, and it buys nothing
+    — the mode is a per-document statistic.
+    """
+    sorted_arr = F.array_sort(arr)
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda s, x: F.struct(
+            x.alias("prev"),
+            F.when(s.prev.isNotNull() & (x == s.prev), s.run + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                s.best,
+                F.when(s.prev.isNotNull() & (x == s.prev), s.run + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda s: s.best,
+    )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    col: str = "text",
+    min_words: int = 25,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_dup_word_frac: float = 0.60,
+    max_top_bigram_frac: float = 0.05,
+) -> DataFrame:
+    """Gopher-style repetition/quality gates (Rae et al. 2021, §A1.1),
+    re-expressed as one shuffle-free projection:
+
+    - ``n_words`` ∈ [min_words, max_words]
+    - ``mean_word_len`` ∈ [min, max]
+    - ``dup_word_frac``  = 1 − distinct/total words ≤ threshold
+    - ``top_bigram_frac`` = count of the most frequent word bigram /
+      total bigrams ≤ threshold (the "most common n-gram character
+      fraction" rule, count-based)
+
+    Output: the input columns + the four signals (6-dp deterministic
+    rounding) + a ``keep`` boolean.  Every signal is a pure column
+    expression — the whole filter is a single scan pass with no
+    shuffle, no UDF, and full column pruning.
+    """
+    c = F.col(col)
+    words = tokens(c)
+    n = token_count(c)
+    # total word characters / word count (trim + collapse whitespace)
+    chars = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
+    mwl = F.when(n == 0, F.lit(0.0)).otherwise(round6(chars / n))
+    dwf = F.when(n == 0, F.lit(0.0)).otherwise(
+        round6(F.lit(1.0) - F.size(F.array_distinct(words)) / n)
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.slice(words, 1, F.size(words) - 1),
+            lambda w, i: F.concat(w, F.lit(" "), F.element_at(words, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tbf = F.when(F.size(bigrams) == 0, F.lit(0.0)).otherwise(
+        round6(_max_run_of_sorted(bigrams) / F.size(bigrams))
+    )
+    out = df.select(
+        "*",
+        n.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        dwf.alias("dup_word_frac"),
+        tbf.alias("top_bigram_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    )
+    return out.withColumn("keep", keep)
+
+
 def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """All stats in one projection — a single pass over the scan."""
     c = F.col(col)

@@ -65,6 +65,35 @@ def test_subword_token_count(spark, docs):
     assert row["n"] == 8
 
 
+def test_gopher_quality_filter(spark):
+    from aqueduct_core_spark.functions.text import gopher_quality_filter
+
+    base = "alpha bravo charlie delta echo " * 8  # 40 distinct-position words
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"word{i:02d}" for i in range(40))),  # diverse → keep
+            (2, "spam " * 40),                            # dup_word_frac 0.975
+            (3, "hi"),                                    # too short
+            (4, ""),                                      # empty
+            (5, base),                                    # repeated phrase → high bigram
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality_filter(df).collect()}
+    assert out[1]["keep"] is True and out[1]["dup_word_frac"] == 0.0
+    assert out[2]["keep"] is False and out[2]["dup_word_frac"] > 0.9
+    assert out[3]["keep"] is False and out[3]["n_words"] == 1
+    assert out[4]["keep"] is False and out[4]["n_words"] == 0
+    # "echo alpha" (etc.) repeats 7x of 39 bigrams → ~0.18 > 0.05
+    assert out[5]["keep"] is False and out[5]["top_bigram_frac"] > 0.05
+    # doc 1: every bigram unique → top fraction = 1/39
+    assert abs(out[1]["top_bigram_frac"] - round(1 / 39, 6)) < 1e-6
+
+    # the whole filter is one projection pass: no shuffle in the plan
+    plan = gopher_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_exact_dedup(spark, docs):
     from aqueduct_core_spark.functions.dedup import exact_dedup
 
