@@ -40,6 +40,7 @@ HEADLINE = [
     "cdc_byte_page",
     "doc_exact_dedup",
     "doc_text_stats",
+    "doc_quality_filter",
     "doc_minhash_pairs",
     "doc_simhash_candidates",
     "emb_cosine_topk",
