@@ -130,9 +130,19 @@ def bench_replay(spark, n_convs: int, work: str, input_path: str | None = None) 
            start_lsn=0, end_lsn=split, lsn_bounds=(lo, split))
     timed_events = n_events - log.where(F.col("lsn") <= split).count()
 
+    def _gc_ms() -> int:
+        """Cumulative JVM GC wall-ms (all collectors) — lets the scaling
+        harness see whether a level is GC-throttled rather than
+        engine-limited (a real 4N cluster has 4× the aggregate heap)."""
+        beans = spark._jvm.java.lang.management.ManagementFactory \
+            .getGarbageCollectorMXBeans()
+        return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+
+    gc0 = _gc_ms()
     t0 = time.time()
     metrics = replay(table, log, cfg, lsn_bounds=(split + 1, hi))
     dt = time.time() - t0
+    gc_ms = _gc_ms() - gc0
 
     # MOR read amplification: resolving base ∪ deltas costs extra
     # between folds — measure a full-state read before and after the
@@ -166,6 +176,7 @@ def bench_replay(spark, n_convs: int, work: str, input_path: str | None = None) 
         # flat steady-state epoch times = the plan-stable-filter
         # evidence (no per-epoch codegen recompile); see BENCH.md
         "epoch_secs": [m.get("epoch_sec") for m in metrics],
+        "gc_ms": int(gc_ms),
         "state_ok": bool(ok),
     }
 

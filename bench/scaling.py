@@ -29,8 +29,14 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, convs: int, work: str, input_path: str) -> dict:
+def run_level(cpus: int, convs: int, work: str, input_path: str,
+              mem_per_core_gb: int | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    if mem_per_core_gb:
+        # Hold heap-per-core constant across levels: a 4N-executor
+        # cluster has 4× the aggregate memory of an N-executor one, so
+        # a FIXED local heap size unfairly GC-throttles the large level.
+        env["AQUEDUCT_DRIVER_MEM"] = f"{mem_per_core_gb * cpus}g"
     # Pin the JVM to exactly `cpus` physical CPUs: an executor on a
     # real cluster is container-pinned to its cores, and without
     # pinning a "local[N]" JVM leaks GC/JIT/shuffle service threads
@@ -63,6 +69,10 @@ def main() -> None:
     # efficiency 0.37 from serial ~3 s; 10^6 convs → the real number)
     ap.add_argument("--convs", type=int, default=1_000_000)
     ap.add_argument("--repeat", type=int, default=3, help="take best of K per level")
+    ap.add_argument("--mem-per-core", type=int, default=None,
+                    help="heap GB per core (scales the JVM heap with the "
+                         "level, like executor memory scales with executor "
+                         "count on a real cluster); default: fixed 8g heap")
     args = ap.parse_args()
 
     levels = {}
@@ -86,7 +96,8 @@ def main() -> None:
     for i in range(args.repeat):
         for cpus in (args.n, 4 * args.n):
             work = f"{scratch}/aq-scale-{cpus}-{i}"
-            r = run_level(cpus, args.convs, work, input_path)
+            r = run_level(cpus, args.convs, work, input_path,
+                          mem_per_core_gb=args.mem_per_core)
             shutil.rmtree(work, ignore_errors=True)
             assert r["replay"]["state_ok"], f"state verify FAILED at local[{cpus}]"
             best = levels.get(cpus)
@@ -97,7 +108,7 @@ def main() -> None:
             # of this sample (the best-of-K estimator exists for this)
             load = os.getloadavg()[0]
             print(f"  rep {i} local[{cpus}]: {r['replay']['events_per_sec']} events/s"
-                  f" (host load {load:.1f})",
+                  f" (host load {load:.1f}, gc {r['replay'].get('gc_ms', -1)} ms)",
                   flush=True)
     for cpus in (args.n, 4 * args.n):
         best = levels[cpus]

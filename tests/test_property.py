@@ -119,3 +119,49 @@ def test_any_segmentation_any_strategy_converges(
         assert state_digest(table.read_internal()) == d0
 
     assert_state_equal(final_state_pdf(table), _EXPECTED)
+
+
+# ---------------------------------------------------------------------------
+# connected-components clustering vs a union-find oracle
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_dup_clusters_matches_union_find(spark, edges):
+    """For ANY pair list (self-loops, duplicates, any orientation), the
+    star-algorithm output equals the exact min-id-per-component from a
+    driver-side union-find."""
+    from aqueduct_core_spark.functions.dedup import dup_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            nodes.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in nodes}
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["id_a", "id_b"]).astype("int64")
+    )
+    got = {r["id"]: r["rep"] for r in dup_clusters(pairs).collect()}
+    assert got == expected
