@@ -73,6 +73,13 @@ def main() -> None:
                     help="heap GB per core (scales the JVM heap with the "
                          "level, like executor memory scales with executor "
                          "count on a real cluster); default: fixed 8g heap")
+    ap.add_argument("--max-load", type=float, default=None,
+                    help="wait (up to 5 min) for the 1-min load average to "
+                         "drop below this before each rep: tenant bursts "
+                         "contaminate the 4N level ~4x harder than N (8 "
+                         "busy cores collide with noise more often than 2), "
+                         "biasing efficiency DOWN; gating samples quiet "
+                         "windows for both levels equally")
     args = ap.parse_args()
 
     levels = {}
@@ -93,8 +100,17 @@ def main() -> None:
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     # interleave the levels (N, 4N, N, 4N, …) so slow host drift from
     # other tenants biases both levels equally, not one
+    import time as _time
+
     for i in range(args.repeat):
         for cpus in (args.n, 4 * args.n):
+            if args.max_load is not None:
+                deadline = _time.time() + 300
+                while os.getloadavg()[0] > args.max_load and _time.time() < deadline:
+                    _time.sleep(10)
+                if os.getloadavg()[0] > args.max_load:
+                    print(f"  rep {i} local[{cpus}]: proceeding despite load "
+                          f"{os.getloadavg()[0]:.1f} (gate timed out)", flush=True)
             work = f"{scratch}/aq-scale-{cpus}-{i}"
             r = run_level(cpus, args.convs, work, input_path,
                           mem_per_core_gb=args.mem_per_core)
