@@ -77,13 +77,20 @@ class EngineConfig:
     #: express each replay epoch's lsn-range slice as a broadcast join
     #: against a 1-row bounds relation instead of literal predicates.
     #: Literals are inlined into whole-stage-codegen source, so every
-    #: epoch's distinct range forced a serial Janino recompile (~1-2 s
-    #: at any parallelism — BENCH.md cost anatomy); the bounds-join plan
-    #: is identical across epochs and hits the codegen cache.  Scan
-    #: pruning is preserved driver-side via a parquet-footer file index
-    #: (see streaming.pipeline._epoch_batch).  Off = the literal-filter
-    #: formulation (kept for plan comparison/debugging).
-    plan_stable_filters: bool = True
+    #: epoch's distinct range misses the codegen cache — but the
+    #: measured recompile is only ~2 ms/unit (BENCH.md "Plan-stable
+    #: epoch filters": 4.4–5.3 compilations/epoch at ~2 ms vs 0.4–0.6
+    #: plan-stable), and warm steady-state throughput of the two modes
+    #: is equal within host noise (interleaved A/B at local[32]:
+    #: 6.8 s vs 6.8/5.2 s on a 5.7M-event epoch).  Default OFF: the
+    #: literal formulation keeps parquet pushdown (row-group skipping)
+    #: with the simpler plan and needs no bare-scan precondition.
+    #: Turn ON for plan-cache hygiene when a driver hosts thousands of
+    #: epochs or many concurrent streams (bounded codegen cache, no
+    #: compile storms); requires a bare-scan input for file pruning.
+    #: Manifest-based trigger planning and the footer file index run in
+    #: BOTH modes (streaming.pipeline.replay).
+    plan_stable_filters: bool = False
 
     # --- compaction / retention (reference: hourly cron, 30 d deletion
     # retention — application-prod.yml:36-40) --------------------------

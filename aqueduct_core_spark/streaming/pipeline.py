@@ -152,16 +152,22 @@ def replay(
     epoch = table.last_committed_epoch() + 1 if start_epoch is None else start_epoch
 
     # footer index over the caller's (unfiltered) scan, BEFORE the
-    # window filters are applied — they would make the plan non-leaf
-    file_index = _lsn_file_index(changes) if cfg.plan_stable_filters else None
-    # Plan-stable epochs only pay off when driver-side file pruning can
-    # replace the lost parquet pushdown.  For a non-leaf input (a
-    # projection/filter view over the log, e.g. a CDC mapping layer)
-    # there is no file index, and the bounds join would re-scan the
-    # ENTIRE source once per epoch — measured 4× slower than literal
-    # filters, whose range predicate Catalyst pushes through the
-    # projection into the scan (row-group pruning).  There, the
-    # per-epoch Janino recompile is the cheaper evil.
+    # window filters are applied — they would make the plan non-leaf.
+    # Built for EVERY replay over a bare scan: it powers zero-job
+    # manifest trigger planning and per-epoch file pruning regardless
+    # of the residual-predicate mode below.
+    file_index = _lsn_file_index(changes)
+    # Residual epoch predicate: literal `lsn BETWEEN` by default — it
+    # pushes into the parquet scan (row-group skipping, whole-stage
+    # codegen) and the per-epoch Janino recompile it causes measures
+    # ~2 ms/unit; warm steady-state throughput of both modes is equal
+    # within noise (BENCH.md "Plan-stable epoch filters").  The
+    # broadcast-bounds join (`cfg.plan_stable_filters`) trades that
+    # pushdown for a codegen-cache-stable plan — plan-cache hygiene for
+    # drivers hosting thousands of epochs / many concurrent streams —
+    # and requires the file index (a non-leaf input would re-scan the
+    # whole source every epoch — measured 4× slower on the full apply
+    # path, which is why it auto-falls-back to literals there).
     plan_stable = cfg.plan_stable_filters and file_index is not None
 
     pending = changes.where(F.col("lsn") >= start_lsn)
