@@ -33,11 +33,14 @@ print(n)
 
 
 def run_level(procs: int, secs: float) -> float:
+    # same high-core pinning as bench/scaling.py: low cores carry the
+    # other tenants' default taskset ranges
+    ncpu = os.cpu_count() or 32
     ps = []
     for i in range(procs):
         cmd = [sys.executable, "-c", LOOP, str(secs)]
         if os.path.exists("/usr/bin/taskset"):
-            cmd = ["taskset", "-c", str(i), *cmd]
+            cmd = ["taskset", "-c", str(ncpu - 1 - i), *cmd]
         ps.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
     total = 0
     for p in ps:

@@ -45,7 +45,13 @@ def run_level(cpus: int, convs: int, work: str, input_path: str,
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--replay-only",
            "--convs", str(convs), "--work", work, "--input", input_path]
     if os.path.exists("/usr/bin/taskset"):
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        # Pin to the HIGHEST-numbered cores: every tool that pins (other
+        # tenants included) defaults to cores 0..n-1, so low cores carry
+        # most of the external noise.  The cores are homogeneous (no SMT
+        # pairing, per lscpu), so the choice of physical cores does not
+        # change the engine comparison — only the collision rate.
+        ncpu = os.cpu_count() or 32
+        cmd = ["taskset", "-c", f"{ncpu - cpus}-{ncpu - 1}"] + cmd
     out = subprocess.run(
         cmd,
         env=env,

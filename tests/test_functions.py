@@ -93,6 +93,15 @@ def test_gopher_quality_filter(spark):
     plan = gopher_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
+    # the explode formulation must produce identical signals
+    cols = ["n_words", "mean_word_len", "dup_word_frac", "top_bigram_frac", "keep"]
+    alt = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_filter(df, bigram_method="explode").collect()
+    }
+    for d in out:
+        assert {k: alt[d][k] for k in cols} == {k: out[d][k] for k in cols}, d
+
 
 def test_exact_dedup(spark, docs):
     from aqueduct_core_spark.functions.dedup import exact_dedup
