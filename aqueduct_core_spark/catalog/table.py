@@ -36,8 +36,19 @@ BUCKET_COLUMN = "_bucket"
 
 def bucket_expr(num_buckets: int, col: str = "conv_id"):
     """Stable hash bucket of the conversation key (Iceberg
-    ``bucket(N, conv_id)`` analog; xxhash64 is Spark-native/JVM-side)."""
-    return F.pmod(F.xxhash64(F.col(col)), F.lit(num_buckets)).cast("int")
+    ``bucket(N, conv_id)`` analog).
+
+    Deliberately ``pmod(hash(col), N)`` — Spark's murmur3 with the
+    engine-wide seed 42 — because that is *exactly* the partition-index
+    formula of ``HashPartitioning`` (``Pmod(Murmur3Hash(exprs), N)``).
+    ``df.repartition(N, col("conv_id"))`` therefore lands every row in
+    the shuffle partition whose index EQUALS its bucket value: one
+    task = one bucket, no second bucket-routing shuffle, and no
+    collision skew (hashing the 32 bucket *values* into 32 partitions,
+    as a ``repartition(N, col("_bucket"))`` would, leaves ~1/e of the
+    partitions empty and piles 2-3 buckets on others — measured as a
+    3.2× max-vs-mean task-time tail in the delta-write stage)."""
+    return F.pmod(F.hash(F.col(col)), F.lit(num_buckets)).cast("int")
 
 
 class ParquetTranscriptTable:
@@ -217,9 +228,13 @@ class ParquetTranscriptTable:
             # bucket regardless of session parallelism: the file count
             # (and the driver's footer-stat reads) must not grow with
             # core count, and the layout stays byte-comparable across
-            # cluster sizes
-            df.repartition(self.num_buckets, F.col(BUCKET_COLUMN))
-            .sortWithinPartitions("conv_id", "turn_idx", "ts")
+            # cluster sizes.  Keyed on conv_id, not the bucket column:
+            # partition index == bucket value (see bucket_expr), so the
+            # partitions are collision-free and the leading-bucket sort
+            # below already satisfies the dynamic-partition write's
+            # required ordering (no second planner-inserted sort).
+            df.repartition(self.num_buckets, F.col("conv_id"))
+            .sortWithinPartitions(BUCKET_COLUMN, "conv_id", "turn_idx", "ts")
             .write.partitionBy(BUCKET_COLUMN)
             .parquet(stage)
         )
@@ -245,8 +260,9 @@ class ParquetTranscriptTable:
         out_dir = os.path.join(self.root, rel)
         (
             # one file per (bucket, isturn) at any parallelism — see
-            # write_bucket_data
-            staged_df.repartition(self.num_buckets, F.col(BUCKET_COLUMN))
+            # write_bucket_data (conv_id key ⇒ partition index ==
+            # bucket value, collision-free)
+            staged_df.repartition(self.num_buckets, F.col("conv_id"))
             .write.partitionBy(BUCKET_COLUMN, "_isturn")
             .parquet(out_dir)
         )

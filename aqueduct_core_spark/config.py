@@ -92,6 +92,20 @@ class EngineConfig:
     #: BOTH modes (streaming.pipeline.replay).
     plan_stable_filters: bool = False
 
+    # --- replay pipelining --------------------------------------------
+    #: number of replay epochs in flight at once (MOR strategy only;
+    #: 1 = fully sequential).  A MOR epoch's delta WRITE reads nothing
+    #: from the table — only its COMMIT must be ordered — so epoch N+1's
+    #: plan/scan/aggregate/write can run while epoch N finishes, hiding
+    #: the per-epoch serial driver work (Catalyst planning + job
+    #: submission, ~0.3-0.7 s/epoch measured) and letting N+1's tasks
+    #: fill N's straggler-tail cores (FIFO scheduling keeps N's tasks
+    #: at priority).  Commits are awaited strictly in epoch order on the
+    #: driver thread, so exactly-once bookkeeping and fold cadence are
+    #: unchanged.  The inline/staged strategies read committed state per
+    #: epoch and always run sequentially regardless of this knob.
+    replay_pipeline_depth: int = 2
+
     # --- compaction / retention (reference: hourly cron, 30 d deletion
     # retention — application-prod.yml:36-40) --------------------------
     tombstone_retention_hours: int = 30 * 24

@@ -94,18 +94,60 @@ def _lineage_json(scope: str, buckets: dict) -> str:
     return json.dumps({"scope": scope, "buckets": buckets}, sort_keys=True)
 
 
-def apply_batch(
+def mor_prepare(
     table: ParquetTranscriptTable,
     batch: DataFrame,
     epoch: int,
+    cfg: EngineConfig,
+) -> dict:
+    """Phase A of a (possibly pipelined) MOR epoch: schema-align,
+    LWW-resolve and WRITE the delta files — everything except the
+    ordered commit.  Reads nothing from table state but the schema
+    (stable within a replay: every batch is a slice of one source
+    DataFrame), so epoch N+1's phase A may run concurrently with epoch
+    N's tail (``EngineConfig.replay_pipeline_depth``).  The files it
+    writes are invisible until :func:`apply_batch` commits them; on a
+    crash they are unreferenced orphans (``remove_orphan_files``)."""
+    import time as _time
+
+    t0 = _time.time()
+    table_fields = table.schema().fields
+    new_fields, added_cols = evolve.evolve_table_fields(table_fields, batch)
+    batch = evolve.align_batch(batch, new_fields)
+    payload_cols = [
+        f.name for f in new_fields if f.name not in (*KEY_COLUMNS, LSN_COLUMN)
+    ]
+    staged_df = (
+        lww.unified_argmax(batch, payload_cols, cfg.salt_buckets)
+        .withColumn(BUCKET_COLUMN, bucket_expr(table.num_buckets))
+        .withColumn("_isturn", (F.col("_tkey") >= 0).cast("int"))
+    )
+    by_bucket, out_dir = table.write_delta_data(staged_df, f"epoch-{epoch}")
+    return {
+        "by_bucket": by_bucket,
+        "out_dir": out_dir,
+        "new_fields": new_fields,
+        "added_cols": added_cols,
+        "write_sec": round(_time.time() - t0, 3),
+    }
+
+
+def apply_batch(
+    table: ParquetTranscriptTable,
+    batch: DataFrame | None,
+    epoch: int,
     cfg: EngineConfig | None = None,
     batch_max_lsn: int | None = None,
+    prewritten: dict | None = None,
 ) -> dict:
     """Apply one micro-batch; returns the metrics/offsets row.
 
     ``batch_max_lsn``: the batch's known max lsn (trigger planning has
     it for free); when None the inline path computes it with one tiny
-    aggregate (parquet aggregate pushdown makes it metadata-only)."""
+    aggregate (parquet aggregate pushdown makes it metadata-only).
+    ``prewritten``: a :func:`mor_prepare` result — the delta files are
+    already on disk, only bookkeeping + the ordered commit remain
+    (``batch`` may be None then; MOR strategy only)."""
     cfg = cfg or EngineConfig()
     spark = table.spark
 
@@ -127,6 +169,17 @@ def apply_batch(
         }
 
     # ---- schema evolution (additive, metadata-only) ------------------
+    if prewritten is not None:
+        if cfg.merge_strategy != "mor":
+            raise ValueError("prewritten phase-A results are MOR-only")
+        new_fields, added_cols = prewritten["new_fields"], prewritten["added_cols"]
+        payload_cols = [
+            f.name for f in new_fields if f.name not in (*KEY_COLUMNS, LSN_COLUMN)
+        ]
+        return _apply_mor(
+            table, batch, epoch, cfg, new_fields, payload_cols, added_cols,
+            batch_max_lsn, prewritten=prewritten,
+        )
     table_fields = table.schema().fields
     new_fields, added_cols = evolve.evolve_table_fields(table_fields, batch)
     batch = evolve.align_batch(batch, new_fields)
@@ -160,6 +213,7 @@ def _apply_mor(
     payload_cols: list[str],
     added_cols: list[str],
     batch_max_hint: int | None = None,
+    prewritten: dict | None = None,
 ) -> dict:
     """Merge-on-read fast-append — the sustained-ingest default.
 
@@ -178,7 +232,7 @@ def _apply_mor(
     # streaming idle triggers (hint is None ⇔ not replay-planned) must
     # not commit a snapshot or advance the fold counter — otherwise an
     # idle stream churns snapshots and forces premature folds
-    if batch_max_hint is None and batch.isEmpty():
+    if prewritten is None and batch_max_hint is None and batch.isEmpty():
         return {
             "epoch": int(epoch),
             "last_lsn": table.last_committed_lsn(),
@@ -189,12 +243,15 @@ def _apply_mor(
             "state": PIPE_UP_TO_DATE,
             "added_columns": added_cols,
         }
-    staged_df = (
-        lww.unified_argmax(batch, payload_cols, cfg.salt_buckets)
-        .withColumn(BUCKET_COLUMN, bucket_expr(table.num_buckets))
-        .withColumn("_isturn", (F.col("_tkey") >= 0).cast("int"))
-    )
-    by_bucket, out_dir = table.write_delta_data(staged_df, f"epoch-{epoch}")
+    if prewritten is not None:
+        by_bucket, out_dir = prewritten["by_bucket"], prewritten["out_dir"]
+    else:
+        staged_df = (
+            lww.unified_argmax(batch, payload_cols, cfg.salt_buckets)
+            .withColumn(BUCKET_COLUMN, bucket_expr(table.num_buckets))
+            .withColumn("_isturn", (F.col("_tkey") >= 0).cast("int"))
+        )
+        by_bucket, out_dir = table.write_delta_data(staged_df, f"epoch-{epoch}")
     summary = table.stage_summary(out_dir)
     lineage = {
         str(b): {

@@ -196,26 +196,72 @@ def replay(
             overhead_per_msg=cfg.message_overhead_bytes,
             lsn_bounds=lsn_bounds,
         )
-    metrics = []
-    for r in ranges:
+    def _batch_for(r):
         if plan_stable:
             # trigger ranges are planned from the windowed rows, so the
             # [start, end] interval intersected with the window bounds
             # selects exactly the planned rows even from the raw files
-            batch = _epoch_batch(
+            return _epoch_batch(
                 changes,
                 max(r.start_lsn, start_lsn),
                 r.end_lsn if end_lsn is None else min(r.end_lsn, end_lsn),
                 file_index,
             )
-        else:
-            batch = pending.where(
-                (F.col("lsn") >= r.start_lsn) & (F.col("lsn") <= r.end_lsn)
-            )
+        return pending.where(
+            (F.col("lsn") >= r.start_lsn) & (F.col("lsn") <= r.end_lsn)
+        )
+
+    import time as _time
+
+    depth = max(1, int(cfg.replay_pipeline_depth)) if cfg.merge_strategy == "mor" else 1
+    metrics = []
+    if depth > 1 and len(ranges) > 1:
+        # Pipelined MOR replay: phase A (plan + scan + argmax + delta
+        # write — reads nothing from table state) runs up to `depth`
+        # epochs ahead on pool threads; phase B (footer bookkeeping +
+        # the atomic commit) stays on this thread, strictly in epoch
+        # order.  Hides per-epoch driver latency and lets the next
+        # epoch's tasks fill the current epoch's straggler tail (FIFO
+        # scheduling keeps the older job's tasks at priority).
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from aqueduct_core_spark.operators.merge import mor_prepare
+
+        pool = ThreadPoolExecutor(max_workers=depth)
+        futs: deque = deque()
+        try:
+            def _commit_oldest():
+                r, ep, fut = futs.popleft()
+                prew = fut.result()
+                t0 = _time.time()
+                m = apply_batch(
+                    table, None, epoch=ep, cfg=cfg,
+                    batch_max_lsn=r.end_lsn, prewritten=prew,
+                )
+                m["epoch_sec"] = round(_time.time() - t0 + prew["write_sec"], 3)
+                m["write_sec"] = prew["write_sec"]
+                m["pipelined"] = True
+                metrics.append(m)
+
+            for r in ranges:
+                while len(futs) >= depth:
+                    _commit_oldest()
+                batch = _batch_for(r)
+                futs.append(
+                    (r, epoch, pool.submit(mor_prepare, table, batch, epoch, cfg))
+                )
+                epoch += 1
+            while futs:
+                _commit_oldest()
+        finally:
+            pool.shutdown(wait=True, cancel_futures=True)
+        return metrics
+
+    for r in ranges:
+        batch = _batch_for(r)
         # trigger planning already knows the batch's max lsn — no
         # per-epoch max() job needed
-        import time as _time
-
         t0 = _time.time()
         m = apply_batch(table, batch, epoch=epoch, cfg=cfg, batch_max_lsn=r.end_lsn)
         # per-epoch wall time: with plan-stable filters, steady-state

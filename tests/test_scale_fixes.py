@@ -363,3 +363,26 @@ def test_iceberg_merge_sql_parses(spark):
     assert "ON t.conv_id = d.conv_id\n" in t.conv_delete_merge_sql().replace(
         "            ", ""
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucket routing must ride Spark's own partitioner (no second shuffle,
+# no collision skew): partition index == bucket value
+# ---------------------------------------------------------------------------
+
+def test_bucket_partition_alignment(spark):
+    from pyspark.sql import functions as F
+
+    n = 16
+    df = spark.range(2000).select(
+        F.concat(F.lit("conv-"), F.col("id")).alias("conv_id")
+    )
+    pairs = (
+        df.withColumn("b", bucket_expr(n))
+        .repartition(n, F.col("conv_id"))
+        .withColumn("p", F.spark_partition_id())
+        .select("b", "p")
+        .distinct()
+        .collect()
+    )
+    assert pairs and all(r["b"] == r["p"] for r in pairs)
