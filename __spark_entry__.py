@@ -320,7 +320,7 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = _embs(spark, sf_dir)
     probes = embs.where(F.col("vec_id") < 5)
-    return knn_join_bruteforce(embs, probes, k=5)
+    return knn_join_bruteforce(embs, probes, k=5, dim=64)
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

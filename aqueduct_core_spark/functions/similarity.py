@@ -1,9 +1,11 @@
 """Similarity search over embedding columns (array<float>).
 
 - :func:`cosine_topk` — brute-force cosine top-k against one query
-  vector: the correctness baseline.  The dot product is
-  ``aggregate(zip_with(...))`` — JVM-side, whole-stage codegen, no
-  Python; top-k is ``orderBy().limit()`` (Spark plans TakeOrderedAndProject,
+  vector: the correctness baseline.  The dot product is an unrolled
+  ``element_at`` product chain when the dimension is known (whole-stage
+  codegen; the ``aggregate(zip_with(...))`` fallback is CodegenFallback
+  — JVM-side but interpreted, ~10× slower per row); top-k is
+  ``orderBy().limit()`` (Spark plans TakeOrderedAndProject,
   a per-partition heap + driver merge, not a global sort).
 - :func:`knn_join_bruteforce` — all-pairs k-NN for a (small,
   broadcastable) probe set.
@@ -20,7 +22,66 @@ from pyspark.sql import Column, DataFrame, functions as F
 from aqueduct_core_spark.functions.text import round6
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _lit_d(x: float) -> str:
+    """SQL double literal with exact round-trip bits (repr is the
+    shortest string that parses back to the same double)."""
+    return f"{float(x)!r}D"
+
+
+def _dot_sql(a: str, b: str | list | tuple, dim: int) -> str:
+    """The unrolled dot product as ONE SQL expression string.
+
+    ``a`` is a column name (``array<float/double>``); ``b`` is another
+    column name or a constant vector (inlined as double literals).  The
+    ``+`` chain parses left-associative, which adds in exactly the same
+    order as the ``aggregate`` fold (``((0+x₁)+x₂)+…`` ≡ ``(x₁+x₂)+…``
+    in IEEE for finite x₁), so results are bit-identical to the
+    higher-order-function formulation and oracle hashes are unchanged.
+    """
+    terms = []
+    for i in range(1, int(dim) + 1):
+        ta = (
+            f"CAST(element_at({a}, {i}) AS DOUBLE)"
+            if isinstance(a, str)
+            else _lit_d(a[i - 1])
+        )
+        tb = (
+            f"CAST(element_at({b}, {i}) AS DOUBLE)"
+            if isinstance(b, str)
+            else _lit_d(b[i - 1])
+        )
+        terms.append(f"{ta} * {tb}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dot(a, b, dim: int | None = None) -> Column:
+    """Dot product of two array operands (column name, Column, or — for
+    ``b`` — a constant vector).
+
+    With ``dim`` known and string/constant operands (every production
+    call site — embeddings have a fixed dimension), the sum is unrolled
+    into an ``element_at`` product chain rendered as a single SQL string
+    (one py4j call; building the same tree node-by-node from Python
+    costs tens of seconds in py4j round trips): plain arithmetic that
+    whole-stage codegen compiles, ~10× faster per row than the
+    higher-order-function fallback (``ArrayAggregate``/``ZipWith`` are
+    CodegenFallback — interpreted Catalyst eval, JVM-side but outside
+    codegen).  Bit-identical results either way (see :func:`_dot_sql`).
+    """
+    if (
+        dim is not None
+        and isinstance(a, (str, list, tuple))
+        and isinstance(b, (str, list, tuple))
+    ):
+        return F.expr(_dot_sql(a, b, dim))
+    if isinstance(a, str):
+        a = F.col(a)
+    elif isinstance(a, (list, tuple)):
+        a = F.array(*[F.lit(float(x)) for x in a])
+    if isinstance(b, (list, tuple)):
+        b = F.array(*[F.lit(float(x)) for x in b])
+    elif isinstance(b, str):
+        b = F.col(b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -28,12 +89,15 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _norm(a, dim: int | None = None) -> Column:
+    return F.sqrt(_dot(a, a, dim))
 
 
-def cosine_sim(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def cosine_sim(a, b, dim: int | None = None) -> Column:
+    """Cosine similarity; operands as in :func:`_dot` — pass column
+    NAMES (and constant query vectors as lists) with ``dim`` to get the
+    codegen'd unrolled form."""
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
 def cosine_topk(
@@ -48,8 +112,7 @@ def cosine_topk(
     Deterministic tie-break on id so results are stable across
     parallelism levels.  Returns (id, sim) with sim rounded to 6 dp.
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    sim = round6(cosine_sim(F.col(vec_col), q))
+    sim = round6(cosine_sim(vec_col, list(query_vec), dim=len(query_vec)))
     return (
         df.select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
@@ -63,11 +126,14 @@ def knn_join_bruteforce(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """For each probe vector, its k nearest base vectors by cosine.
 
     The probe side is broadcast (it must be small); scoring is one pass
     over the base table; per-probe top-k via window row_number.
+    ``dim``: the embedding dimension, when known — unlocks the unrolled
+    codegen dot product (see :func:`_dot`).
     """
     from pyspark.sql.window import Window
 
@@ -79,7 +145,9 @@ def knn_join_bruteforce(
         .select(
             "probe_id",
             F.col(id_col).alias("neighbor_id"),
-            round6(cosine_sim(F.col(vec_col), F.col("probe_vec"))).alias("sim"),
+            round6(
+                cosine_sim(vec_col, "probe_vec", dim=dim)
+            ).alias("sim"),
         )
         .where(F.col("probe_id") != F.col("neighbor_id"))
     )
@@ -120,11 +188,19 @@ def query_bits(query_vec: list[float], n_planes: int, n_tables: int) -> list[int
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id from random hyperplanes (long)."""
+    """Sign-bit bucket id from random hyperplanes (long).
+
+    Deliberately the higher-order-function dot (no ``dim``): a bucket
+    projection evaluates ``n_planes × n_tables`` dots in ONE stage, and
+    the unrolled form's ~3000-term generated method blows
+    ``spark.sql.codegen.hugeMethodLimit`` — the whole stage then falls
+    back to interpreted eval of the giant trees, measured 49–83 s vs
+    14–18 s (HOF) vs 9.5 s (HOF buckets + unrolled pair-verify) on the
+    sf0.1 near-dup query.  Single-dot sites (cosine scoring, pair
+    verify) stay on the unrolled codegen form, which wins ~2× there."""
     acc = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(_dot(vec, arr) >= 0, F.lit(1).cast("long")).otherwise(
+        bit = F.when(_dot(vec, list(p)) >= 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         acc = acc.bitwiseOR(F.shiftleft(bit, i))
@@ -153,7 +229,7 @@ def lsh_index(
         rows.append(
             F.struct(
                 F.lit(t).alias("table"),
-                lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+                lsh_bucket(vec_col, planes).alias("bucket"),
             )
         )
     return df.select(
@@ -245,13 +321,12 @@ def lsh_topk_indexed(
     for h in hits[1:]:
         pred = pred | h
 
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     cand = (
         index.where(pred)
         .groupBy("id")
         .agg(F.first("vec").alias("vec"))
     )
-    sim = round6(cosine_sim(F.col("vec"), q))
+    sim = round6(cosine_sim("vec", list(query_vec), dim=len(query_vec)))
     return (
         cand.select(F.col("id").alias("vec_id"), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
@@ -390,9 +465,8 @@ def sketch_topk(
     # join back for the full-width vectors: only the m candidates are
     # ever scored at full precision (column pruning keeps the heavy
     # vec column out of stage 1's scan)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     rescored = cand.join(idx.select("id", "vec"), on="id", how="inner")
-    sim = round6(cosine_sim(F.col("vec"), q))
+    sim = round6(cosine_sim("vec", list(query_vec), dim=len(query_vec)))
     return (
         rescored.select(F.col("id").alias("vec_id"), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
@@ -424,11 +498,10 @@ def lsh_topk(
     cand = None
     for t, qbits in enumerate(query_bits(query_vec, n_planes, n_tables)):
         planes = _hyperplanes(dim, n_planes, seed=7 + t)
-        hit = lsh_bucket(F.col(vec_col), planes) == qbits
+        hit = lsh_bucket(vec_col, planes) == qbits
         cand = hit if cand is None else (cand | hit)
 
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    sim = round6(cosine_sim(F.col(vec_col), q))
+    sim = round6(cosine_sim(vec_col, list(query_vec), dim=len(query_vec)))
     return (
         df.where(cand)
         .select(F.col(id_col), sim.alias("sim"))
@@ -460,7 +533,7 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """1-based nearest-centroid cell id by inner product (first max
     wins ties) — a pure JVM expression tree, no Python."""
     dots = F.array(
-        *[_dot(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+        *[_dot(vec, list(c), dim=len(c)) for c in centroids]
     )
     return F.array_position(dots, F.array_max(dots)).cast("int")
 
@@ -515,8 +588,7 @@ def ivf_topk(
     column — partition pruning on a cell-clustered table), exact cosine
     rerank on the survivors only."""
     cells = ivf_probe_cells(query_vec, n_cells, n_probes, seed)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    sim = round6(cosine_sim(F.col("vec"), q))
+    sim = round6(cosine_sim("vec", list(query_vec), dim=len(query_vec)))
     return (
         index.where(F.col("cell").isin(cells))
         .select(F.col("id").alias("vec_id"), sim.alias("sim"))
@@ -558,7 +630,7 @@ def near_dup_pairs(
                 F.struct(
                     F.lit(t).alias("tbl"),
                     lsh_bucket(
-                        F.col(vec_col), _hyperplanes(dim, n_planes, seed=7 + t)
+                        vec_col, _hyperplanes(dim, n_planes, seed=7 + t)
                     ).alias("bucket"),
                 )
                 for t in range(n_tables)
@@ -581,7 +653,7 @@ def near_dup_pairs(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    sim = round6(cosine_sim(F.col("_va"), F.col("_vb")))
+    sim = round6(cosine_sim("_va", "_vb", dim=dim))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
