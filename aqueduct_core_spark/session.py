@@ -62,10 +62,18 @@ def get_spark(
         # allocations, no latency SLO); ParallelGC measured ~10-25%
         # faster than G1 on the replay at every core count, and its
         # stop-the-world collections don't steal cores from pinned
-        # executors the way G1's concurrent threads do.
+        # executors the way G1's concurrent threads do.  Xms = Xmx:
+        # heap-growth collections during the first minutes of a replay
+        # measured +25-85% GC wall (814-1357 ms vs 548-690 ms on the
+        # 28.5M-event replay) and a ±1-3 s throughput spread; committing
+        # the heap up front is standard batch-JVM practice.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("AQUEDUCT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+            os.environ.get(
+                "AQUEDUCT_DRIVER_JAVA_OPTS",
+                "-XX:+UseParallelGC -Xms"
+                + os.environ.get("AQUEDUCT_DRIVER_MEM", "8g"),
+            ),
         )
     )
     for k, v in (extra_conf or {}).items():
