@@ -55,10 +55,13 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark, sf_dir: str, best_of: int = 2) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str, best_of: int = 3) -> dict[str, float]:
     """Best-of-K per query (K ≥ 2): the host is multi-tenant with a
-    measured ±20% wall-clock noise, so single-shot timings conflate
-    drift with regressions (VERDICT r2 'noisy-floor regressions')."""
+    measured ±20% wall-clock noise — and occasional multi-minute tenant
+    bursts that can inflate a whole section 5× (observed twice in round
+    3) — so single-shot timings conflate drift with regressions
+    (VERDICT r2 'noisy-floor regressions').  K = 3 rides out bursts
+    that span both of two back-to-back reps."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
