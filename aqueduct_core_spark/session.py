@@ -28,6 +28,13 @@ def get_spark(
     if pkg_parent not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = f"{pkg_parent}{os.pathsep}{pp}" if pp else pkg_parent
 
+    # effective driver heap: extra_conf override > env > 8g default —
+    # Xms below must follow the SAME resolution or a smaller configured
+    # heap would produce Xms > Xmx and the JVM refuses to launch
+    driver_mem = (extra_conf or {}).get(
+        "spark.driver.memory", os.environ.get("AQUEDUCT_DRIVER_MEM", "8g")
+    )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("AQUEDUCT_MASTER", f"local[{cpus}]")
     shuffle_partitions = shuffle_partitions or int(
@@ -57,7 +64,7 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # Local mode: keep the UI off and the driver lean.
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("AQUEDUCT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
         # Throughput GC: the pipeline is batch-shaped (large short-lived
         # allocations, no latency SLO); ParallelGC measured ~10-25%
         # faster than G1 on the replay at every core count, and its
@@ -71,8 +78,7 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "AQUEDUCT_DRIVER_JAVA_OPTS",
-                "-XX:+UseParallelGC -Xms"
-                + os.environ.get("AQUEDUCT_DRIVER_MEM", "8g"),
+                f"-XX:+UseParallelGC -Xms{driver_mem}",
             ),
         )
     )
