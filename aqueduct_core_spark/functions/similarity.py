@@ -605,6 +605,7 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    persist_blocking: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked.
 
@@ -640,6 +641,18 @@ def near_dup_pairs(
     b = df.select(F.col(id_col).alias("id"), tb).select(
         "id", "tb.tbl", "tb.bucket"
     )
+    if persist_blocking:
+        # the self-join below would otherwise evaluate the blocking
+        # projection (n_planes × n_tables dots per vector) TWICE — one
+        # scan per join side; ReuseExchange does not apply across
+        # self-join scans.  The projection is three narrow columns
+        # (id, table, bucket — no vectors), so materializing it is
+        # cheap at any corpus size.  The cache lives for the session
+        # (the result is lazy, so it cannot be unpersisted here);
+        # callers doing one-shot batch jobs can pass False or
+        # `spark.catalog.clearCache()` afterwards.
+        b = b.persist()
+        b.count()
     cand = (
         b.alias("a")
         .join(
