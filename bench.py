@@ -175,7 +175,32 @@ def bench_replay(spark, n_convs: int, work: str, input_path: str | None = None) 
     read_after_fold_sec = time.time() - t3
 
     ok = consistency_sum(log) == table_consistency_sum(table.read_internal())
+
+    # Structured Streaming drain of the same log — the foreachBatch
+    # production path (readStream file source → apply_batch), timed
+    # end-to-end including checkpoint bookkeeping.  64 input files /
+    # maxFilesPerTrigger=16 → 4 micro-batches; sequential by contract
+    # (Structured Streaming owns the trigger loop), so this bounds the
+    # batch-replay number from below.
+    from aqueduct_core_spark.streaming.pipeline import run_available_now
+
+    stream_table = ParquetTranscriptTable.create(
+        spark, f"{work}/transcripts-stream", num_buckets=32
+    )
+    spark._jvm.System.gc()
+    t4 = time.time()
+    run_available_now(
+        spark, stream_table, log_path, f"{work}/ckpt-stream", cfg,
+        max_files_per_trigger=16,
+    )
+    stream_sec = time.time() - t4
+    stream_ok = consistency_sum(log) == table_consistency_sum(
+        stream_table.read_internal()
+    )
     return {
+        "stream_sec": round(stream_sec, 3),
+        "stream_events_per_sec": round(n_events / stream_sec, 1),
+        "stream_state_ok": bool(stream_ok),
         "events": n_events,
         "timed_events": timed_events,
         "sec": round(dt, 3),
