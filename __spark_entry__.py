@@ -46,6 +46,17 @@ emb_sketch_topk             Hamming-sketch scan + exact rerank (the
                             recall-engineered ANN path)
 media_real_decode           REAL WAV (RIFF/PCM) byte decode vs an
                             arithmetic oracle
+cdc_time_travel             snapshot time travel (VERSION AS OF analog):
+                            historical read from an immutable manifest
+cdc_changefeed              CDC change feed with before-images
+                            (create/update/delete classification)
+cdc_net_changes             net-changes collapse of an lsn window
+                            (Iceberg-changelog / Delta-CDF contract)
+cdc_asof_join               as-of join (latest conv-level event at-or-
+                            before each turn event) — single-window shape
+cdc_sessionize              gap-based sessionization per conversation
+doc_sample                  deterministic hash-bucket corpus sampling
+doc_top_bigrams             corpus top-k n-gram heavy hitters
 ==========================  =================================================
 
 Every query has a DuckDB oracle — zero ``no_oracle`` rows.
@@ -224,6 +235,75 @@ def _q_compact_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (Iceberg ``VERSION AS OF`` analog): replay
+    the first half of the log, remember the snapshot version, replay
+    the rest — then read the table AS OF the remembered version.  The
+    manifest is immutable, so the historical read returns exactly the
+    first half's merged state even though the table has moved on."""
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.schema import LSN_COLUMN
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    changes = load_changes(spark, sf_dir)
+    split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
+
+    root = tempfile.mkdtemp(prefix="aqueduct_time_travel_")
+    table = ParquetTranscriptTable.create(spark, root, num_buckets=16)
+    cfg = EngineConfig(
+        num_buckets=16,
+        max_events_per_trigger=150_000,
+        max_bytes_per_trigger=48 * 1024 * 1024,
+    )
+    replay(table, changes.where(F.col("lsn") < split), cfg,
+           start_epoch=0, start_lsn=0, lsn_bounds=(0, split - 1))
+    as_of = table.catalog.current_version()
+    replay(table, changes.where(F.col("lsn") >= split), cfg,
+           lsn_bounds=(split, split * 2 + 1))
+    return table.read_internal(version=as_of).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        F.col(LSN_COLUMN).alias("lsn"),
+    )
+
+
+def _q_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.sources.changes import changefeed
+
+    return changefeed(load_changes(spark, sf_dir))
+
+
+def _q_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.sources.changes import net_changes
+
+    return net_changes(load_changes(spark, sf_dir), start_lsn=2000, end_lsn=12000)
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: annotate every turn event with the conversation-level
+    tombstone watermark in effect at its lsn (the hierarchical-delete
+    relationship, expressed as a reusable as-of operator)."""
+    from aqueduct_core_spark.operators.temporal import asof_join_log
+
+    changes = load_changes(spark, sf_dir)
+    turns = changes.where(F.col("turn_idx").isNotNull()).select(
+        "lsn", "conv_id", "turn_idx", "op"
+    )
+    conv_del = changes.where(F.col("turn_idx").isNull()).select(
+        "conv_id", "lsn", F.col("lsn").alias("conv_del_lsn")
+    )
+    return asof_join_log(
+        turns, conv_del, keys=["conv_id"], ord_col="lsn",
+        right_payload=["conv_del_lsn"], suffix="",
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueduct_core_spark.operators.temporal import sessionize
+
+    return sessionize(load_changes(spark, sf_dir), gap_minutes=30)
+
+
 def _q_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.sources import changes as src
 
@@ -313,6 +393,25 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "mean_word_len", "dup_word_frac",
         "top_bigram_frac", "keep",
     )
+
+
+def _q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash-bucket sample of the corpus — shuffle-free
+    projection+filter, reproducible across runs/partitionings/engines
+    (the md5 bucket arithmetic reruns bit-exactly in the oracle)."""
+    from aqueduct_core_spark.functions.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), rate_pct=10, seed=42).select(
+        "doc_id", "sample_bucket"
+    )
+
+
+def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-50 word bigrams: the heavy-hitter/vocabulary query —
+    explode → partial-agg count → TakeOrderedAndProject top-k."""
+    from aqueduct_core_spark.functions.text import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=50)
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,6 +961,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_compact_log": _q_compact_log,
         "cdc_routing_filter": _q_routing,
         "cdc_tombstones": _q_tombstones,
+        "cdc_time_travel": _q_time_travel,
+        "cdc_changefeed": _q_changefeed,
+        "cdc_net_changes": _q_net_changes,
+        "cdc_asof_join": _q_asof_join,
+        "cdc_sessionize": _q_sessionize,
+        "doc_sample": _q_sample,
+        "doc_top_bigrams": _q_top_bigrams,
         "doc_exact_dedup": _q_exact_dedup,
         "doc_text_stats": _q_text_stats,
         "doc_subword_tokens": _q_subword_tokens,
@@ -1065,6 +1171,115 @@ WHERE cluster_id IN (0,3,5)
         "cdc_tombstones": oracle(
             "SELECT lsn, conv_id, turn_idx, cluster_id FROM changes WHERE op = 'D'"
         ),
+        "cdc_time_travel": oracle(
+            """
+mx AS (SELECT max(lsn) // 2 AS split FROM changes),
+half AS (SELECT c.* FROM changes c, mx WHERE c.lsn < mx.split),
+turns AS (SELECT * FROM half WHERE turn_idx IS NOT NULL),
+conv_del AS (
+  SELECT conv_id, max(lsn) AS cdl FROM half
+  WHERE turn_idx IS NULL AND op = 'D' GROUP BY conv_id
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM turns
+)
+SELECT w.conv_id, w.turn_idx, w.role, w.text, w.tool, w.ts, w.lsn
+FROM w LEFT JOIN conv_del ON w.conv_id = conv_del.conv_id
+WHERE rn = 1 AND op <> 'D' AND (cdl IS NULL OR w.lsn > cdl)
+"""
+        ),
+        "cdc_changefeed": oracle(
+            """
+t AS (
+  SELECT lsn, conv_id, turn_idx, op, text,
+    lag(text) OVER w AS prev_text,
+    lag(op) OVER w AS prev_op
+  FROM changes WHERE turn_idx IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY lsn)
+)
+SELECT lsn, conv_id, turn_idx, op, text, prev_text,
+  CASE WHEN op = 'D' THEN 'delete'
+       WHEN prev_op IS NULL THEN 'create'
+       ELSE 'update' END AS change_type
+FROM t
+"""
+        ),
+        "cdc_net_changes": oracle(
+            """
+turns AS (SELECT * FROM changes WHERE turn_idx IS NOT NULL AND lsn <= 12000),
+wi AS (
+  SELECT conv_id, turn_idx, lsn, op, role, text, tool, ts,
+    row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM turns WHERE lsn >= 2000
+),
+wp AS (
+  SELECT conv_id, turn_idx, op AS pre_op,
+    row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM turns WHERE lsn < 2000
+)
+SELECT i.conv_id, i.turn_idx,
+  CASE WHEN i.op = 'D' THEN 'D'
+       WHEN p.pre_op IS NOT NULL AND p.pre_op <> 'D' THEN 'U'
+       ELSE 'I' END AS net_op,
+  i.lsn, i.role, i.text, i.tool, i.ts
+FROM (SELECT * FROM wi WHERE rn = 1) i
+LEFT JOIN (SELECT * FROM wp WHERE rn = 1) p USING (conv_id, turn_idx)
+WHERE NOT (i.op = 'D' AND (p.pre_op IS NULL OR p.pre_op = 'D'))
+"""
+        ),
+        "cdc_asof_join": oracle(
+            """
+turns AS (
+  SELECT lsn, conv_id, turn_idx, op FROM changes WHERE turn_idx IS NOT NULL
+),
+cd AS (SELECT conv_id, lsn AS conv_del_lsn FROM changes WHERE turn_idx IS NULL)
+SELECT t.lsn, t.conv_id, t.turn_idx, t.op, cd.conv_del_lsn
+FROM turns t ASOF LEFT JOIN cd
+  ON t.conv_id = cd.conv_id AND t.lsn >= cd.conv_del_lsn
+"""
+        ),
+        "cdc_sessionize": oracle(
+            """
+t AS (
+  SELECT conv_id, ts, lsn,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM changes
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, lsn)
+),
+s AS (
+  SELECT conv_id, ts, lsn,
+    CAST(sum(new_s) OVER (
+      PARTITION BY conv_id ORDER BY ts, lsn ROWS UNBOUNDED PRECEDING
+    ) AS INTEGER) AS session_id
+  FROM t
+)
+SELECT conv_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+  min(ts) AS start_ts, max(ts) AS end_ts,
+  min(lsn) AS first_lsn, max(lsn) AS last_lsn
+FROM s GROUP BY conv_id, session_id
+"""
+        ),
+        "doc_sample": f"""
+SELECT doc_id,
+  CAST(({_dh('CAST(doc_id AS VARCHAR)', 42)} % 100) AS INTEGER) AS sample_bucket
+FROM documents
+WHERE ({_dh('CAST(doc_id AS VARCHAR)', 42)} % 100) < 10
+""",
+        "doc_top_bigrams": r"""
+WITH toks AS (
+  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+g AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS ngram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM g GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50
+""",
         "doc_exact_dedup": exact_dedup,
         "doc_text_stats": text_stats,
         "doc_quality_filter": r"""

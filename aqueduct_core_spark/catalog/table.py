@@ -129,9 +129,14 @@ class ParquetTranscriptTable:
         self,
         buckets: list[int] | None = None,
         schema: T.StructType | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """Snapshot-pinned, delta-resolved read; pruned to the given
-        buckets.
+        buckets.  ``version`` pins a HISTORICAL snapshot (time travel —
+        the Iceberg ``VERSION AS OF`` analog): the manifest is immutable
+        once written, so reading an old version is exactly as consistent
+        as reading the current one, for as long as
+        ``expire_snapshots``/``remove_orphan_files`` retain its files.
 
         Reading an explicit file list from one manifest = Iceberg
         snapshot isolation (reference REPEATABLE READ,
@@ -144,7 +149,7 @@ class ParquetTranscriptTable:
         merge-on-read analog; reference analog: the replica answers
         reads from the un-compacted event log, SQLiteQueries.java:77-99).
         """
-        snap = self.catalog.current()
+        snap = self.catalog.current() if version is None else self.catalog.load(version)
         wanted = None if buckets is None else {str(int(b)) for b in buckets}
         schema = schema or self.schema()
         base = self._base_df(snap, wanted, schema)
@@ -201,6 +206,11 @@ class ParquetTranscriptTable:
     def read(self) -> DataFrame:
         """Public table state (internal lsn column hidden)."""
         return self.read_internal().drop(LSN_COLUMN)
+
+    def read_as_of(self, version: int) -> DataFrame:
+        """Time travel: public table state at a historical snapshot
+        version (``catalog.history()`` lists retained versions)."""
+        return self.read_internal(version=version).drop(LSN_COLUMN)
 
     def read_offsets(self) -> DataFrame:
         snap = self.catalog.current()

@@ -245,3 +245,45 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
         detect_lang(c).alias("lang_pred"),
         fingerprint(c).alias("fp"),
     )
+
+
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """All word n-grams of normalized text, in order, WITH repeats
+    (array<string>; docs with fewer than ``n`` words → empty array).
+
+    Same normalization as :func:`aqueduct_core_spark.functions.dedup.
+    word_shingles` (lower, trim, whitespace collapse) so corpus n-gram
+    statistics and dedup shingles agree on token boundaries — but no
+    dedup and no short-doc fallback: counting wants every occurrence.
+    """
+    toks = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), size - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(size >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_ngrams(
+    df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level top-k n-grams by occurrence count (ties broken by
+    the n-gram string) — the heavy-hitter / vocabulary query a corpus
+    pipeline runs before tokenizer training.
+
+    Shape at scale: explode → hash aggregate WITH map-side partial
+    combine (the count collapses per partition before the shuffle — the
+    shuffle carries distinct n-grams, not occurrences) →
+    TakeOrderedAndProject for the top-k (per-partition heap + driver
+    merge of k rows, never a global sort).
+    """
+    g = df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"))
+    return (
+        g.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

@@ -1,0 +1,114 @@
+"""Event-time / log-order operators: as-of join and sessionization.
+
+Spark has no native as-of join; the classic range-join formulation
+(``r.ord <= l.ord`` + per-key argmax) explodes into an O(|L|·|R|)
+BroadcastNestedLoop or range join at scale.  :func:`asof_join_log`
+re-expresses it as ONE sort-based window over a tagged union — a
+single shuffle on the join key, linear work within each partition —
+the shape that survives a 100 TB log.
+
+Reference semantics: the hierarchical delete watermark is itself an
+as-of relationship ("the latest conversation-level tombstone at or
+below this event's offset" — the reference deletes everything
+at-or-below a parent deletion's offset,
+``/root/reference/pipe-storage-postgresql/.../PostgresqlStorage.java:479-493``);
+:func:`asof_join_log` generalizes that join shape to any
+(key, ordering, payload) triple.  Sessionization is the event-time
+grouping a transcript-analytics pipeline runs over conversation
+activity (the batch twin of Structured Streaming's session windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_log(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ord_col: str,
+    right_payload: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the payload of the latest right row
+    with the same key and ``right.ord <= left.ord`` (inclusive); null
+    when no such row exists.
+
+    Mechanics: tag both sides, union them (``allowMissingColumns``
+    fills the other side's columns with null), and run one
+    ``last(..., ignorenulls=True)`` window per payload column ordered
+    by ``(ord, side)`` with rows-unbounded-preceding frame.  Right rows
+    sort *before* left rows at equal ``ord``, so a right row at exactly
+    the left row's ordinate is visible to it (at-or-before).  Cost: one
+    hash shuffle on ``keys`` + an in-partition sort — no range-join
+    candidate explosion, and per-key skew is bounded by the largest
+    single key's history (the same bound every per-key window in the
+    engine already carries).
+    """
+    r = right.select(
+        *keys,
+        F.col(ord_col).alias(ord_col),
+        *[F.col(c).alias(c + suffix) for c in right_payload],
+    ).withColumn("_side", F.lit(0))
+    l = left.withColumn("_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ord_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix + "_f")
+            for c in right_payload
+        ],
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(c + suffix + "_f").alias(c + suffix) for c in right_payload
+    ]
+    return filled.where(F.col("_side") == 1).select(*out_cols)
+
+
+def sessionize(
+    changes: DataFrame,
+    gap_minutes: int = 30,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    ord_col: str = "lsn",
+) -> DataFrame:
+    """Gap-based sessions per key: a new session starts when the gap to
+    the previous event (event-time order, ``ord_col`` tiebreak) exceeds
+    ``gap_minutes``.  Returns one row per session: bounds, size, and
+    the lsn range it covers.
+
+    Two windows over the same (key → ts,lsn) sort — Spark plans ONE
+    shuffle + one sort and evaluates both window functions in a single
+    pass — then a hash aggregation on (key, session_id) with map-side
+    combine.  The batch twin of Structured Streaming's
+    ``session_window``; kept as plain expressions so the identical
+    semantics are oracle-checkable in SQL.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(ord_col).asc())
+    gap_s = F.col(ts_col).cast("long") - F.lag(F.col(ts_col)).over(w).cast("long")
+    new_session = F.when(
+        gap_s.isNull() | (gap_s > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(ord_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    tagged = changes.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(ord_col),
+        F.sum(new_session).over(cum).cast("int").alias("session_id"),
+    )
+    return tagged.groupBy(key_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        F.min(ord_col).alias("first_lsn"),
+        F.max(ord_col).alias("last_lsn"),
+    )

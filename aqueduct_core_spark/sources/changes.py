@@ -99,6 +99,89 @@ def max_offset_for_types(df: DataFrame, ops: list[str] | None) -> DataFrame:
     return type_filter(df, ops).agg(F.max("lsn").alias("max_offset_consumers"))
 
 
+def changefeed(df: DataFrame) -> DataFrame:
+    """CDC change feed with before-images: every turn-level change
+    paired with the value it replaced (the ``lag`` over the key's
+    lsn-ordered history) and classified as create/update/delete.
+
+    This is the downstream-consumer view of the log — the shape a
+    Debezium/Delta-CDF reader hands to a subscriber: ``(op, after,
+    before)`` per change, where ``before`` is NULL for the key's first
+    event.  One hash shuffle on the key + an in-partition sort; the
+    per-key window is the same bounded-skew shape as the LWW argmax
+    (reference analog: consumers replay the per-key event history in
+    offset order — StorageSpec.groovy:107-123).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("lsn").asc())
+    prev_text = F.lag("text").over(w)
+    prev_op = F.lag("op").over(w)
+    return (
+        df.where(F.col("turn_idx").isNotNull())
+        .select(
+            "lsn",
+            "conv_id",
+            "turn_idx",
+            "op",
+            "text",
+            prev_text.alias("prev_text"),
+            F.when(F.col("op") == OP_DELETE, F.lit("delete"))
+            .when(prev_op.isNull(), F.lit("create"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+        )
+    )
+
+
+def net_changes(df: DataFrame, start_lsn: int, end_lsn: int) -> DataFrame:
+    """Collapse the lsn window ``[start_lsn, end_lsn]`` to its NET
+    effect per turn key — the Iceberg-changelog / Delta-CDF "net
+    changes" contract a downstream incremental consumer wants:
+
+    - key created and deleted entirely inside the window → no row
+    - last in-window event is a delete, key existed before → ``'D'``
+    - last in-window event is data, key existed before → ``'U'``
+    - last in-window event is data, key is new → ``'I'``
+
+    "Existed before" = the key's pre-window LWW winner (``lsn <
+    start_lsn``) is a non-tombstone.  Both the in-window argmax and the
+    pre-window argmax ride in ONE conditional aggregation over one scan
+    — a single shuffle on the key, map-side partial agg, no join.
+    Conversation-level tombstones are not folded in (they collapse at
+    apply time via the hierarchical watermark — ``operators/lww.py``);
+    this operator summarizes the turn-event stream itself.
+    """
+    turns = df.where(F.col("turn_idx").isNotNull())
+    in_w = (F.col("lsn") >= start_lsn) & (F.col("lsn") <= end_lsn)
+    payload = ["op", "role", "text", "tool", "ts"]
+    w_in = F.max(F.when(in_w, F.struct("lsn", *payload))).alias("wi")
+    w_pre = F.max(
+        F.when(F.col("lsn") < start_lsn, F.struct("lsn", "op"))
+    ).alias("wp")
+    g = (
+        turns.where(F.col("lsn") <= end_lsn)
+        .groupBy("conv_id", "turn_idx")
+        .agg(w_in, w_pre)
+        .where(F.col("wi").isNotNull())
+    )
+    existed = F.col("wp").isNotNull() & (F.col("wp.op") != OP_DELETE)
+    is_del = F.col("wi.op") == OP_DELETE
+    return (
+        g.where(~(is_del & ~existed))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.when(is_del, F.lit("D"))
+            .when(existed, F.lit("U"))
+            .otherwise(F.lit("I"))
+            .alias("net_op"),
+            F.col("wi.lsn").alias("lsn"),
+            *[F.col(f"wi.{c}").alias(c) for c in ["role", "text", "tool", "ts"]],
+        )
+    )
+
+
 def global_latest_offset(df: DataFrame) -> int:
     """A1: ``SELECT max(msg_offset)`` (GlobalLatestOffsetCache.java:16).
     On the snapshot-manifest table this is free from the commit summary;

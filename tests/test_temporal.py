@@ -1,0 +1,246 @@
+"""Unit tests for the round-3 coverage additions: as-of join,
+sessionization, change feed, net changes, snapshot time travel,
+deterministic sampling, and corpus top-n-grams."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from aqueduct_core_spark.operators.temporal import asof_join_log, sessionize
+from aqueduct_core_spark.sources.changes import changefeed, net_changes
+
+UTC = dt.timezone.utc
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2026, 1, 1, 10, minute, second)
+
+
+# ---------------------------------------------------------------------------
+# asof_join_log
+# ---------------------------------------------------------------------------
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [("c1", 5), ("c1", 15), ("c1", 25), ("c2", 7)],
+        "conv_id string, lsn long",
+    )
+    right = spark.createDataFrame(
+        [("c1", 10, "m10"), ("c1", 20, "m20"), ("c3", 1, "mX")],
+        "conv_id string, lsn long, marker string",
+    )
+    out = asof_join_log(
+        left, right, keys=["conv_id"], ord_col="lsn", right_payload=["marker"]
+    )
+    got = {(r.conv_id, r.lsn): r.marker_asof for r in out.collect()}
+    assert got == {
+        ("c1", 5): None,       # before any right row
+        ("c1", 15): "m10",     # latest right at-or-before 15
+        ("c1", 25): "m20",
+        ("c2", 7): None,       # key with no right rows at all
+    }
+
+
+def test_asof_join_inclusive_at_equal_ord(spark):
+    left = spark.createDataFrame([("c1", 10)], "conv_id string, lsn long")
+    right = spark.createDataFrame(
+        [("c1", 10, "same")], "conv_id string, lsn long, marker string"
+    )
+    out = asof_join_log(
+        left, right, keys=["conv_id"], ord_col="lsn", right_payload=["marker"]
+    )
+    assert out.collect()[0].marker_asof == "same"
+
+
+# ---------------------------------------------------------------------------
+# sessionize
+# ---------------------------------------------------------------------------
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        ("c1", _ts(0), 1),
+        ("c1", _ts(10), 2),    # 10 min gap → same session
+        ("c1", _ts(50), 3),    # 40 min gap → new session
+        ("c1", _ts(55), 4),
+        ("c2", _ts(0), 5),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, lsn long")
+    out = sessionize(df, gap_minutes=30).orderBy("conv_id", "session_id").collect()
+    assert [(r.conv_id, r.session_id, r.n_events, r.first_lsn, r.last_lsn) for r in out] == [
+        ("c1", 1, 2, 1, 2),
+        ("c1", 2, 2, 3, 4),
+        ("c2", 1, 1, 5, 5),
+    ]
+    assert out[0].start_ts.replace(tzinfo=None) == _ts(0)
+    assert out[0].end_ts.replace(tzinfo=None) == _ts(10)
+
+
+def test_sessionize_boundary_is_exclusive(spark):
+    # exactly gap_minutes apart stays in ONE session (split needs > gap)
+    rows = [("c1", _ts(0), 1), ("c1", _ts(30), 2)]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, lsn long")
+    out = sessionize(df, gap_minutes=30).collect()
+    assert len(out) == 1 and out[0].n_events == 2
+
+
+# ---------------------------------------------------------------------------
+# changefeed
+# ---------------------------------------------------------------------------
+
+def test_changefeed_transitions(spark):
+    rows = [
+        (1, "c1", 0, "I", "v1"),
+        (2, "c1", 0, "U", "v2"),
+        (3, "c1", 0, "D", None),
+        (4, "c1", 1, "U", "w1"),   # first event for the key, op U → create
+        (5, "c1", None, "D", None),  # conv-level row: excluded from feed
+    ]
+    df = spark.createDataFrame(
+        rows, "lsn long, conv_id string, turn_idx int, op string, text string"
+    )
+    out = {r.lsn: r for r in changefeed(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1].change_type, out[1].prev_text) == ("create", None)
+    assert (out[2].change_type, out[2].prev_text) == ("update", "v1")
+    assert (out[3].change_type, out[3].prev_text) == ("delete", "v2")
+    assert (out[4].change_type, out[4].prev_text) == ("create", None)
+
+
+# ---------------------------------------------------------------------------
+# net_changes
+# ---------------------------------------------------------------------------
+
+def _chg(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "lsn long, conv_id string, turn_idx int, op string, role string, "
+        "text string, tool string, ts timestamp",
+    )
+
+
+def test_net_changes_cases(spark):
+    t0 = _ts(0)
+    rows = [
+        # key A: created+deleted entirely inside window → no net row
+        (10, "c1", 0, "I", "r", "a1", None, t0),
+        (11, "c1", 0, "D", None, None, None, t0),
+        # key B: existed before, updated in window → U
+        (1, "c1", 1, "I", "r", "b0", None, t0),
+        (12, "c1", 1, "U", "r", "b1", None, t0),
+        # key C: existed before, deleted in window → D
+        (2, "c1", 2, "I", "r", "c0", None, t0),
+        (13, "c1", 2, "D", None, None, None, t0),
+        # key D: new in window → I (even though the op is 'U')
+        (14, "c1", 3, "U", "r", "d1", None, t0),
+        # key E: pre-window winner was a delete, re-created in window → I
+        (3, "c2", 0, "I", "r", "e0", None, t0),
+        (4, "c2", 0, "D", None, None, None, t0),
+        (15, "c2", 0, "U", "r", "e1", None, t0),
+        # key F: only post-window events → excluded
+        (99, "c2", 1, "I", "r", "f1", None, t0),
+        # key G: only pre-window events → excluded
+        (5, "c2", 2, "I", "r", "g0", None, t0),
+    ]
+    out = net_changes(_chg(spark, rows), start_lsn=10, end_lsn=20)
+    got = {(r.conv_id, r.turn_idx): (r.net_op, r.lsn, r.text) for r in out.collect()}
+    assert got == {
+        ("c1", 1): ("U", 12, "b1"),
+        ("c1", 2): ("D", 13, None),
+        ("c1", 3): ("I", 14, "d1"),
+        ("c2", 0): ("I", 15, "e1"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# time travel
+# ---------------------------------------------------------------------------
+
+def test_time_travel_read(spark, tmp_table_dir):
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.schema import CHANGES_SCHEMA
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    t0 = _ts(0)
+    mk = lambda lsn, turn, op, text: (
+        lsn, op, "c1", turn, "user", text, None, t0, 100, 0, None
+    )
+    first = [mk(1, 0, "I", "v1"), mk(2, 1, "I", "w1")]
+    second = [mk(3, 0, "U", "v2"), mk(4, 1, "D", None)]
+    df1 = spark.createDataFrame(first, CHANGES_SCHEMA)
+    df2 = spark.createDataFrame(second, CHANGES_SCHEMA)
+
+    table = ParquetTranscriptTable.create(spark, tmp_table_dir, num_buckets=4)
+    cfg = EngineConfig(num_buckets=4)
+    replay(table, df1, cfg, start_epoch=0, start_lsn=0, lsn_bounds=(1, 2))
+    v1 = table.catalog.current_version()
+    replay(table, df2, cfg, lsn_bounds=(3, 4))
+
+    now = {(r.turn_idx): r.text for r in table.read().collect()}
+    assert now == {0: "v2"}  # turn 1 deleted, turn 0 updated
+
+    then = {(r.turn_idx): r.text for r in table.read_as_of(v1).collect()}
+    assert then == {0: "v1", 1: "w1"}  # the pre-second-replay state
+
+    # history lists both versions; as-of the current version == read()
+    assert v1 in table.catalog.history()
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_stable(spark):
+    from aqueduct_core_spark.functions.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = sorted(r.doc_id for r in hash_sample(df, rate_pct=10).collect())
+    s2 = sorted(r.doc_id for r in hash_sample(df.repartition(7), rate_pct=10).collect())
+    assert s1 == s2                      # partitioning-independent
+    assert 100 < len(s1) < 320           # ~10% of 2000, loose bounds
+    # different seed → a different (roughly independent) sample
+    s3 = sorted(r.doc_id for r in hash_sample(df, rate_pct=10, seed=7).collect())
+    assert s1 != s3
+    # nested sampling property: rate 5 is a subset of rate 10 (same seed)
+    s5 = sorted(r.doc_id for r in hash_sample(df, rate_pct=5).collect())
+    assert set(s5) <= set(s1)
+
+
+def test_stratified_hash_sample(spark):
+    from aqueduct_core_spark.functions.sampling import stratified_hash_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, "rare").otherwise("head").alias("lang"),
+    )
+    out = stratified_hash_sample(
+        df, rates={"rare": 100, "head": 5}, stratum_col="lang"
+    )
+    got = out.groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in got}
+    assert counts["rare"] == 100         # rate 100% keeps every rare row
+    assert 10 <= counts.get("head", 0) <= 120   # ~5% of 900
+
+
+# ---------------------------------------------------------------------------
+# top n-grams
+# ---------------------------------------------------------------------------
+
+def test_top_ngrams_counts_and_ties(spark):
+    from aqueduct_core_spark.functions.text import top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),
+            (1, "the cat ran"),
+            (2, "a  dog"),          # whitespace collapse → "a dog"
+            (3, "single"),          # < 2 tokens → contributes nothing
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = [(r.ngram, r.cnt) for r in top_ngrams(docs, n=2, k=3).collect()]
+    assert out[0] == ("the cat", 2)
+    # ties (count 1) broken by n-gram string ascending
+    assert out[1:] == [("a dog", 1), ("cat ran", 1)]
