@@ -125,3 +125,66 @@ def test_replay_scan_pushes_trigger_range(spark, log_path):
     pushed = plan.split("PushedFilters:")[1].split("]")[0]
     assert "GreaterThanOrEqual(lsn,16384" in pushed
     assert "LessThanOrEqual(lsn,32768" in pushed
+
+
+def test_asof_join_single_shuffle(spark, log_path):
+    """asof_join_log must plan ONE hash shuffle + one window — never a
+    range join / nested-loop candidate explosion."""
+    from aqueduct_core_spark.operators.temporal import asof_join_log
+
+    changes = spark.read.parquet(log_path)
+    turns = changes.where(F.col("turn_idx").isNotNull()).select(
+        "lsn", "conv_id", "turn_idx", "op"
+    )
+    cd = changes.where(F.col("turn_idx").isNull()).select(
+        "conv_id", "lsn", F.col("lsn").alias("conv_del_lsn")
+    )
+    plan = _plan(
+        asof_join_log(turns, cd, keys=["conv_id"], ord_col="lsn",
+                      right_payload=["conv_del_lsn"], suffix="")
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_net_changes_single_shuffle_no_join(spark, log_path):
+    """The in-window argmax + pre-window existence ride in one
+    conditional aggregation: one Exchange, zero joins."""
+    from aqueduct_core_spark.sources.changes import net_changes
+
+    plan = _plan(net_changes(spark.read.parquet(log_path), 100, 5000))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_top_ngrams_partial_agg_and_take_ordered(spark):
+    """Counts collapse map-side before the shuffle; top-k is
+    TakeOrderedAndProject (per-partition heap), not a global sort."""
+    from aqueduct_core_spark.functions.text import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b d")], "doc_id long, text string"
+    )
+    plan = _plan(top_ngrams(docs, n=2, k=5))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_sessionize_single_shuffle(spark, log_path):
+    """Both windows share one sort, and the per-session aggregation
+    reuses the window's conv_id partitioning — one Exchange total."""
+    from aqueduct_core_spark.operators.temporal import sessionize
+
+    plan = _plan(sessionize(spark.read.parquet(log_path), gap_minutes=30))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort") == 1, plan
+
+
+def test_hash_sample_is_shuffle_free(spark):
+    from aqueduct_core_spark.functions.sampling import hash_sample
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    plan = _plan(hash_sample(df, rate_pct=10))
+    assert "Exchange" not in plan, plan
