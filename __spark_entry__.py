@@ -430,10 +430,16 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-derived hash primitive: same pipeline shape as the xxhash64
-    # production default, but exactly reproducible in the DuckDB oracle
+    # production default, but exactly reproducible in the DuckDB oracle.
+    # min_input_partitions spreads the single-row-group test file so the
+    # shingle/hash map side uses every core (no-op on real multi-split
+    # corpora; measured 1.9× at sf0.1).
     from aqueduct_core_spark.functions.dedup import minhash_dedup
 
-    return minhash_dedup(_docs(spark, sf_dir), threshold=0.3, hash_method="md5")
+    return minhash_dedup(
+        _docs(spark, sf_dir), threshold=0.3, hash_method="md5",
+        min_input_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,14 +450,20 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same reachability with a recursive CTE."""
     from aqueduct_core_spark.functions.dedup import dup_clusters, minhash_dedup
 
-    pairs = minhash_dedup(_docs(spark, sf_dir), threshold=0.3, hash_method="md5")
+    pairs = minhash_dedup(
+        _docs(spark, sf_dir), threshold=0.3, hash_method="md5",
+        min_input_partitions=spark.sparkContext.defaultParallelism,
+    )
     return dup_clusters(pairs.select("id_a", "id_b"))
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.functions.dedup import simhash_candidates
 
-    return simhash_candidates(_docs(spark, sf_dir), band_bits=15, hash_method="md5")
+    return simhash_candidates(
+        _docs(spark, sf_dir), band_bits=15, hash_method="md5",
+        min_input_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

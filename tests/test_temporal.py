@@ -244,3 +244,19 @@ def test_top_ngrams_counts_and_ties(spark):
     assert out[0] == ("the cat", 2)
     # ties (count 1) broken by n-gram string ascending
     assert out[1:] == [("a dog", 1), ("cat ran", 1)]
+
+
+# ---------------------------------------------------------------------------
+# spread_small_input
+# ---------------------------------------------------------------------------
+
+def test_spread_small_input(spark):
+    from aqueduct_core_spark.functions.dedup import spread_small_input
+
+    one = spark.range(100).coalesce(1)
+    assert spread_small_input(one, 8).rdd.getNumPartitions() == 8
+    # already-wide input is untouched (no extra shuffle at scale)
+    wide = spark.range(100).repartition(16)
+    assert spread_small_input(wide, 8) is wide
+    # None disables even the partition check
+    assert spread_small_input(one, None) is one
