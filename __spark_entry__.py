@@ -513,7 +513,10 @@ def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     true duplicate collides in every table so dup recall → 1."""
     from aqueduct_core_spark.functions.similarity import near_dup_pairs
 
-    return near_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
+    return near_dup_pairs(
+        _embs(spark, sf_dir), threshold=0.4,
+        min_input_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

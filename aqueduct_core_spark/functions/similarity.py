@@ -606,6 +606,7 @@ def near_dup_pairs(
     id_col: str = "vec_id",
     dim: int = 64,
     persist_blocking: bool = True,
+    min_input_partitions: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked.
 
@@ -624,7 +625,15 @@ def near_dup_pairs(
     two vectors per surviving pair.  Reference semantics: the dedup
     companion to ``emb_lsh_topk`` (exact-verify-after-LSH, same shape
     as ``functions.dedup.minhash_dedup`` for text).
+    ``min_input_partitions``: spread a small/single-split input across
+    the cores before the bucket projection (n_planes × n_tables dots
+    per vector — the dominant map cost); see
+    :func:`aqueduct_core_spark.functions.dedup.spread_small_input`.
+    Measured 2.0× at sf0.1 local[32]; identical output.
     """
+    from aqueduct_core_spark.functions.dedup import spread_small_input
+
+    df = spread_small_input(df, min_input_partitions)
     tb = F.explode(
         F.array(
             *[
