@@ -476,10 +476,14 @@ def _q_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The precomputed-bucket-index variant of emb_lsh_topk — same
     candidates and scores (same oracle), but the scan path a clustered
     100 TB index would use."""
+    from aqueduct_core_spark.functions.dedup import spread_small_input
     from aqueduct_core_spark.functions.similarity import lsh_index, lsh_topk_indexed
 
     qv = _query_vec(spark, sf_dir)
-    idx = lsh_index(_embs(spark, sf_dir), dim=len(qv))
+    embs = spread_small_input(
+        _embs(spark, sf_dir), spark.sparkContext.defaultParallelism
+    )
+    idx = lsh_index(embs, dim=len(qv))
     return lsh_topk_indexed(idx, qv, k=20)
 
 
@@ -488,9 +492,13 @@ def _q_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures, exact cosine reranks only those — the path that meets
     recall ≥ 0.8 at ≤ 25% of vectors scored (bucket-LSH tops out at
     ~0.79 on these near-isotropic embeddings; curve in BENCH.md)."""
+    from aqueduct_core_spark.functions.dedup import spread_small_input
     from aqueduct_core_spark.functions.similarity import sketch_topk
 
-    return sketch_topk(_embs(spark, sf_dir), _query_vec(spark, sf_dir),
+    embs = spread_small_input(
+        _embs(spark, sf_dir), spark.sparkContext.defaultParallelism
+    )
+    return sketch_topk(embs, _query_vec(spark, sf_dir),
                        k=20, rerank_fraction=0.15)
 
 
@@ -499,10 +507,14 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     its 4 nearest cells (~25% of an evenly-split corpus), exact cosine
     rerank on survivors.  The standard inverted-file scale path next to
     the LSH and Hamming-sketch variants."""
+    from aqueduct_core_spark.functions.dedup import spread_small_input
     from aqueduct_core_spark.functions.similarity import ivf_index, ivf_topk
 
     qv = _query_vec(spark, sf_dir)
-    idx = ivf_index(_embs(spark, sf_dir), dim=len(qv))
+    embs = spread_small_input(
+        _embs(spark, sf_dir), spark.sparkContext.defaultParallelism
+    )
+    idx = ivf_index(embs, dim=len(qv))
     return ivf_topk(idx, qv, k=20)
 
 
