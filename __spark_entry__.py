@@ -56,6 +56,7 @@ cdc_asof_join               as-of join (latest conv-level event at-or-
                             before each turn event) — single-window shape
 cdc_sessionize              gap-based sessionization per conversation
 doc_sample                  deterministic hash-bucket corpus sampling
+doc_stratified_sample       per-language sampling rates, one projection
 doc_top_bigrams             corpus top-k n-gram heavy hitters
 ==========================  =================================================
 
@@ -404,6 +405,20 @@ def _q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(_docs(spark, sf_dir), rate_pct=10, seed=42).select(
         "doc_id", "sample_bucket"
     )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates (keep more of the rare languages,
+    less of the head) — still a pure projection+filter, zero shuffle."""
+    from aqueduct_core_spark.functions.sampling import stratified_hash_sample
+
+    return stratified_hash_sample(
+        _docs(spark, sf_dir),
+        rates={"en": 10, "zh": 100, "fr": 50},
+        stratum_col="lang",
+        default_rate_pct=20,
+        seed=42,
+    ).select("doc_id", "lang", "sample_bucket")
 
 
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -994,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_asof_join": _q_asof_join,
         "cdc_sessionize": _q_sessionize,
         "doc_sample": _q_sample,
+        "doc_stratified_sample": _q_stratified_sample,
         "doc_top_bigrams": _q_top_bigrams,
         "doc_exact_dedup": _q_exact_dedup,
         "doc_text_stats": _q_text_stats,
@@ -1293,6 +1309,16 @@ SELECT doc_id,
   CAST(({_dh('CAST(doc_id AS VARCHAR)', 42)} % 100) AS INTEGER) AS sample_bucket
 FROM documents
 WHERE ({_dh('CAST(doc_id AS VARCHAR)', 42)} % 100) < 10
+""",
+        "doc_stratified_sample": f"""
+WITH b AS (
+  SELECT doc_id, lang,
+    CAST(({_dh('CAST(doc_id AS VARCHAR)', 42)} % 100) AS INTEGER) AS sample_bucket
+  FROM documents
+)
+SELECT doc_id, lang, sample_bucket FROM b
+WHERE sample_bucket < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 100
+                                WHEN 'fr' THEN 50 ELSE 20 END
 """,
         "doc_top_bigrams": r"""
 WITH toks AS (
