@@ -381,15 +381,15 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality gates: word-count + mean-word-
     length bounds, duplicate-word fraction, top-bigram fraction → keep
     flag.  Two oracle-identical formulations exist (unit-tested equal);
-    this benches ``explode`` — two codegen'd hash aggs + broadcast-back
-    join, measured ~2× faster at sf0.1 on this CPU-rich host (4.3–5.0 s
-    vs 8.6–9.3 s for the zero-shuffle array fold, whose higher-order
-    functions are CodegenFallback).  A shuffle-bound cluster would pick
-    ``array`` instead — the trade is in BENCH.md."""
+    this benches ``array`` — the zero-shuffle per-row run-length fold,
+    measured fastest once the input is spread across the cores (0.63 s
+    vs 1.03 s explode at sf0.1 local[32]; the 1-task-era measurement
+    that favored explode is superseded — history in BENCH.md)."""
     from aqueduct_core_spark.functions.text import gopher_quality_filter
 
     return gopher_quality_filter(
-        _docs(spark, sf_dir), bigram_method="explode"
+        _docs(spark, sf_dir), bigram_method="array",
+        min_input_partitions=spark.sparkContext.defaultParallelism,
     ).select(
         "doc_id", "n_words", "mean_word_len", "dup_word_frac",
         "top_bigram_frac", "keep",
