@@ -48,6 +48,9 @@ media_real_decode           REAL WAV (RIFF/PCM) byte decode vs an
                             arithmetic oracle
 cdc_time_travel             snapshot time travel (VERSION AS OF analog):
                             historical read from an immutable manifest
+cdc_table_changes           table-level change feed between snapshot
+                            versions (Iceberg CDF analog) — the MOR
+                            delta files ARE the feed, zero extra writes
 cdc_changefeed              CDC change feed with before-images
                             (create/update/delete classification)
 cdc_net_changes             net-changes collapse of an lsn window
@@ -264,6 +267,42 @@ def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
            lsn_bounds=(split, split * 2 + 1))
     return table.read_internal(version=as_of).select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        F.col(LSN_COLUMN).alias("lsn"),
+    )
+
+
+def _q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level change feed (Iceberg CDF analog): replay the first
+    half of the log, remember the version, replay the second half as ONE
+    epoch — then read the RESOLVED changes committed since that version
+    straight from the manifest diff (zero write-side bookkeeping: the
+    MOR delta files are the feed).  One row per changed turn key (winner
+    op + after-image) plus the conversation-delete watermark rows."""
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.schema import LSN_COLUMN
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    changes = load_changes(spark, sf_dir)
+    split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
+
+    root = tempfile.mkdtemp(prefix="aqueduct_table_changes_")
+    table = ParquetTranscriptTable.create(spark, root, num_buckets=16)
+    # single-epoch halves (the oracle models per-key winners per half);
+    # fold disabled so the interval stays unfolded
+    cfg = EngineConfig(
+        num_buckets=16,
+        max_events_per_trigger=50_000_000,
+        max_bytes_per_trigger=16 * 1024 * 1024 * 1024,
+        mor_fold_every=10**9,
+    )
+    replay(table, changes.where(F.col("lsn") < split), cfg,
+           start_epoch=0, start_lsn=0, lsn_bounds=(0, split - 1))
+    v1 = table.catalog.current_version()
+    replay(table, changes.where(F.col("lsn") >= split), cfg,
+           lsn_bounds=(split, split * 2 + 1))
+    return table.changes_between(v1).select(
+        "conv_id", "turn_idx", "op", "role", "text", "tool", "ts",
         F.col(LSN_COLUMN).alias("lsn"),
     )
 
@@ -1004,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_routing_filter": _q_routing,
         "cdc_tombstones": _q_tombstones,
         "cdc_time_travel": _q_time_travel,
+        "cdc_table_changes": _q_table_changes,
         "cdc_changefeed": _q_changefeed,
         "cdc_net_changes": _q_net_changes,
         "cdc_asof_join": _q_asof_join,
@@ -1230,6 +1270,27 @@ w AS (
 SELECT w.conv_id, w.turn_idx, w.role, w.text, w.tool, w.ts, w.lsn
 FROM w LEFT JOIN conv_del ON w.conv_id = conv_del.conv_id
 WHERE rn = 1 AND op <> 'D' AND (cdl IS NULL OR w.lsn > cdl)
+"""
+        ),
+        "cdc_table_changes": oracle(
+            """
+mx AS (SELECT max(lsn) // 2 AS split FROM changes),
+h2 AS (SELECT c.* FROM changes c, mx WHERE c.lsn >= mx.split),
+t AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM h2 WHERE turn_idx IS NOT NULL
+),
+tw AS (
+  SELECT conv_id, turn_idx, op, role, text, tool, ts, lsn FROM t WHERE rn = 1
+),
+cd AS (
+  SELECT conv_id, CAST(NULL AS INTEGER) AS turn_idx, 'D' AS op,
+         CAST(NULL AS VARCHAR) AS role, CAST(NULL AS VARCHAR) AS text,
+         CAST(NULL AS VARCHAR) AS tool, CAST(NULL AS TIMESTAMP) AS ts,
+         max(lsn) AS lsn
+  FROM h2 WHERE turn_idx IS NULL GROUP BY conv_id
+)
+SELECT * FROM tw UNION ALL SELECT * FROM cd
 """
         ),
         "cdc_changefeed": oracle(

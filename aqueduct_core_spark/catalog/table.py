@@ -212,6 +212,76 @@ class ParquetTranscriptTable:
         version (``catalog.history()`` lists retained versions)."""
         return self.read_internal(version=version).drop(LSN_COLUMN)
 
+    def changes_between(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Table-level change feed (Iceberg CDF / Delta
+        ``table_changes`` analog): the RESOLVED changes committed to the
+        table between snapshot ``v_from`` (exclusive) and ``v_to``
+        (inclusive; default current) — one row per changed turn key
+        (op + after-image + winning lsn; op='D' rows are tombstones with
+        NULL payload) plus one op='D' row per conversation-level delete
+        watermark (turn_idx NULL).  Downstream consumers tail the TABLE
+        with this instead of re-reading the input log: the feed carries
+        winners, not raw events (a key updated 100× inside one epoch
+        appears once per epoch).
+
+        Zero extra bookkeeping at write time — the MOR delta files ARE
+        the change feed (``operators/lww.py:unified_argmax`` output),
+        so this is a manifest diff plus a scan of only the new delta
+        files.  Requires an unfolded interval: ``fold_deltas`` clusters
+        deltas into the base and rewrites history, so a fold (or any
+        base rewrite) between the versions raises instead of silently
+        under-reporting.  Size retention windows (``mor_fold_every``,
+        ``expire_snapshots``) to the feed's consumer lag, exactly as
+        Iceberg CDF does.
+        """
+        snap_a = self.catalog.load(v_from)
+        snap_b = self.catalog.current() if v_to is None else self.catalog.load(v_to)
+        if snap_a.get("files") != snap_b.get("files"):
+            raise ValueError(
+                "changes_between requires an unfolded interval: base files "
+                f"changed between v{v_from} and v{snap_b.get('version', v_to)} "
+                "(fold_deltas/compaction rewrote history)"
+            )
+        old = {f for fl in snap_a.get("delta_files", {}).values() for f in fl}
+        new_files = [
+            os.path.join(self.root, f)
+            for fl in snap_b.get("delta_files", {}).values()
+            for f in fl
+            if f not in old
+        ]
+        schema = self.schema()
+        payload = [
+            f for f in schema.fields
+            if f.name not in ("conv_id", "turn_idx", LSN_COLUMN)
+        ]
+        out_schema = T.StructType(
+            [
+                T.StructField("conv_id", T.StringType(), True),
+                T.StructField("turn_idx", T.IntegerType(), True),
+                T.StructField("op", T.StringType(), True),
+                *[T.StructField(f.name, f.dataType, True) for f in payload],
+                T.StructField(LSN_COLUMN, T.LongType(), True),
+            ]
+        )
+        if not new_files:
+            return self.spark.createDataFrame([], out_schema)
+        d = self.spark.read.schema(self.delta_read_schema(schema)).parquet(*new_files)
+        turns = d.where(F.col("_tkey") >= 0).select(
+            F.col("conv_id"),
+            F.col("_tkey").cast("int").alias("turn_idx"),
+            F.col("w.op").alias("op"),
+            *[F.col(f"w.{f.name}").alias(f.name) for f in payload],
+            F.col("w.lsn").alias(LSN_COLUMN),
+        )
+        convs = d.where((F.col("_tkey") == -1) & F.col("_dlsn").isNotNull()).select(
+            F.col("conv_id"),
+            F.lit(None).cast("int").alias("turn_idx"),
+            F.lit("D").alias("op"),
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload],
+            F.col("_dlsn").alias(LSN_COLUMN),
+        )
+        return turns.unionByName(convs)
+
     def read_offsets(self) -> DataFrame:
         snap = self.catalog.current()
         files = [os.path.join(self.root, p) for p in snap["offsets_files"]]

@@ -260,3 +260,63 @@ def test_spread_small_input(spark):
     assert spread_small_input(wide, 8) is wide
     # None disables even the partition check
     assert spread_small_input(one, None) is one
+
+
+# ---------------------------------------------------------------------------
+# table-level change feed (changes_between)
+# ---------------------------------------------------------------------------
+
+def test_changes_between_emits_resolved_winners(spark, tmp_table_dir):
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.schema import CHANGES_SCHEMA
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    t0 = _ts(0)
+    mk = lambda lsn, turn, op, text: (
+        lsn, op, "c1", turn, "user", text, None, t0, 100, 0, None
+    )
+    first = [mk(1, 0, "I", "v1")]
+    second = [
+        mk(3, 0, "U", "v2"), mk(4, 0, "U", "v3"),   # same key twice → winner only
+        mk(5, 1, "I", "w1"),
+        mk(6, 2, "D", None),                          # turn tombstone
+        (7, "D", "c2", None, None, None, None, t0, 89, 0, None),  # conv delete
+    ]
+    table = ParquetTranscriptTable.create(spark, tmp_table_dir, num_buckets=4)
+    cfg = EngineConfig(num_buckets=4, mor_fold_every=10**9)
+    replay(table, spark.createDataFrame(first, CHANGES_SCHEMA), cfg,
+           start_epoch=0, start_lsn=0, lsn_bounds=(1, 1))
+    v1 = table.catalog.current_version()
+    replay(table, spark.createDataFrame(second, CHANGES_SCHEMA), cfg,
+           lsn_bounds=(3, 7))
+
+    feed = {(r.conv_id, r.turn_idx): (r.op, r.text, r._lsn)
+            for r in table.changes_between(v1).collect()}
+    assert feed == {
+        ("c1", 0): ("U", "v3", 4),    # winner only, not the lsn-3 update
+        ("c1", 1): ("I", "w1", 5),
+        ("c1", 2): ("D", None, 6),    # turn tombstone is in the feed
+        ("c2", None): ("D", None, 7), # conv-delete watermark row
+    }
+    # empty interval → empty feed with the same schema
+    assert table.changes_between(table.catalog.current_version()).count() == 0
+
+
+def test_changes_between_refuses_folded_interval(spark, tmp_table_dir):
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.operators.compact import fold_deltas
+    from aqueduct_core_spark.schema import CHANGES_SCHEMA
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    t0 = _ts(0)
+    rows = [(1, "I", "c1", 0, "user", "v1", None, t0, 100, 0, None)]
+    table = ParquetTranscriptTable.create(spark, tmp_table_dir, num_buckets=4)
+    cfg = EngineConfig(num_buckets=4, mor_fold_every=10**9)
+    v0 = table.catalog.current_version()
+    replay(table, spark.createDataFrame(rows, CHANGES_SCHEMA), cfg,
+           start_epoch=0, start_lsn=0, lsn_bounds=(1, 1))
+    fold_deltas(table)
+    with pytest.raises(ValueError, match="unfolded"):
+        table.changes_between(v0)
