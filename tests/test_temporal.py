@@ -320,3 +320,50 @@ def test_changes_between_refuses_folded_interval(spark, tmp_table_dir):
     fold_deltas(table)
     with pytest.raises(ValueError, match="unfolded"):
         table.changes_between(v0)
+
+
+def test_feed_replication_cascade(spark, tmp_path):
+    """The reference's whole topology — central pipe → store-node sync —
+    expressed with the table feed: a REPLICA built purely by applying
+    the primary's changes_between feeds converges to the primary's
+    exact state.  The feed rows are already LWW winners keyed like the
+    change log, so apply_batch consumes them unchanged."""
+    from pyspark.sql import functions as F
+
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.operators.merge import apply_batch
+
+    log = generate_changes(spark, n_convs=60, seed=11)
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    split = mx // 2
+
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    cfg = EngineConfig(num_buckets=4, mor_fold_every=10**9)
+    primary = ParquetTranscriptTable.create(spark, str(tmp_path / "primary"), num_buckets=4)
+    v0 = primary.catalog.current_version()
+    replay(primary, log.where(F.col("lsn") < split), cfg, start_epoch=0, start_lsn=0)
+    v1 = primary.catalog.current_version()
+    replay(primary, log.where(F.col("lsn") >= split), cfg)
+    v2 = primary.catalog.current_version()
+
+    replica = ParquetTranscriptTable.create(spark, str(tmp_path / "replica"), num_buckets=4)
+    from aqueduct_core_spark.schema import LSN_COLUMN
+
+    for epoch, (a, b) in enumerate([(v0, v1), (v1, v2)]):
+        # the feed carries the table-internal lsn column; a consumer
+        # applying it downstream presents it as the log's lsn
+        feed = primary.changes_between(a, b).withColumnRenamed(LSN_COLUMN, "lsn")
+        apply_batch(replica, feed, epoch=epoch, cfg=cfg)
+
+    key = ["conv_id", "turn_idx"]
+    p = primary.read_internal().orderBy(key).toPandas()
+    r = replica.read_internal().orderBy(key).toPandas()
+    assert len(p) == len(r) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        p.reset_index(drop=True), r.reset_index(drop=True), check_dtype=False
+    )
