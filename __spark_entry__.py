@@ -61,6 +61,8 @@ cdc_sessionize              gap-based sessionization per conversation
 doc_sample                  deterministic hash-bucket corpus sampling
 doc_stratified_sample       per-language sampling rates, one projection
 doc_top_bigrams             corpus top-k n-gram heavy hitters
+doc_ngram_jaccard           exact n-gram Jaccard near-dup (inverted
+                            shingle index, df-capped blocking)
 ==========================  =================================================
 
 Every query has a DuckDB oracle — zero ``no_oracle`` rows.
@@ -496,6 +498,18 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-probabilistic near-dup: inverted shingle index (df-capped
+    blocking — never all-pairs) + exact Jaccard verify.  Complements
+    doc_minhash_pairs: same verify stage, deterministic candidates."""
+    from aqueduct_core_spark.functions.dedup import ngram_jaccard_dedup
+
+    return ngram_jaccard_dedup(
+        _docs(spark, sf_dir), threshold=0.3, max_df=16,
+        min_input_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components (alternating
     large-star/small-star) over the verified minhash near-dup pairs —
@@ -732,6 +746,32 @@ cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+ver AS (
+  SELECT c.id_a, c.id_b,
+    floor((len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles))))
+          * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
+"""
+
+
+def _ngram_jaccard_oracle(k: int = 3, threshold: float = 0.3,
+                          max_df: int = 16) -> str:
+    """Mirror of dedup.ngram_jaccard_dedup: ``ex`` is distinct (id, s)
+    by construction (shingles are list_distinct-ed per doc), so the
+    HAVING count is exact document frequency."""
+    return f"""
+WITH {_shingle_ctes(k)},
+rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= {max_df}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM ex a JOIN rare r ON a.s = r.s
+  JOIN ex b ON b.s = a.s AND a.id < b.id
 ),
 ver AS (
   SELECT c.id_a, c.id_b,
@@ -1058,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_cosine_topk,
         "emb_knn_join": _q_knn_join,
         "doc_minhash_pairs": _q_minhash_pairs,
+        "doc_ngram_jaccard": _q_ngram_jaccard,
         "doc_dup_clusters": _q_dup_clusters,
         "doc_simhash_candidates": _q_simhash,
         "emb_lsh_topk": _q_lsh_topk,
@@ -1453,6 +1494,7 @@ FROM t
         "emb_cosine_topk": cosine_topk,
         "emb_knn_join": knn_join,
         "doc_minhash_pairs": _minhash_oracle(),
+        "doc_ngram_jaccard": _ngram_jaccard_oracle(),
         "doc_dup_clusters": _dup_clusters_oracle(),
         "doc_simhash_candidates": _simhash_oracle(),
         "emb_lsh_topk": _lsh_topk_oracle(),

@@ -13,6 +13,9 @@ Four tiers, cheapest → most recall, all shuffle-conscious:
   = equal 16-bit bands, same banding trick).
 - :func:`ngram_jaccard` — exact Jaccard verification on candidate
   pairs (the expensive step, run only on LSH survivors).
+- :func:`ngram_jaccard_dedup` — the non-probabilistic member of the
+  family: inverted shingle index with a document-frequency cap as the
+  blocking key, then exact-Jaccard verify.
 
 Everything is built-in Spark SQL expressions (xxhash64, transform,
 aggregate, explode) — zero Python in the data plane.
@@ -259,6 +262,59 @@ def ngram_jaccard(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 64,
+    min_input_partitions: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via an inverted shingle index.
+
+    The blocking key is the shingle itself: a pair becomes a candidate
+    iff it shares at least one RARE shingle (document frequency ≤
+    ``max_df``).  The df cap is the scale guarantee — an inverted-index
+    bucket fans out at most ``max_df²`` pairs, so a stopword-ish shingle
+    appearing in 10⁶ docs never creates the 10¹²-pair reducer an
+    uncapped self-join would (same skew story as
+    :func:`lsh_candidate_pairs`' star cap, but preventive rather than
+    corrective).  Recall loss is confined to pairs ALL of whose shared
+    shingles are common; at k≥3 words a genuine near-duplicate
+    essentially always shares a rare shingle.  Candidates are verified
+    with exact set Jaccard (:func:`ngram_jaccard`).
+
+    Versus :func:`minhash_dedup`: no probabilistic misses (every pair
+    sharing a rare shingle is examined) at the cost of a wider candidate
+    set — the right tool below ~10⁸ documents or when the near-dup
+    policy must be exact.
+    """
+    df = spread_small_input(df, min_input_partitions)
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
+    )
+    # document frequency per shingle: shingles are distinct per doc
+    # (word_shingles array_distincts), so count(*) == countDistinct(id)
+    # and the groupBy gets map-side partial aggregation for free.
+    rare = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where(F.col("df_") <= max_df)
+        .select("s")
+    )
+    exr = ex.join(rare, "s")
+    pairs = (
+        exr.alias("a")
+        .join(exr.alias("b"), "s")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return ngram_jaccard(df, pairs, text_col, id_col, shingle_k, threshold)
 
 
 def spread_small_input(df: DataFrame, min_partitions: int | None) -> DataFrame:

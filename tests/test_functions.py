@@ -334,3 +334,33 @@ def test_lsh_giant_bucket_cap(spark):
     assert {(r.id_a, r.id_b) for r in allp.collect()} == {
         (r.id_a, r.id_b) for r in uncapped.collect()
     }
+
+
+def test_ngram_jaccard_dedup(spark, docs):
+    from aqueduct_core_spark.functions.dedup import ngram_jaccard_dedup
+
+    pairs = ngram_jaccard_dedup(
+        docs.where(F.col("doc_id") != 5), threshold=0.3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in got and (1, 3) in got  # deterministic: BOTH near-dup edges
+    assert all({a, b} != {0, 2} for a, b in got)  # unrelated not paired
+
+
+def test_ngram_jaccard_df_cap_bounds_fanout(spark):
+    from aqueduct_core_spark.functions.dedup import ngram_jaccard_dedup
+
+    # 100 docs all sharing one degenerate common shingle ("aaa bbb ccc")
+    # plus a per-doc unique tail: every pair shares ONLY the common
+    # shingle, whose df (100) exceeds max_df — so the inverted index
+    # drops the bucket and NO candidate (hence no 100·99/2 fan-out) is
+    # generated.  Two genuine near-dups sharing a rare shingle survive.
+    rows = [(i, f"aaa bbb ccc unique{i} tail{i} word{i}") for i in range(100)]
+    rows += [(1000, "rare shared shingle here exactly once more"),
+             (1001, "rare shared shingle here exactly once again")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ngram_jaccard_dedup(df, threshold=0.3, max_df=16).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1000, 1001) in got
+    assert all(a >= 1000 for a, _ in got), "common-shingle bucket leaked pairs"
