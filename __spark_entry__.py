@@ -63,6 +63,8 @@ doc_stratified_sample       per-language sampling rates, one projection
 doc_top_bigrams             corpus top-k n-gram heavy hitters
 doc_ngram_jaccard           exact n-gram Jaccard near-dup (inverted
                             shingle index, df-capped blocking)
+cdc_point_lookup            serving-path point read: driver-side murmur3
+                            bucket math prunes the scan to one bucket
 ==========================  =================================================
 
 Every query has a DuckDB oracle — zero ``no_oracle`` rows.
@@ -161,6 +163,30 @@ def _q_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_internal().select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         F.col(LSN_COLUMN).alias("lsn"),
+    )
+
+
+def _q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-path point lookup: replay the log into a bucketed table,
+    then read ONE conversation (the state's min conv_id) via
+    ``read_conversation`` — driver-side murmur3 bucket math prunes the
+    scan to 1/num_buckets of the table's files before the pushed
+    conv_id equality reads a row."""
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    changes = load_changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="aqueduct_point_lookup_")
+    table = ParquetTranscriptTable.create(spark, root, num_buckets=16)
+    replay(table, changes, EngineConfig(
+        num_buckets=16,
+        max_events_per_trigger=150_000,
+        max_bytes_per_trigger=48 * 1024 * 1024,
+    ))
+    cid = table.read().agg(F.min("conv_id")).collect()[0][0]
+    return table.read_conversation(cid).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
     )
 
 
@@ -1073,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merged_state": _q_merged_state,
         "cdc_apply_full": _q_apply_full,
         "cdc_lww_latest": _q_lww_latest,
+        "cdc_point_lookup": _q_point_lookup,
         "cdc_page": _q_page,
         "cdc_byte_page": _q_byte_page,
         "cdc_count_by_op": _q_count_by_op,
@@ -1268,6 +1295,13 @@ SELECT probe_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
         "cdc_merged_state": state_sql,
         "cdc_apply_full": apply_full,
         "cdc_lww_latest": lww_latest,
+        "cdc_point_lookup": oracle(
+            _STATE_BODY
+            + """
+SELECT conv_id, turn_idx, role, text, tool, ts FROM state
+WHERE conv_id = (SELECT min(conv_id) FROM state)
+"""
+        ),
         "cdc_page": page,
         "cdc_byte_page": byte_page,
         "cdc_count_by_op": oracle(

@@ -51,6 +51,65 @@ def bucket_expr(num_buckets: int, col: str = "conv_id"):
     return F.pmod(F.hash(F.col(col)), F.lit(num_buckets)).cast("int")
 
 
+def _mmh3_mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+    return (k1 * 0x1B873593) & 0xFFFFFFFF
+
+
+def _mmh3_mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+    return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+
+def _mmh3_fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def spark_hash(value: str | int, seed: int = 42) -> int:
+    """Driver-side mirror of Spark's ``F.hash`` (Murmur3 x86_32, seed
+    42) for string and long inputs — lets the driver compute a row's
+    hash bucket WITHOUT running a Spark job (point lookups, routing).
+
+    Spark's variant differs from canonical murmur3 in two ways this
+    mirror reproduces: longs hash as two little-endian 32-bit words
+    (``Murmur3_x86_32.hashLong``), and string tail bytes are each mixed
+    as a full sign-extended block (``hashUnsafeBytes``), not the
+    canonical 1-3-byte tail.  Equivalence with ``F.hash`` is pinned by
+    ``tests/test_point_lookup.py`` over both types.
+    """
+    h1 = seed & 0xFFFFFFFF
+    if isinstance(value, str):
+        data = value.encode("utf-8")
+        n = len(data)
+        aligned = n - n % 4
+        for i in range(0, aligned, 4):
+            h1 = _mmh3_mix_h1(h1, _mmh3_mix_k1(int.from_bytes(data[i : i + 4], "little")))
+        for i in range(aligned, n):
+            b = data[i]
+            if b >= 128:  # Java getByte is signed; sign-extend to 32 bits
+                b -= 256
+            h1 = _mmh3_mix_h1(h1, _mmh3_mix_k1(b & 0xFFFFFFFF))
+        return _mmh3_fmix(h1, n)
+    x = int(value) & 0xFFFFFFFFFFFFFFFF
+    h1 = _mmh3_mix_h1(h1, _mmh3_mix_k1(x & 0xFFFFFFFF))
+    h1 = _mmh3_mix_h1(h1, _mmh3_mix_k1(x >> 32))
+    return _mmh3_fmix(h1, 8)
+
+
+def bucket_of(value: str | int, num_buckets: int) -> int:
+    """Driver-side twin of :func:`bucket_expr`: the bucket a key lands
+    in, computed without a Spark job."""
+    return spark_hash(value) % num_buckets  # Python % IS pmod for +N
+
+
 class ParquetTranscriptTable:
     """Snapshot-versioned Parquet transcripts table."""
 
@@ -206,6 +265,22 @@ class ParquetTranscriptTable:
     def read(self) -> DataFrame:
         """Public table state (internal lsn column hidden)."""
         return self.read_internal().drop(LSN_COLUMN)
+
+    def read_conversation(self, conv_id: str | int) -> DataFrame:
+        """Point lookup: one conversation's current state, scanning only
+        its bucket's files — the serving-path read.  The bucket is
+        computed driver-side (:func:`bucket_of`, zero Spark jobs), so
+        the scan lists 1/num_buckets of the table's files; the residual
+        ``conv_id`` equality is pushed into the Parquet scan (grouping
+        keys pass through the MOR-resolve aggregate), where row-group
+        min/max stats prune further.  At 100 TB with 1024 buckets a
+        lookup touches ~0.1% of files before any row is read."""
+        b = bucket_of(conv_id, self.num_buckets)
+        return (
+            self.read_internal(buckets=[b])
+            .where(F.col("conv_id") == F.lit(conv_id))
+            .drop(LSN_COLUMN)
+        )
 
     def read_as_of(self, version: int) -> DataFrame:
         """Time travel: public table state at a historical snapshot
