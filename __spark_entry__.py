@@ -65,6 +65,8 @@ doc_ngram_jaccard           exact n-gram Jaccard near-dup (inverted
                             shingle index, df-capped blocking)
 cdc_point_lookup            serving-path point read: driver-side murmur3
                             bucket math prunes the scan to one bucket
+cdc_rollback                snapshot rollback: undo a bad epoch as a new
+                            commit; exactly-once watermark reverts too
 ==========================  =================================================
 
 Every query has a DuckDB oracle — zero ``no_oracle`` rows.
@@ -160,6 +162,36 @@ def _q_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
            start_epoch=0, start_lsn=0, lsn_bounds=(0, split - 1))
     replay(table, changes.where(F.col("lsn") >= split), cfg,
            lsn_bounds=(split, hi + 1))
+    return table.read_internal().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        F.col(LSN_COLUMN).alias("lsn"),
+    )
+
+
+def _q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback: apply the log in two halves, roll back the
+    second (the 'bad epoch'), return the state — which must equal the
+    first half's merged state exactly, with the exactly-once watermark
+    reverted so replay could re-apply the undone range."""
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.schema import LSN_COLUMN
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    changes = load_changes(spark, sf_dir)
+    split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
+    root = tempfile.mkdtemp(prefix="aqueduct_rollback_")
+    table = ParquetTranscriptTable.create(spark, root, num_buckets=16)
+    cfg = EngineConfig(
+        num_buckets=16,
+        max_events_per_trigger=150_000,
+        max_bytes_per_trigger=48 * 1024 * 1024,
+    )
+    replay(table, changes.where(F.col("lsn") < split), cfg,
+           start_epoch=0, start_lsn=0, lsn_bounds=(0, split - 1))
+    v_good = table.catalog.current_version()
+    replay(table, changes.where(F.col("lsn") >= split), cfg)
+    table.rollback(v_good)
     return table.read_internal().select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         F.col(LSN_COLUMN).alias("lsn"),
@@ -1100,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_full": _q_apply_full,
         "cdc_lww_latest": _q_lww_latest,
         "cdc_point_lookup": _q_point_lookup,
+        "cdc_rollback": _q_rollback,
         "cdc_page": _q_page,
         "cdc_byte_page": _q_byte_page,
         "cdc_count_by_op": _q_count_by_op,
@@ -1295,6 +1328,30 @@ SELECT probe_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
         "cdc_merged_state": state_sql,
         "cdc_apply_full": apply_full,
         "cdc_lww_latest": lww_latest,
+        "cdc_rollback": oracle(
+            """
+half AS (
+  SELECT * FROM changes
+  WHERE lsn < (SELECT max(lsn) // 2 FROM changes)
+),
+turns AS (SELECT * FROM half WHERE turn_idx IS NOT NULL),
+conv_del AS (
+  SELECT conv_id, max(lsn) AS conv_del_lsn
+  FROM half WHERE turn_idx IS NULL AND op = 'D' GROUP BY conv_id
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM turns
+),
+state AS (
+  SELECT w.conv_id, w.turn_idx, w.role, w.text, w.tool, w.ts, w.lsn
+  FROM w LEFT JOIN conv_del ON w.conv_id = conv_del.conv_id
+  WHERE rn = 1 AND op <> 'D'
+    AND (conv_del_lsn IS NULL OR w.lsn > conv_del_lsn)
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, lsn FROM state
+"""
+        ),
         "cdc_point_lookup": oracle(
             _STATE_BODY
             + """

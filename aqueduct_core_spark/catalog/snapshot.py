@@ -127,6 +127,38 @@ class SnapshotCatalog:
         self._swap_version(snap["snapshot_id"])
         return snap
 
+    def rollback(self, to_version: int) -> dict:
+        """Commit a NEW snapshot whose content is ``to_version``'s —
+        the Iceberg ``rollback_to_snapshot`` analog for undoing a bad
+        epoch.  History is preserved (the undone snapshots stay
+        readable until expired), the commit races through the same
+        O_EXCL manifest claim as any writer, and the exactly-once
+        stamp (``aqueduct.epoch``/``aqueduct.max-lsn`` in the summary)
+        and ``offsets_files`` revert with the target's content — so a
+        subsequent replay resumes from the rolled-back watermark and
+        re-applies the undone lsn range (idempotent under LWW replay
+        safety, T4/T5)."""
+        cur = self.current()
+        tgt = self.load(to_version)
+        snap = {
+            "snapshot_id": cur["snapshot_id"] + 1,
+            "parent_id": cur["snapshot_id"],
+            "schema": tgt["schema"],
+            "files": dict(tgt["files"]),
+            "delta_files": {
+                k: list(v) for k, v in tgt.get("delta_files", {}).items()
+            },
+            "offsets_files": list(tgt["offsets_files"]),
+            "summary": {
+                **tgt["summary"],
+                "aqueduct.rollback-of": cur["snapshot_id"],
+                "aqueduct.rollback-to": to_version,
+            },
+        }
+        self._write_manifest(snap)
+        self._swap_version(snap["snapshot_id"])
+        return snap
+
     # -- internals -----------------------------------------------------
     def _write_manifest(self, snap: dict) -> None:
         path = os.path.join(self._snap_dir, f"v{snap['snapshot_id']}.json")

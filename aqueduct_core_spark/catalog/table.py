@@ -266,6 +266,12 @@ class ParquetTranscriptTable:
         """Public table state (internal lsn column hidden)."""
         return self.read_internal().drop(LSN_COLUMN)
 
+    def rollback(self, to_version: int) -> dict:
+        """Undo commits by restoring ``to_version``'s content as a new
+        snapshot (:meth:`SnapshotCatalog.rollback`); replay after a
+        rollback resumes from the reverted epoch/lsn watermark."""
+        return self.catalog.rollback(to_version)
+
     def read_conversation(self, conv_id: str | int) -> DataFrame:
         """Point lookup: one conversation's current state, scanning only
         its bucket's files — the serving-path read.  The bucket is
