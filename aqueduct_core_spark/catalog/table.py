@@ -266,6 +266,39 @@ class ParquetTranscriptTable:
         """Public table state (internal lsn column hidden)."""
         return self.read_internal().drop(LSN_COLUMN)
 
+    def snapshots(self) -> DataFrame:
+        """Snapshot-history metadata table (Iceberg ``.snapshots``
+        analog): one row per retained version with its parentage,
+        exactly-once stamp, and file counts.  Metadata-only — reads
+        manifests, never data files."""
+        rows = []
+        for v in self.catalog.history():
+            snap = self.catalog.load(v)
+            s = snap.get("summary", {})
+            rows.append(
+                (
+                    int(snap["snapshot_id"]),
+                    None if snap.get("parent_id") is None else int(snap["parent_id"]),
+                    int(s.get("aqueduct.epoch", -1)),
+                    int(s.get("aqueduct.max-lsn", -1)),
+                    int(sum(len(f) for f in snap["files"].values())),
+                    int(sum(len(f) for f in snap.get("delta_files", {}).values())),
+                    None if "aqueduct.rollback-to" not in s else int(s["aqueduct.rollback-to"]),
+                )
+            )
+        schema = T.StructType(
+            [
+                T.StructField("version", T.LongType(), False),
+                T.StructField("parent", T.LongType(), True),
+                T.StructField("epoch", T.LongType(), False),
+                T.StructField("max_lsn", T.LongType(), False),
+                T.StructField("base_files", T.LongType(), False),
+                T.StructField("delta_files", T.LongType(), False),
+                T.StructField("rollback_to", T.LongType(), True),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def rollback(self, to_version: int) -> dict:
         """Undo commits by restoring ``to_version``'s content as a new
         snapshot (:meth:`SnapshotCatalog.rollback`); replay after a

@@ -67,3 +67,20 @@ def test_rollback_offsets_revert(spark, two_epoch_table):
     n_offsets_bad = table.read_offsets().count()
     table.rollback(v_good)
     assert table.read_offsets().count() < n_offsets_bad
+
+
+def test_snapshots_metadata_table(spark, two_epoch_table):
+    table, log, split, v_good = two_epoch_table
+    v_bad = table.catalog.current_version()
+    table.rollback(v_good)
+
+    snaps = {r["version"]: r for r in table.snapshots().collect()}
+    assert set(snaps) == set(table.catalog.history())
+    cur = snaps[table.catalog.current_version()]
+    assert cur["parent"] == v_bad
+    assert cur["rollback_to"] == v_good
+    assert cur["epoch"] == snaps[v_good]["epoch"]
+    assert cur["max_lsn"] == snaps[v_good]["max_lsn"]
+    # lineage chains: every non-root parent is a retained version
+    for r in snaps.values():
+        assert r["parent"] is None or r["parent"] in snaps
