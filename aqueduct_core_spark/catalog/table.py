@@ -688,6 +688,23 @@ class IcebergTranscriptTable:
               VALUES (s.conv_id, s.turn_idx, s.role, s.text, s.tool, s.ts, s.{LSN_COLUMN})
             """
 
+    def evolve_sql(
+        self, added: list[tuple[str, str]], widened: list[tuple[str, str]]
+    ) -> list[str]:
+        """Schema-evolution DDL for the evolutions
+        :mod:`aqueduct_core_spark.operators.evolve` computes —
+        ``added``/``widened`` are (column, spark-sql type) pairs.  Both
+        are metadata-only in Iceberg (spec §Schema Evolution: add
+        column, and the int→long / float→double / decimal-precision
+        widenings)."""
+        stmts = []
+        if added:
+            cols = ", ".join(f"{c} {t}" for c, t in added)
+            stmts.append(f"ALTER TABLE {self.identifier} ADD COLUMNS ({cols})")
+        for c, t in widened:
+            stmts.append(f"ALTER TABLE {self.identifier} ALTER COLUMN {c} TYPE {t}")
+        return stmts
+
     def conv_delete_merge_sql(self) -> str:
         """Conversation-level deletes against pre-existing state.
         Equi-ON + MATCHED-AND guard (not a non-equi ON): every engine

@@ -112,7 +112,9 @@ def mor_prepare(
 
     t0 = _time.time()
     table_fields = table.schema().fields
-    new_fields, added_cols = evolve.evolve_table_fields(table_fields, batch)
+    new_fields, added_cols, widened_cols = evolve.evolve_table_fields(
+        table_fields, batch
+    )
     batch = evolve.align_batch(batch, new_fields)
     payload_cols = [
         f.name for f in new_fields if f.name not in (*KEY_COLUMNS, LSN_COLUMN)
@@ -128,6 +130,7 @@ def mor_prepare(
         "out_dir": out_dir,
         "new_fields": new_fields,
         "added_cols": added_cols,
+        "widened_cols": widened_cols,
         "write_sec": round(_time.time() - t0, 3),
     }
 
@@ -173,15 +176,18 @@ def apply_batch(
         if cfg.merge_strategy != "mor":
             raise ValueError("prewritten phase-A results are MOR-only")
         new_fields, added_cols = prewritten["new_fields"], prewritten["added_cols"]
+        widened_cols = prewritten.get("widened_cols", [])
         payload_cols = [
             f.name for f in new_fields if f.name not in (*KEY_COLUMNS, LSN_COLUMN)
         ]
         return _apply_mor(
             table, batch, epoch, cfg, new_fields, payload_cols, added_cols,
-            batch_max_lsn, prewritten=prewritten,
+            batch_max_lsn, prewritten=prewritten, widened_cols=widened_cols,
         )
     table_fields = table.schema().fields
-    new_fields, added_cols = evolve.evolve_table_fields(table_fields, batch)
+    new_fields, added_cols, widened_cols = evolve.evolve_table_fields(
+        table_fields, batch
+    )
     batch = evolve.align_batch(batch, new_fields)
     payload_cols = [
         f.name
@@ -192,15 +198,16 @@ def apply_batch(
     if cfg.merge_strategy == "mor":
         return _apply_mor(
             table, batch, epoch, cfg, new_fields, payload_cols, added_cols,
-            batch_max_lsn,
+            batch_max_lsn, widened_cols=widened_cols,
         )
     if cfg.merge_strategy == "inline":
         return _apply_inline(
             table, batch, epoch, cfg, new_fields, payload_cols, added_cols,
-            batch_max_lsn,
+            batch_max_lsn, widened_cols=widened_cols,
         )
     return _apply_staged(
-        table, batch, epoch, cfg, new_fields, payload_cols, added_cols
+        table, batch, epoch, cfg, new_fields, payload_cols, added_cols,
+        widened_cols=widened_cols,
     )
 
 
@@ -214,6 +221,7 @@ def _apply_mor(
     added_cols: list[str],
     batch_max_hint: int | None = None,
     prewritten: dict | None = None,
+    widened_cols: list[str] | tuple = (),
 ) -> dict:
     """Merge-on-read fast-append — the sustained-ingest default.
 
@@ -288,10 +296,20 @@ def _apply_mor(
             cfg.prop_max_lsn: int(batch_max_lsn),
             "aqueduct.delta-epochs": delta_epochs,
             **({"aqueduct.added-columns": ",".join(added_cols)} if added_cols else {}),
+            **(
+                {"aqueduct.widened-columns": ",".join(widened_cols)}
+                if widened_cols
+                else {}
+            ),
         },
-        schema_fields=[f.jsonValue() for f in new_fields] if added_cols else None,
+        schema_fields=(
+            [f.jsonValue() for f in new_fields]
+            if (added_cols or widened_cols)
+            else None
+        ),
     )
     offsets_row["added_columns"] = added_cols
+    offsets_row["widened_columns"] = list(widened_cols)
 
     if cfg.mor_fold_every and delta_epochs >= cfg.mor_fold_every:
         from aqueduct_core_spark.operators.compact import fold_deltas
@@ -310,6 +328,7 @@ def _apply_inline(
     payload_cols: list[str],
     added_cols: list[str],
     batch_max_hint: int | None = None,
+    widened_cols: list[str] | tuple = (),
 ) -> dict:
     """One Spark job per epoch — the throughput path for batches whose
     keys span most buckets (the common case for CDC replay).
@@ -431,10 +450,20 @@ def _apply_inline(
             cfg.prop_max_lsn: int(batch_max_lsn),
             "aqueduct.delta-epochs": 0,
             **({"aqueduct.added-columns": ",".join(added_cols)} if added_cols else {}),
+            **(
+                {"aqueduct.widened-columns": ",".join(widened_cols)}
+                if widened_cols
+                else {}
+            ),
         },
-        schema_fields=[f.jsonValue() for f in new_fields] if added_cols else None,
+        schema_fields=(
+            [f.jsonValue() for f in new_fields]
+            if (added_cols or widened_cols)
+            else None
+        ),
     )
     offsets_row["added_columns"] = added_cols
+    offsets_row["widened_columns"] = list(widened_cols)
     return offsets_row
 
 
@@ -446,6 +475,7 @@ def _apply_staged(
     new_fields,
     payload_cols: list[str],
     added_cols: list[str],
+    widened_cols: list[str] | tuple = (),
 ) -> dict:
     """Bucket-pruned MERGE via a staging buffer — reads and rewrites
     only the buckets the batch touches; right for sparse batches."""
@@ -554,11 +584,21 @@ def _apply_staged(
                     if added_cols
                     else {}
                 ),
+                **(
+                    {"aqueduct.widened-columns": ",".join(widened_cols)}
+                    if widened_cols
+                    else {}
+                ),
             },
-            schema_fields=[f.jsonValue() for f in new_fields] if added_cols else None,
+            schema_fields=(
+                [f.jsonValue() for f in new_fields]
+                if (added_cols or widened_cols)
+                else None
+            ),
         )
         offsets_row["state"] = PIPE_UP_TO_DATE
         offsets_row["added_columns"] = added_cols
+        offsets_row["widened_columns"] = list(widened_cols)
         return offsets_row
     finally:
         table.drop_stage(staged_path)

@@ -106,3 +106,117 @@ def test_type_change_rejected():
 
     with pytest.raises(IncompatibleSchemaChange):
         evolve_table_fields(table_fields, FakeBatch())
+
+
+# ---------------------------------------------------------------------------
+# Type widening (Iceberg schema-evolution rules): int -> long,
+# float -> double, decimal precision growth — metadata-only; old narrow
+# parquet files read back through the widened schema (Spark 4 widening
+# type promotion in the parquet reader).
+# ---------------------------------------------------------------------------
+
+def test_widens_matrix():
+    import pyspark.sql.types as T
+
+    from aqueduct_core_spark.operators.evolve import widens
+
+    assert widens(T.IntegerType(), T.LongType())
+    assert widens(T.ShortType(), T.IntegerType())
+    assert widens(T.ByteType(), T.LongType())
+    assert widens(T.FloatType(), T.DoubleType())
+    assert widens(T.DecimalType(10, 2), T.DecimalType(18, 2))
+    assert not widens(T.LongType(), T.IntegerType())          # narrowing
+    assert not widens(T.DoubleType(), T.FloatType())          # narrowing
+    assert not widens(T.DecimalType(10, 2), T.DecimalType(18, 4))  # scale change
+    assert not widens(T.StringType(), T.LongType())           # unrelated
+    assert not widens(T.IntegerType(), T.DoubleType())        # not in Iceberg spec
+
+
+def test_type_widening_mid_stream(spark, tmp_table_dir):
+    """A payload column born int goes long mid-stream: the table field
+    widens in place, the old int32 files read back unrewritten, and a
+    later *narrower* (int again) batch is upcast on entry."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    cfg = EngineConfig(num_buckets=4)
+    table = ParquetTranscriptTable.create(spark, tmp_table_dir, num_buckets=4)
+    pdf = generate_changes_pdf(8, seed=7)
+    turns = pdf[pdf["turn_idx"].notna()]
+
+    # epoch 0: token_count arrives as INT (new column, additive)
+    e0 = turns.head(6).copy()
+    df0 = to_spark(spark, e0).withColumn("token_count", F.lit(11).cast("int"))
+    m0 = apply_batch(table, df0, epoch=0, cfg=cfg)
+    assert m0["added_columns"] == ["token_count"]
+    assert (
+        dict((f.name, f.dataType) for f in table.schema().fields)["token_count"]
+        == T.IntegerType()
+    )
+
+    # epoch 1: token_count arrives as BIGINT -> widened metadata-only
+    e1 = turns.tail(4).copy()
+    e1["lsn"] = e1["lsn"] + 50_000_000
+    e1["op"] = "U"
+    df1 = to_spark(spark, e1).withColumn(
+        "token_count", F.lit(3_000_000_000).cast("long")
+    )
+    m1 = apply_batch(table, df1, epoch=1, cfg=cfg)
+    assert m1["added_columns"] == []
+    assert m1["widened_columns"] == ["token_count"]
+    assert (
+        dict((f.name, f.dataType) for f in table.schema().fields)["token_count"]
+        == T.LongType()
+    )
+
+    # old int32 rows and the new long rows coexist; values intact
+    state = table.read().toPandas()
+    vals = set(state["token_count"].dropna().astype("int64"))
+    assert 11 in vals and 3_000_000_000 in vals
+
+    # epoch 2: a narrower (int) batch after widening is upcast on entry
+    e2 = turns.head(2).copy()
+    e2["lsn"] = e2["lsn"] + 90_000_000
+    e2["op"] = "U"
+    df2 = to_spark(spark, e2).withColumn("token_count", F.lit(7).cast("int"))
+    m2 = apply_batch(table, df2, epoch=2, cfg=cfg)
+    assert m2["widened_columns"] == []
+    state2 = table.read().toPandas()
+    assert 7 in set(state2["token_count"].dropna().astype("int64"))
+
+
+def test_key_column_widening_rejected():
+    import pyspark.sql.types as T
+
+    table_fields = [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("_lsn", T.LongType(), False),
+    ]
+
+    class FakeBatch:
+        schema = T.StructType(
+            [
+                T.StructField("conv_id", T.StringType(), False),
+                T.StructField("turn_idx", T.LongType(), False),  # key widened!
+                T.StructField("text", T.StringType(), True),
+            ]
+        )
+
+    with pytest.raises(IncompatibleSchemaChange):
+        evolve_table_fields(table_fields, FakeBatch())
+
+
+def test_iceberg_evolve_sql_parses(spark):
+    from aqueduct_core_spark.catalog.table import IcebergTranscriptTable
+
+    t = IcebergTranscriptTable(spark, "cat.db.transcripts")
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    stmts = t.evolve_sql(
+        added=[("model_name", "string"), ("token_count", "int")],
+        widened=[("token_count", "bigint")],
+    )
+    assert len(stmts) == 2
+    for sql in stmts:
+        parser.parsePlan(sql)  # raises ParseException on bad syntax
