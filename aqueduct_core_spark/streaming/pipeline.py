@@ -285,6 +285,31 @@ def _foreach_batch_fn(
     return fn
 
 
+def dedup_redeliveries(stream: DataFrame, within: str) -> DataFrame:
+    """Drop duplicate deliveries of the same change event (same lsn)
+    within and across micro-batches, keeping dedup state only
+    ``within`` of event time.
+
+    At-least-once transports (Kafka, Debezium, the reference's HTTP
+    long-poll re-reading after a timeout — HttpPipeClient.java:36-63)
+    re-deliver events.  The merge is already idempotent against them
+    (LWW by lsn + epoch stamps), so this stage is an *optimization*,
+    not a correctness requirement: it stops duplicate rows from paying
+    shuffle + merge cost downstream.  Implemented with Spark's own
+    ``dropDuplicatesWithinWatermark`` — state for an lsn is evicted
+    once the watermark passes its event time + ``within``, so state
+    size is bounded by the re-delivery horizon, not the stream length.
+    Conversation-level events with NULL ``ts`` use the trigger time as
+    their event time (the reference stamps these with the server clock
+    anyway, SQLiteQueries.java:52)."""
+    return (
+        stream.withColumn("_evt", F.coalesce(F.col("ts"), F.current_timestamp()))
+        .withWatermark("_evt", within)
+        .dropDuplicatesWithinWatermark(["lsn"])
+        .drop("_evt")
+    )
+
+
 def start_stream(
     spark: SparkSession,
     table: ParquetTranscriptTable,
@@ -295,17 +320,22 @@ def start_stream(
     processing_time: str | None = None,
     available_now: bool = False,
     record_metrics: bool = False,
+    dedup_within: str | None = None,
 ):
     """Continuous tail of a change-log directory via Structured
     Streaming.  Backpressure via ``maxFilesPerTrigger`` (the
     row/byte-budget analog at file granularity).  ``record_metrics``
     appends per-batch telemetry (T9 health/lag monitoring) to
-    ``<table root>/metrics/batches.jsonl``."""
+    ``<table root>/metrics/batches.jsonl``.  ``dedup_within`` (e.g.
+    ``"10 minutes"``) inserts :func:`dedup_redeliveries` ahead of the
+    merge."""
     cfg = cfg or EngineConfig()
     reader = spark.readStream.schema(CHANGES_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(changes_dir)
+    if dedup_within:
+        stream = dedup_redeliveries(stream, dedup_within)
 
     writer = (
         stream.writeStream.foreachBatch(_foreach_batch_fn(table, cfg, record_metrics))
@@ -328,6 +358,7 @@ def run_available_now(
     max_files_per_trigger: int | None = None,
     timeout_s: int = 3600,
     record_metrics: bool = False,
+    dedup_within: str | None = None,
 ) -> None:
     """Drain everything currently in the log, then stop (the
     bootstrap / catch-up mode; reference BootstrapType PIPE replay)."""
@@ -340,6 +371,7 @@ def run_available_now(
         max_files_per_trigger=max_files_per_trigger,
         available_now=True,
         record_metrics=record_metrics,
+        dedup_within=dedup_within,
     )
     try:
         q.awaitTermination(timeout_s)
