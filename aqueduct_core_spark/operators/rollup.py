@@ -1,0 +1,202 @@
+"""Incremental rollup: a continuous per-conversation aggregate
+maintained from the table-level change feed (dirty-group recompute).
+
+The consumer-side companion to the CDC core: downstream serving wants
+``per-conversation stats`` (turn count, character volume, first/last
+activity) without re-scanning a 10^10-row transcript table after every
+epoch.  The reference's consumers do the same thing against the pipe —
+tail the feed, maintain a local materialization (HttpPipeClient.java
+consumers; the replica tables themselves are such a materialization).
+
+**Why dirty-group recompute** (and not algebraic +/- deltas): the
+change feed carries after-images of *winners*, not pre-images
+(``catalog/table.py:changes_between``), so a sum can't be decremented
+when an update rewrites a turn's text.  Recomputing only the touched
+groups needs no pre-images, is exact for ANY aggregate (count, sum,
+min/max, distinct sketches), and is the standard lakehouse pattern —
+cost per refresh is O(changed conversations), never O(table):
+
+1. dirty = DISTINCT conv_id over ``changes_between(v0, v1)`` — the
+   manifest diff, reads only delta files committed in the interval;
+2. fresh = the rollup aggregate over current state **semi-joined to
+   dirty** (bucket-partitioned scan; Catalyst prunes);
+3. rewrite only the rollup buckets holding dirty conversations —
+   untouched buckets carry over by reference in the meta file (the
+   same per-bucket referencing the main table's snapshots use).
+
+Deleted conversations disappear naturally: a dirty conversation with
+no surviving state rows produces no fresh row and its old row is
+anti-joined away.
+
+If the interval was folded (``fold_deltas`` rewrites history, so the
+feed is unavailable — same contract as Iceberg CDF), refresh falls
+back to a FULL recompute and says so in its metrics.
+
+Single-writer, like every maintenance path here (fold, compaction):
+one refresh job at a time; the meta file swap is atomic (``os.replace``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+
+#: internal hive-partition column used for bucket-pruned rewrites
+_BUCKET = "_rbucket"
+
+
+def conv_rollup(state: DataFrame) -> DataFrame:
+    """The rollup definition: per-conversation aggregate over merged
+    transcript state (one input row per live turn)."""
+    return state.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("turns"),
+        F.sum(F.length("text")).alias("chars"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+class ConvRollup:
+    """Bucket-partitioned materialization of :func:`conv_rollup`,
+    refreshed incrementally from a :class:`ParquetTranscriptTable`'s
+    change feed."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- meta ------------------------------------------------------------
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "meta.json")
+
+    def _meta(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, root: str, num_buckets: int = 32
+    ) -> "ConvRollup":
+        os.makedirs(root, exist_ok=True)
+        r = cls(spark, root)
+        r._write_meta(
+            {"table_version": -1, "num_buckets": num_buckets, "bucket_dirs": {}}
+        )
+        return r
+
+    # -- read ------------------------------------------------------------
+    def last_table_version(self) -> int:
+        return int(self._meta()["table_version"])
+
+    def read(self) -> DataFrame:
+        """Current rollup contents (empty DataFrame before the first
+        refresh)."""
+        meta = self._meta()
+        paths = [
+            os.path.join(self.root, d, f"{_BUCKET}={b}")
+            for b, d in meta["bucket_dirs"].items()
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return self.spark.createDataFrame(
+                [], "conv_id string, turns bigint, chars bigint, "
+                    "first_ts timestamp, last_ts timestamp"
+            )
+        return self.spark.read.parquet(*paths)
+
+    # -- refresh ----------------------------------------------------------
+    def _bucket_col(self):
+        n = int(self._meta()["num_buckets"])
+        return F.pmod(F.hash(F.col("conv_id")), F.lit(n))
+
+    def refresh(self, table: ParquetTranscriptTable) -> dict:
+        """Bring the rollup up to the table's current snapshot.
+        Returns metrics: mode (incremental/full/noop), versions,
+        buckets rewritten."""
+        meta = self._meta()
+        v0 = int(meta["table_version"])
+        v1 = table.catalog.current_version()
+        if v1 == v0:
+            return {"mode": "noop", "from_version": v0, "to_version": v1,
+                    "buckets_rewritten": 0}
+
+        dirty = None
+        mode = "full"
+        if v0 >= 0:
+            try:
+                dirty = (
+                    table.changes_between(v0, v1)
+                    .select("conv_id")
+                    .distinct()
+                )
+                mode = "incremental"
+            except ValueError:
+                dirty = None  # interval folded/rewritten: CDF unavailable
+
+        state = table.read()
+        if dirty is not None:
+            fresh = conv_rollup(state.join(dirty, "conv_id", "leftsemi"))
+            affected = sorted(
+                r[0]
+                for r in dirty.select(
+                    self._bucket_col().alias("b")
+                ).distinct().collect()
+            )
+            kept_paths = [
+                os.path.join(self.root, meta["bucket_dirs"][str(b)], f"{_BUCKET}={b}")
+                for b in affected
+                if str(b) in meta["bucket_dirs"]
+            ]
+            kept_paths = [p for p in kept_paths if os.path.isdir(p)]
+            if kept_paths:
+                kept = self.spark.read.parquet(*kept_paths).join(
+                    dirty, "conv_id", "left_anti"
+                )
+                out = kept.unionByName(fresh)
+            else:
+                out = fresh
+        else:
+            fresh = conv_rollup(state)
+            affected = list(range(int(meta["num_buckets"])))
+            out = fresh
+
+        out_dir = f"data-v{v1}"
+        (
+            out.withColumn(_BUCKET, self._bucket_col())
+            .repartition(len(affected) or 1, F.col(_BUCKET))
+            .write.partitionBy(_BUCKET)
+            .parquet(os.path.join(self.root, out_dir))
+        )
+        meta["bucket_dirs"].update({str(b): out_dir for b in affected})
+        meta["table_version"] = v1
+        self._write_meta(meta)
+        return {
+            "mode": mode,
+            "from_version": v0,
+            "to_version": v1,
+            "buckets_rewritten": len(affected),
+        }
+
+    def expire(self) -> list[str]:
+        """Remove data-v* dirs no bucket references anymore (the
+        orphan-cleanup analog; same single-writer contract)."""
+        meta = self._meta()
+        live = set(meta["bucket_dirs"].values())
+        removed = []
+        for d in os.listdir(self.root):
+            if d.startswith("data-v") and d not in live:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+                removed.append(d)
+        return removed

@@ -1,0 +1,114 @@
+"""Incremental rollup (continuous per-conversation aggregate):
+dirty-group recompute from the table change feed must equal a full
+recompute after every refresh, rewrite only the buckets holding dirty
+conversations, and fall back to full recompute across a fold."""
+
+import pandas as pd
+import pytest
+
+from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+from aqueduct_core_spark.config import EngineConfig
+from aqueduct_core_spark.generator import generate_changes_pdf
+from aqueduct_core_spark.operators.merge import apply_batch
+from aqueduct_core_spark.operators.rollup import ConvRollup, conv_rollup
+from tests.test_merge import to_spark
+
+
+def _assert_rollup_equal(rollup: ConvRollup, table: ParquetTranscriptTable):
+    got = (
+        rollup.read().toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    want = (
+        conv_rollup(table.read())
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
+def test_incremental_refresh_equals_recompute(spark, tmp_path):
+    cfg = EngineConfig(num_buckets=8, mor_fold_every=10**9)
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=8)
+    pdf = generate_changes_pdf(40, seed=11)
+    n = len(pdf)
+    apply_batch(table, to_spark(spark, pdf.iloc[: n // 2]), epoch=0, cfg=cfg)
+
+    rollup = ConvRollup.create(spark, str(tmp_path / "r"), num_buckets=16)
+    m0 = rollup.refresh(table)
+    assert m0["mode"] == "full"
+    assert m0["buckets_rewritten"] == 16
+    _assert_rollup_equal(rollup, table)
+
+    # second half touches a subset of conversations -> incremental,
+    # bucket-pruned rewrite
+    apply_batch(table, to_spark(spark, pdf.iloc[n // 2 :]), epoch=1, cfg=cfg)
+    m1 = rollup.refresh(table)
+    assert m1["mode"] == "incremental"
+    _assert_rollup_equal(rollup, table)
+
+    # a tiny update batch touching ONE conversation rewrites few buckets
+    one = pdf[pdf["turn_idx"].notna()].head(1).copy()
+    one["lsn"] = one["lsn"] + 10_000_000_000
+    one["op"] = "U"
+    one["text"] = "rewritten"
+    apply_batch(table, to_spark(spark, one), epoch=2, cfg=cfg)
+    m2 = rollup.refresh(table)
+    assert m2["mode"] == "incremental"
+    assert m2["buckets_rewritten"] == 1
+    _assert_rollup_equal(rollup, table)
+
+    # no new commits -> noop
+    assert rollup.refresh(table)["mode"] == "noop"
+
+
+def test_deleted_conversation_leaves_rollup(spark, tmp_path):
+    cfg = EngineConfig(num_buckets=4, mor_fold_every=10**9)
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
+    pdf = generate_changes_pdf(10, seed=3)
+    apply_batch(table, to_spark(spark, pdf), epoch=0, cfg=cfg)
+    rollup = ConvRollup.create(spark, str(tmp_path / "r"), num_buckets=8)
+    rollup.refresh(table)
+    victim = rollup.read().select("conv_id").first()[0]
+
+    kill = pd.DataFrame(
+        [{
+            "lsn": int(pdf["lsn"].max()) + 1_000_000,
+            "op": "D",
+            "conv_id": victim,
+            "turn_idx": None,
+            "role": None, "text": None, "tool": None,
+            "ts": pdf["ts"].max(),
+            "event_size": 10, "cluster_id": 0, "location_group": None,
+        }]
+    )
+    apply_batch(table, to_spark(spark, kill), epoch=1, cfg=cfg)
+    m = rollup.refresh(table)
+    assert m["mode"] == "incremental"
+    assert rollup.read().where(f"conv_id = '{victim}'").count() == 0
+    _assert_rollup_equal(rollup, table)
+
+
+def test_fold_between_refreshes_falls_back_to_full(spark, tmp_path):
+    from aqueduct_core_spark.operators.compact import fold_deltas
+
+    cfg = EngineConfig(num_buckets=4, mor_fold_every=10**9)
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
+    pdf = generate_changes_pdf(10, seed=5)
+    n = len(pdf)
+    apply_batch(table, to_spark(spark, pdf.iloc[: n // 2]), epoch=0, cfg=cfg)
+    rollup = ConvRollup.create(spark, str(tmp_path / "r"), num_buckets=8)
+    rollup.refresh(table)
+
+    apply_batch(table, to_spark(spark, pdf.iloc[n // 2 :]), epoch=1, cfg=cfg)
+    fold_deltas(table)  # rewrites history: CDF over the interval is gone
+    m = rollup.refresh(table)
+    assert m["mode"] == "full"
+    _assert_rollup_equal(rollup, table)
+
+    # expire drops the unreferenced older data dirs
+    removed = rollup.expire()
+    assert all(d.startswith("data-v") for d in removed)
+    _assert_rollup_equal(rollup, table)
