@@ -51,6 +51,8 @@ cdc_time_travel             snapshot time travel (VERSION AS OF analog):
 cdc_table_changes           table-level change feed between snapshot
                             versions (Iceberg CDF analog) — the MOR
                             delta files ARE the feed, zero extra writes
+cdc_conv_rollup             incremental per-conversation rollup (dirty-
+                            group recompute from the table change feed)
 cdc_changefeed              CDC change feed with before-images
                             (create/update/delete classification)
 cdc_net_changes             net-changes collapse of an lsn window
@@ -365,6 +367,41 @@ def _q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "turn_idx", "op", "role", "text", "tool", "ts",
         F.col(LSN_COLUMN).alias("lsn"),
     )
+
+
+def _q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental per-conversation rollup: replay the first half of the
+    log, full-refresh the rollup, replay the rest, refresh again — the
+    second refresh recomputes ONLY the conversations the second half
+    touched (dirty-group recompute off the table change feed) yet the
+    materialized contents must equal a from-scratch aggregate over the
+    final merged state (the oracle)."""
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.operators.rollup import ConvRollup
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    changes = load_changes(spark, sf_dir)
+    split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
+
+    root = tempfile.mkdtemp(prefix="aqueduct_conv_rollup_")
+    # fold disabled so the second refresh exercises the incremental path
+    cfg = EngineConfig(
+        num_buckets=16,
+        max_events_per_trigger=50_000_000,
+        max_bytes_per_trigger=16 * 1024 * 1024 * 1024,
+        mor_fold_every=10**9,
+    )
+    table = ParquetTranscriptTable.create(spark, root + "/t", num_buckets=16)
+    rollup = ConvRollup.create(spark, root + "/r", num_buckets=16)
+    replay(table, changes.where(F.col("lsn") < split), cfg,
+           start_epoch=0, start_lsn=0, lsn_bounds=(0, split - 1))
+    m0 = rollup.refresh(table)
+    replay(table, changes.where(F.col("lsn") >= split), cfg,
+           lsn_bounds=(split, split * 2 + 1))
+    m1 = rollup.refresh(table)
+    assert m0["mode"] == "full" and m1["mode"] == "incremental", (m0, m1)
+    return rollup.read()
 
 
 def _q_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1144,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tombstones": _q_tombstones,
         "cdc_time_travel": _q_time_travel,
         "cdc_table_changes": _q_table_changes,
+        "cdc_conv_rollup": _q_conv_rollup,
         "cdc_changefeed": _q_changefeed,
         "cdc_net_changes": _q_net_changes,
         "cdc_asof_join": _q_asof_join,
@@ -1423,6 +1461,17 @@ cd AS (
   FROM h2 WHERE turn_idx IS NULL GROUP BY conv_id
 )
 SELECT * FROM tw UNION ALL SELECT * FROM cd
+"""
+        ),
+        "cdc_conv_rollup": oracle(
+            _STATE_BODY
+            + """
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS turns,
+       CAST(sum(length(text)) AS BIGINT) AS chars,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM state GROUP BY conv_id
 """
         ),
         "cdc_changefeed": oracle(
