@@ -53,6 +53,10 @@ cdc_table_changes           table-level change feed between snapshot
                             delta files ARE the feed, zero extra writes
 cdc_conv_rollup             incremental per-conversation rollup (dirty-
                             group recompute from the table change feed)
+doc_chunks                  overlapping token-window chunking (explode,
+                            zero-shuffle)
+doc_pii_redact              email/phone PII scrub with per-doc audit
+                            counts (deterministic injected PII)
 cdc_changefeed              CDC change feed with before-images
                             (create/update/delete classification)
 cdc_net_changes             net-changes collapse of an lsn window
@@ -367,6 +371,38 @@ def _q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "turn_idx", "op", "role", "text", "tool", "ts",
         F.col(LSN_COLUMN).alias("lsn"),
     )
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 32, overlap 8) — one
+    explode, no shuffle."""
+    from aqueduct_core_spark.functions.text import chunk_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return chunk_docs(docs, size=32, overlap=8)
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus.  The synthetic documents carry no PII,
+    so a deterministic contact line is injected into every 7th doc —
+    expressed identically in the oracle — and the operator must find,
+    count and redact exactly those."""
+    from aqueduct_core_spark.functions.text import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com or 555-123-4567"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return redact_pii(injected)
 
 
 def _q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1189,6 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": _q_sample,
         "doc_stratified_sample": _q_stratified_sample,
         "doc_top_bigrams": _q_top_bigrams,
+        "doc_chunks": _q_doc_chunks,
+        "doc_pii_redact": _q_pii_redact,
         "doc_exact_dedup": _q_exact_dedup,
         "doc_text_stats": _q_text_stats,
         "doc_subword_tokens": _q_subword_tokens,
@@ -1463,6 +1501,42 @@ cd AS (
 SELECT * FROM tw UNION ALL SELECT * FROM cd
 """
         ),
+        "doc_chunks": """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // 24 AS INTEGER) AS chunk_idx,
+       array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text,
+       CAST(least(32, len(toks) - start) AS INTEGER) AS chunk_tokens
+FROM s
+""",
+        "doc_pii_redact": """
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com or 555-123-4567'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\d{3}-\\d{3,4}-\\d{4}', '<PHONE>', 'g') AS text,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text,
+         '\\d{3}-\\d{3,4}-\\d{4}')) AS INTEGER) AS n_phones
+FROM inj
+""",
         "cdc_conv_rollup": oracle(
             _STATE_BODY
             + """

@@ -298,3 +298,84 @@ def top_ngrams(
         .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def chunk_docs(
+    df: DataFrame,
+    size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the context-
+    window chunking step every embedding / pretraining pipeline runs
+    between cleaning and tokenization.
+
+    Windows are ``size`` whitespace tokens with ``overlap`` tokens
+    shared between consecutive chunks (stride ``size - overlap``); the
+    final window is partial rather than dropped, so every token lands
+    in at least one chunk.  Output: one row per chunk with ``chunk_idx``
+    (0-based within the doc), ``chunk_text`` and ``chunk_tokens``.
+
+    Shape at scale: a single projection + ``explode`` — the window
+    starts are generated per row with ``sequence`` and sliced from the
+    one tokens array, so there is no shuffle, no window function and no
+    Python; output partitioning inherits the scan's.  Rows whose text
+    holds no tokens produce no chunks.
+
+    Reference analog: none (the reference ships payloads opaque); this
+    is additive LLM-pipeline capability like the rest of this module.
+    """
+    if not (0 <= overlap < size):
+        raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
+    stride = size - overlap
+    c = F.col(text_col)
+    toks = tokens(c)
+    n = token_count(c)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    out_cols = [col for col in df.columns if col != text_col]
+    return (
+        df.where(n > 0)
+        .select(*out_cols, toks.alias("_toks"), n.alias("_n"),
+                F.explode(starts).alias("_start"))
+        .select(
+            *out_cols,
+            (F.col("_start") / stride).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_start") + 1, size))
+            .alias("chunk_text"),
+            F.least(F.lit(size), F.col("_n") - F.col("_start"))
+            .cast("int").alias("chunk_tokens"),
+        )
+    )
+
+
+#: PII patterns, written in the common Java-regex/RE2 subset (no
+#: backreferences, no lookaround) so the DuckDB oracle replicates them
+#: verbatim.  Spark's regexp_replace is global by default; DuckDB needs
+#: the explicit 'g' option.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}-\d{3,4}-\d{4}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub personally-identifying strings before a corpus leaves the
+    lake: emails → ``<EMAIL>``, phone-shaped numbers → ``<PHONE>``,
+    with per-doc hit counts for audit metrics.
+
+    Counts are taken on the ORIGINAL text (both patterns independently);
+    replacement is sequential (emails first — a phone-shaped substring
+    inside an email can't be double-counted because the email is gone
+    by the time phones are replaced).  One projection, JVM regex only —
+    no shuffle, no Python.
+    """
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    return df.select(
+        *[col for col in df.columns if col != text_col],
+        redacted.alias(text_col),
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), F.lit(0)))
+        .alias("n_phones"),
+    )

@@ -364,3 +364,50 @@ def test_ngram_jaccard_df_cap_bounds_fanout(spark):
     got = {(r["id_a"], r["id_b"]) for r in out}
     assert (1000, 1001) in got
     assert all(a >= 1000 for a, _ in got), "common-shingle bucket leaked pairs"
+
+
+def test_chunk_docs(spark, docs):
+    from aqueduct_core_spark.functions.text import chunk_docs
+
+    out = chunk_docs(docs, size=5, overlap=2, text_col="text").toPandas()
+    # empty doc produces no chunks
+    assert (out["doc_id"] != 5).all()
+
+    d0 = out[out["doc_id"] == 0].sort_values("chunk_idx")
+    words = "the cat sat on the mat and it was happy to be there".split()
+    # stride 3: starts 0,3,6,9,12 over 13 tokens
+    assert list(d0["chunk_idx"]) == [0, 1, 2, 3, 4]
+    for i, start in enumerate(range(0, len(words), 3)):
+        assert d0.iloc[i]["chunk_text"] == " ".join(words[start:start + 5])
+        assert d0.iloc[i]["chunk_tokens"] == min(5, len(words) - start)
+    # consecutive chunks share exactly `overlap` tokens (full windows)
+    assert d0.iloc[0]["chunk_text"].split()[-2:] == d0.iloc[1]["chunk_text"].split()[:2]
+    # every token is covered: concatenating de-overlapped chunks restores the doc
+    rebuilt = d0.iloc[0]["chunk_text"].split()
+    for _, r in d0.iloc[1:].iterrows():
+        rebuilt += r["chunk_text"].split()[2:]
+    assert rebuilt == words
+
+    with pytest.raises(ValueError):
+        chunk_docs(docs, size=4, overlap=4)
+
+
+def test_redact_pii(spark):
+    from aqueduct_core_spark.functions.text import redact_pii
+
+    rows = [
+        (0, "mail me at a.b-c_1@sub.example.org thanks"),
+        (1, "call 555-123-4567 or 020-7946-0958"),
+        (2, "nothing sensitive here"),
+        (3, "x@y.io and 111-222-3333 both"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[0]["text"] == "mail me at <EMAIL> thanks"
+    assert (out[0]["n_emails"], out[0]["n_phones"]) == (1, 0)
+    assert out[1]["text"] == "call <PHONE> or <PHONE>"
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (0, 2)
+    assert out[2]["text"] == "nothing sensitive here"
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
+    assert out[3]["text"] == "<EMAIL> and <PHONE> both"
+    assert (out[3]["n_emails"], out[3]["n_phones"]) == (1, 1)
