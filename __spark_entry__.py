@@ -53,6 +53,8 @@ cdc_table_changes           table-level change feed between snapshot
                             delta files ARE the feed, zero extra writes
 cdc_conv_rollup             incremental per-conversation rollup (dirty-
                             group recompute from the table change feed)
+cdc_quarantine              dead-letter validation: first-violated-rule
+                            stamping of malformed change events
 doc_chunks                  overlapping token-window chunking (explode,
                             zero-shuffle)
 doc_pii_redact              email/phone PII scrub with per-doc audit
@@ -403,6 +405,29 @@ def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return redact_pii(injected)
+
+
+def _q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter validation: corrupt a deterministic slice of the log
+    (bogus op every lsn%101, dropped payload every lsn%103) — expressed
+    identically in the oracle — and return the quarantined rows with
+    their first-violated-rule reason."""
+    from aqueduct_core_spark.operators.validate import split_quarantine
+
+    c = load_changes(spark, sf_dir)
+    injected = c.withColumn(
+        "op", F.when(F.col("lsn") % 101 == 0, "X").otherwise(F.col("op"))
+    ).withColumn(
+        "text",
+        F.when(
+            (F.col("lsn") % 103 == 0)
+            & F.col("turn_idx").isNotNull()
+            & (F.col("op") != "D"),
+            F.lit(None).cast("string"),
+        ).otherwise(F.col("text")),
+    )
+    _, invalid = split_quarantine(injected)
+    return invalid.select("lsn", "op", "conv_id", "turn_idx", "reason")
 
 
 def _q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1218,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": _q_time_travel,
         "cdc_table_changes": _q_table_changes,
         "cdc_conv_rollup": _q_conv_rollup,
+        "cdc_quarantine": _q_quarantine,
         "cdc_changefeed": _q_changefeed,
         "cdc_net_changes": _q_net_changes,
         "cdc_asof_join": _q_asof_join,
@@ -1537,6 +1563,30 @@ SELECT doc_id,
          '\\d{3}-\\d{3,4}-\\d{4}')) AS INTEGER) AS n_phones
 FROM inj
 """,
+        "cdc_quarantine": oracle(
+            """
+inj AS (
+  SELECT lsn, conv_id, turn_idx,
+         CASE WHEN lsn % 101 = 0 THEN 'X' ELSE op END AS op,
+         CASE WHEN lsn % 103 = 0 AND turn_idx IS NOT NULL
+                   AND (CASE WHEN lsn % 101 = 0 THEN 'X' ELSE op END) <> 'D'
+              THEN NULL ELSE text END AS text
+  FROM changes
+),
+stamped AS (
+  SELECT lsn, op, conv_id, turn_idx,
+         CASE WHEN conv_id IS NULL OR conv_id = '' THEN 'null_key'
+              WHEN lsn IS NULL OR lsn < 0 THEN 'bad_lsn'
+              WHEN op NOT IN ('I','U','D') THEN 'bad_op'
+              WHEN turn_idx IS NOT NULL AND op <> 'D' AND text IS NULL
+                   THEN 'missing_payload'
+              WHEN turn_idx < 0 THEN 'negative_turn'
+         END AS reason
+  FROM inj
+)
+SELECT * FROM stamped WHERE reason IS NOT NULL
+"""
+        ),
         "cdc_conv_rollup": oracle(
             _STATE_BODY
             + """
