@@ -273,10 +273,20 @@ def replay(
 
 
 def _foreach_batch_fn(
-    table: ParquetTranscriptTable, cfg: EngineConfig, record_metrics: bool = False
+    table: ParquetTranscriptTable,
+    cfg: EngineConfig,
+    record_metrics: bool = False,
+    rollup=None,
 ):
     def fn(batch_df: DataFrame, batch_id: int):
-        return apply_batch(table, batch_df, epoch=batch_id, cfg=cfg)
+        m = apply_batch(table, batch_df, epoch=batch_id, cfg=cfg)
+        if rollup is not None:
+            # continuous materialization: dirty-group refresh rides the
+            # same driver turn as the commit; a replayed (skipped) epoch
+            # leaves the table version unchanged, so refresh no-ops —
+            # the rollup stays exactly-once for free
+            m["rollup"] = rollup.refresh(table)
+        return m
 
     if record_metrics:
         from aqueduct_core_spark.streaming.monitor import BatchMetricsRecorder
@@ -321,6 +331,7 @@ def start_stream(
     available_now: bool = False,
     record_metrics: bool = False,
     dedup_within: str | None = None,
+    rollup=None,
 ):
     """Continuous tail of a change-log directory via Structured
     Streaming.  Backpressure via ``maxFilesPerTrigger`` (the
@@ -328,7 +339,9 @@ def start_stream(
     appends per-batch telemetry (T9 health/lag monitoring) to
     ``<table root>/metrics/batches.jsonl``.  ``dedup_within`` (e.g.
     ``"10 minutes"``) inserts :func:`dedup_redeliveries` ahead of the
-    merge."""
+    merge.  ``rollup`` (a :class:`~aqueduct_core_spark.operators.rollup.
+    ConvRollup`) keeps a downstream materialization continuously fresh:
+    each committed epoch triggers an incremental dirty-group refresh."""
     cfg = cfg or EngineConfig()
     reader = spark.readStream.schema(CHANGES_SCHEMA)
     if max_files_per_trigger:
@@ -338,7 +351,9 @@ def start_stream(
         stream = dedup_redeliveries(stream, dedup_within)
 
     writer = (
-        stream.writeStream.foreachBatch(_foreach_batch_fn(table, cfg, record_metrics))
+        stream.writeStream.foreachBatch(
+            _foreach_batch_fn(table, cfg, record_metrics, rollup=rollup)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
@@ -359,6 +374,7 @@ def run_available_now(
     timeout_s: int = 3600,
     record_metrics: bool = False,
     dedup_within: str | None = None,
+    rollup=None,
 ) -> None:
     """Drain everything currently in the log, then stop (the
     bootstrap / catch-up mode; reference BootstrapType PIPE replay)."""
@@ -372,6 +388,7 @@ def run_available_now(
         available_now=True,
         record_metrics=record_metrics,
         dedup_within=dedup_within,
+        rollup=rollup,
     )
     try:
         q.awaitTermination(timeout_s)

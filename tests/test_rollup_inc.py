@@ -112,3 +112,36 @@ def test_fold_between_refreshes_falls_back_to_full(spark, tmp_path):
     removed = rollup.expire()
     assert all(d.startswith("data-v") for d in removed)
     _assert_rollup_equal(rollup, table)
+
+
+def test_streaming_rollup_stays_fresh(spark, tmp_path):
+    """The rollup rides foreachBatch: after a multi-epoch streaming
+    drain it equals a full recompute, and a second drain over the same
+    log (fresh checkpoint, idempotently-skipped epochs) leaves it
+    untouched."""
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.streaming.pipeline import run_available_now
+
+    cfg = EngineConfig(num_buckets=4, mor_fold_every=10**9)
+    changes_dir = str(tmp_path / "changes")
+    generate_changes(spark, n_convs=60, seed=21).repartition(6).write.parquet(
+        changes_dir
+    )
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
+    rollup = ConvRollup.create(spark, str(tmp_path / "r"), num_buckets=8)
+
+    run_available_now(
+        spark, table, changes_dir, str(tmp_path / "ckpt"), cfg,
+        max_files_per_trigger=2, rollup=rollup,
+    )
+    assert table.catalog.current_version() >= 2  # multiple epochs ran
+    assert rollup.last_table_version() == table.catalog.current_version()
+    _assert_rollup_equal(rollup, table)
+
+    v = rollup.last_table_version()
+    run_available_now(
+        spark, table, changes_dir, str(tmp_path / "ckpt2"), cfg,
+        max_files_per_trigger=2, rollup=rollup,
+    )
+    assert rollup.last_table_version() == v  # skipped epochs -> noop refreshes
+    _assert_rollup_equal(rollup, table)
