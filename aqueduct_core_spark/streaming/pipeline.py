@@ -481,3 +481,50 @@ def bootstrap(
     if os.path.exists(root):
         shutil.rmtree(root)
     return ParquetTranscriptTable.create(spark, root, num_buckets=num_buckets)
+
+
+def bootstrap_from_state(
+    table: ParquetTranscriptTable,
+    state: DataFrame,
+    cfg: EngineConfig | None = None,
+    as_of_lsn: int | None = None,
+) -> dict:
+    """Initial load from a consistent state snapshot, the first half of
+    the classic CDC bootstrap (snapshot + overlapping log tail — the
+    reference's PROVIDER bootstrap re-seeds a store from upstream state
+    rather than replaying the pipe from offset 0, BootstrapType.java).
+
+    ``state`` is transcript-shaped rows carrying their winning source
+    ``lsn`` (the shape ``read_internal`` returns, with ``_lsn`` or
+    ``lsn``).  Each row becomes an ``'I'`` change event at its original
+    lsn and the whole snapshot applies as epoch 0; the exactly-once
+    watermark lands at ``as_of_lsn`` (default: the snapshot's max row
+    lsn), so :func:`resume_lsn` hands the subsequent tail its correct
+    start.  The tail may OVERLAP the snapshot arbitrarily: LWW by lsn
+    makes re-delivered rows idempotent, so "snapshot at X, tail from
+    X - δ" converges to the same state as a full replay — no
+    coordination between the snapshotter and the log reader needed.
+    """
+    from aqueduct_core_spark.schema import CHANGES_SCHEMA, LSN_COLUMN
+
+    cfg = cfg or EngineConfig()
+    lsn_col = LSN_COLUMN if LSN_COLUMN in state.columns else "lsn"
+    as_events = state.select(
+        F.col(lsn_col).cast("long").alias("lsn"),
+        F.lit("I").alias("op"),
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in state.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in CHANGES_SCHEMA.fields
+            if f.name not in ("lsn", "op")
+        ],
+    )
+    if as_of_lsn is None:
+        row = as_events.agg(F.max("lsn").alias("m")).collect()[0]
+        as_of_lsn = int(row["m"]) if row["m"] is not None else -1
+    from aqueduct_core_spark.operators.merge import apply_batch
+
+    m = apply_batch(table, as_events, epoch=0, cfg=cfg, batch_max_lsn=as_of_lsn)
+    m["bootstrap_as_of_lsn"] = int(as_of_lsn)
+    return m
