@@ -142,6 +142,7 @@ def apply_batch(
     cfg: EngineConfig | None = None,
     batch_max_lsn: int | None = None,
     prewritten: dict | None = None,
+    extra_summary: dict | None = None,
 ) -> dict:
     """Apply one micro-batch; returns the metrics/offsets row.
 
@@ -150,7 +151,12 @@ def apply_batch(
     aggregate (parquet aggregate pushdown makes it metadata-only).
     ``prewritten``: a :func:`mor_prepare` result — the delta files are
     already on disk, only bookkeeping + the ordered commit remain
-    (``batch`` may be None then; MOR strategy only)."""
+    (``batch`` may be None then; MOR strategy only).
+    ``extra_summary``: caller-owned snapshot-summary keys committed
+    atomically with the epoch (e.g. per-source resume watermarks —
+    :func:`aqueduct_core_spark.streaming.pipeline.replay_multi_source`);
+    skipped/empty epochs commit nothing, so the keys only advance when
+    the data does."""
     cfg = cfg or EngineConfig()
     spark = table.spark
 
@@ -183,6 +189,7 @@ def apply_batch(
         return _apply_mor(
             table, batch, epoch, cfg, new_fields, payload_cols, added_cols,
             batch_max_lsn, prewritten=prewritten, widened_cols=widened_cols,
+            extra_summary=extra_summary,
         )
     table_fields = table.schema().fields
     new_fields, added_cols, widened_cols = evolve.evolve_table_fields(
@@ -198,16 +205,16 @@ def apply_batch(
     if cfg.merge_strategy == "mor":
         return _apply_mor(
             table, batch, epoch, cfg, new_fields, payload_cols, added_cols,
-            batch_max_lsn, widened_cols=widened_cols,
+            batch_max_lsn, widened_cols=widened_cols, extra_summary=extra_summary,
         )
     if cfg.merge_strategy == "inline":
         return _apply_inline(
             table, batch, epoch, cfg, new_fields, payload_cols, added_cols,
-            batch_max_lsn, widened_cols=widened_cols,
+            batch_max_lsn, widened_cols=widened_cols, extra_summary=extra_summary,
         )
     return _apply_staged(
         table, batch, epoch, cfg, new_fields, payload_cols, added_cols,
-        widened_cols=widened_cols,
+        widened_cols=widened_cols, extra_summary=extra_summary,
     )
 
 
@@ -222,6 +229,7 @@ def _apply_mor(
     batch_max_hint: int | None = None,
     prewritten: dict | None = None,
     widened_cols: list[str] | tuple = (),
+    extra_summary: dict | None = None,
 ) -> dict:
     """Merge-on-read fast-append — the sustained-ingest default.
 
@@ -301,6 +309,7 @@ def _apply_mor(
                 if widened_cols
                 else {}
             ),
+            **(extra_summary or {}),
         },
         schema_fields=(
             [f.jsonValue() for f in new_fields]
@@ -329,6 +338,7 @@ def _apply_inline(
     added_cols: list[str],
     batch_max_hint: int | None = None,
     widened_cols: list[str] | tuple = (),
+    extra_summary: dict | None = None,
 ) -> dict:
     """One Spark job per epoch — the throughput path for batches whose
     keys span most buckets (the common case for CDC replay).
@@ -455,6 +465,7 @@ def _apply_inline(
                 if widened_cols
                 else {}
             ),
+            **(extra_summary or {}),
         },
         schema_fields=(
             [f.jsonValue() for f in new_fields]
@@ -476,6 +487,7 @@ def _apply_staged(
     payload_cols: list[str],
     added_cols: list[str],
     widened_cols: list[str] | tuple = (),
+    extra_summary: dict | None = None,
 ) -> dict:
     """Bucket-pruned MERGE via a staging buffer — reads and rewrites
     only the buckets the batch touches; right for sparse batches."""
@@ -589,6 +601,7 @@ def _apply_staged(
                     if widened_cols
                     else {}
                 ),
+                **(extra_summary or {}),
             },
             schema_fields=(
                 [f.jsonValue() for f in new_fields]

@@ -134,6 +134,7 @@ def replay(
     start_lsn: int | None = None,
     end_lsn: int | None = None,
     lsn_bounds: tuple[int, int] | None = None,
+    source_id: int | str | None = None,
 ) -> list[dict]:
     """Batch-mode ordered replay honoring row+byte trigger budgets.
 
@@ -145,7 +146,11 @@ def replay(
     a pre-filtered DataFrame so file pruning stays available).
     ``lsn_bounds``: the pending log's (min, max) lsn when the caller
     already knows it (source snapshot metadata / resume watermark) —
-    skips the planner's bounds job.
+    skips the planner's bounds job.  ``source_id``: multi-log mode —
+    each epoch's commit additionally stamps
+    ``aqueduct.max-lsn-src-<id>`` so this source resumes from its OWN
+    lsn sequence (:func:`resume_lsn_for_source`); the caller passes
+    ``start_lsn=resume_lsn_for_source(...)``.
     """
     cfg = cfg or EngineConfig()
     start_lsn = resume_lsn(table) if start_lsn is None else start_lsn
@@ -213,6 +218,11 @@ def replay(
 
     import time as _time
 
+    def _extra(r):
+        if source_id is None:
+            return None
+        return {f"aqueduct.max-lsn-src-{source_id}": int(r.end_lsn)}
+
     depth = max(1, int(cfg.replay_pipeline_depth)) if cfg.merge_strategy == "mor" else 1
     metrics = []
     if depth > 1 and len(ranges) > 1:
@@ -238,6 +248,7 @@ def replay(
                 m = apply_batch(
                     table, None, epoch=ep, cfg=cfg,
                     batch_max_lsn=r.end_lsn, prewritten=prew,
+                    extra_summary=_extra(r),
                 )
                 m["epoch_sec"] = round(_time.time() - t0 + prew["write_sec"], 3)
                 m["write_sec"] = prew["write_sec"]
@@ -263,13 +274,57 @@ def replay(
         # trigger planning already knows the batch's max lsn — no
         # per-epoch max() job needed
         t0 = _time.time()
-        m = apply_batch(table, batch, epoch=epoch, cfg=cfg, batch_max_lsn=r.end_lsn)
+        m = apply_batch(table, batch, epoch=epoch, cfg=cfg, batch_max_lsn=r.end_lsn,
+                        extra_summary=_extra(r))
         # per-epoch wall time: with plan-stable filters, steady-state
         # epochs should be flat (no per-epoch codegen recompile)
         m["epoch_sec"] = round(_time.time() - t0, 3)
         metrics.append(m)
         epoch += 1
     return metrics
+
+
+def resume_lsn_for_source(table: ParquetTranscriptTable, source_id: int | str) -> int:
+    """Per-source resume watermark (multi-log ingestion): the next read
+    of this source's log begins here.  -1 + 1 = 0 before the source's
+    first commit."""
+    key = f"aqueduct.max-lsn-src-{source_id}"
+    return int(table.catalog.current()["summary"].get(key, -1)) + 1
+
+
+def replay_multi_source(
+    table: ParquetTranscriptTable,
+    logs: dict,
+    cfg: EngineConfig | None = None,
+) -> dict:
+    """Ingest SEVERAL independent ordered change logs into one table —
+    the multi-upstream topology (one table fed by many source clusters,
+    each with its own LSN sequence; the reference's cluster routing is
+    the single-pipe projection of this).
+
+    Soundness requires the sources to own DISJOINT conversation key
+    spaces (each conversation is written by exactly one source — the
+    invariant cluster routing already provides): LWW-by-lsn then only
+    ever compares lsns from one source per key, so the sequences never
+    need aligning.  Each source resumes from its OWN committed
+    watermark (``aqueduct.max-lsn-src-<id>``, stamped atomically with
+    every epoch commit); epochs stay one global monotone sequence
+    across all sources, so the exactly-once replay guard is unchanged.
+    A crash mid-ingest resumes every source exactly where its last
+    committed epoch left it — sources already drained skip entirely.
+
+    Ingest order across sources is irrelevant to the final state
+    (disjoint keys); sources are drained in sorted-id order for
+    determinism.  Returns per-source metrics lists.
+    """
+    cfg = cfg or EngineConfig()
+    out = {}
+    for sid in sorted(logs):
+        start = resume_lsn_for_source(table, sid)
+        out[sid] = replay(
+            table, logs[sid], cfg, start_lsn=start, source_id=sid
+        )
+    return out
 
 
 def _foreach_batch_fn(
