@@ -92,6 +92,7 @@ class SnapshotCatalog:
         added_delta_buckets: dict[str, list[str]] | None = None,
         clear_deltas: bool = False,
         clear_delta_buckets: list[str] | None = None,
+        publish: bool = True,
     ) -> dict:
         """Produce snapshot N+1 from ``base``.
 
@@ -103,6 +104,16 @@ class SnapshotCatalog:
         ``clear_delta_buckets`` drops only the named buckets' deltas
         (incremental fold — Iceberg's per-partition
         ``rewrite_data_files``).
+
+        ``publish=False`` stages the snapshot WITHOUT advancing the
+        ``VERSION`` pointer (write-audit-publish, the Iceberg WAP
+        analog): the manifest claims the next id — so concurrent
+        writers are serialized exactly as for a published commit — but
+        readers keep seeing the old state until :meth:`publish`.  The
+        auditor reads the staged state via a version-pinned read, then
+        publishes or :meth:`abandon`\\ s.  At most ONE snapshot can be
+        staged at a time (the next claim conflicts); a staged manifest
+        left by a crash is discovered with :meth:`staged_version`.
         """
         files = dict(base["files"]) if full_files is None else dict(full_files)
         if replaced_buckets:
@@ -124,8 +135,96 @@ class SnapshotCatalog:
             "summary": {**base["summary"], **(summary_updates or {})},
         }
         self._write_manifest(snap)
-        self._swap_version(snap["snapshot_id"])
+        if publish:
+            self._swap_version(snap["snapshot_id"])
         return snap
+
+    # -- write-audit-publish --------------------------------------------
+    def staged_version(self) -> int | None:
+        """The unpublished staged snapshot's version, or None.  By
+        construction (manifest-claim serialization) at most one exists:
+        published head + 1."""
+        nxt = self.current_version() + 1
+        path = os.path.join(self._snap_dir, f"v{nxt}.json")
+        return nxt if os.path.exists(path) else None
+
+    def publish(self, version: int) -> dict:
+        """Make a staged snapshot the readers' current version.  The
+        manifest was durable (fsync'd) at stage time, so publish is one
+        atomic pointer swap — nothing can half-publish."""
+        cur = self.current_version()
+        if version != cur + 1:
+            raise ValueError(
+                f"cannot publish v{version}: published head is v{cur} "
+                "(only the staged head, head+1, is publishable)"
+            )
+        snap = self.load(version)  # raises if nothing staged
+        self._swap_version(version)
+        return snap
+
+    def abandon(self, version: int) -> None:
+        """Drop a staged (never-published) snapshot: the manifest is
+        removed, unblocking the version sequence; its data files become
+        unreferenced and are reclaimed by ``remove_orphan_files``.
+        Refuses to touch published versions."""
+        if version <= self.current_version():
+            raise ValueError(f"v{version} is published; use rollback, not abandon")
+        path = os.path.join(self._snap_dir, f"v{version}.json")
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    # -- named refs (tags) ----------------------------------------------
+    def _refs_dir(self) -> str:
+        return os.path.join(self.root, "refs")
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Create an immutable named ref to a snapshot version (Iceberg
+        tag analog — e.g. pin the exact table state a training run
+        read).  Tagged versions are retained by ``expire_snapshots``
+        regardless of ``keep_last``.  Names are claimed with O_EXCL:
+        re-tagging an existing name raises (immutability), racing
+        taggers get one winner."""
+        import re
+
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9._-]*", name):
+            raise ValueError(f"invalid tag name {name!r}")
+        version = self.current_version() if version is None else int(version)
+        self.load(version)  # must exist
+        os.makedirs(self._refs_dir(), exist_ok=True)
+        path = os.path.join(self._refs_dir(), f"{name}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(f"tag {name!r} already exists") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump({"name": name, "version": version, "created": utcnow_iso()}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        return version
+
+    def tags(self) -> dict[str, int]:
+        d = self._refs_dir()
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    ref = json.load(f)
+                out[ref["name"]] = int(ref["version"])
+        return out
+
+    def resolve(self, ref: int | str) -> int:
+        """A version number passes through; a string resolves as a tag
+        name (fail-loud on unknown)."""
+        if isinstance(ref, int):
+            return ref
+        tags = self.tags()
+        if ref not in tags:
+            raise KeyError(f"unknown tag {ref!r}; known: {sorted(tags)}")
+        return tags[ref]
 
     def rollback(self, to_version: int) -> dict:
         """Commit a NEW snapshot whose content is ``to_version``'s —
@@ -204,6 +303,7 @@ class SnapshotCatalog:
         versions = self.history()
         keep = set(versions[-keep_last:])
         keep.add(self.current_version())
+        keep.update(self.tags().values())  # tagged versions never expire
         referenced = self.referenced_files(sorted(keep))
         all_referenced = self.referenced_files(versions)
         orphans = sorted(all_referenced - referenced)

@@ -321,10 +321,21 @@ class ParquetTranscriptTable:
             .drop(LSN_COLUMN)
         )
 
-    def read_as_of(self, version: int) -> DataFrame:
+    def read_as_of(self, version: int | str) -> DataFrame:
         """Time travel: public table state at a historical snapshot
-        version (``catalog.history()`` lists retained versions)."""
-        return self.read_internal(version=version).drop(LSN_COLUMN)
+        version (``catalog.history()`` lists retained versions) or at a
+        named tag (string — e.g. the tag a training run pinned)."""
+        return self.read_internal(
+            version=self.catalog.resolve(version)
+        ).drop(LSN_COLUMN)
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Immutable named ref to a snapshot (default: current) —
+        Iceberg tag analog.  Tagged versions survive
+        ``expire_snapshots`` and read back via ``read_as_of(name)``;
+        the dataset-versioning primitive for reproducible training
+        runs."""
+        return self.catalog.tag(name, version)
 
     def changes_between(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Table-level change feed (Iceberg CDF / Delta

@@ -143,6 +143,7 @@ def apply_batch(
     batch_max_lsn: int | None = None,
     prewritten: dict | None = None,
     extra_summary: dict | None = None,
+    publish: bool = True,
 ) -> dict:
     """Apply one micro-batch; returns the metrics/offsets row.
 
@@ -156,7 +157,11 @@ def apply_batch(
     atomically with the epoch (e.g. per-source resume watermarks —
     :func:`aqueduct_core_spark.streaming.pipeline.replay_multi_source`);
     skipped/empty epochs commit nothing, so the keys only advance when
-    the data does."""
+    the data does.
+    ``publish=False`` stages the epoch's snapshot without advancing the
+    readers' version (write-audit-publish — see :func:`apply_audited`);
+    the auto-fold is deferred too (folding would race the staged
+    manifest for the next version id)."""
     cfg = cfg or EngineConfig()
     spark = table.spark
 
@@ -189,7 +194,7 @@ def apply_batch(
         return _apply_mor(
             table, batch, epoch, cfg, new_fields, payload_cols, added_cols,
             batch_max_lsn, prewritten=prewritten, widened_cols=widened_cols,
-            extra_summary=extra_summary,
+            extra_summary=extra_summary, publish=publish,
         )
     table_fields = table.schema().fields
     new_fields, added_cols, widened_cols = evolve.evolve_table_fields(
@@ -206,16 +211,87 @@ def apply_batch(
         return _apply_mor(
             table, batch, epoch, cfg, new_fields, payload_cols, added_cols,
             batch_max_lsn, widened_cols=widened_cols, extra_summary=extra_summary,
+            publish=publish,
         )
     if cfg.merge_strategy == "inline":
         return _apply_inline(
             table, batch, epoch, cfg, new_fields, payload_cols, added_cols,
             batch_max_lsn, widened_cols=widened_cols, extra_summary=extra_summary,
+            publish=publish,
         )
     return _apply_staged(
         table, batch, epoch, cfg, new_fields, payload_cols, added_cols,
-        widened_cols=widened_cols, extra_summary=extra_summary,
+        widened_cols=widened_cols, extra_summary=extra_summary, publish=publish,
     )
+
+
+def apply_audited(
+    table: ParquetTranscriptTable,
+    batch: DataFrame | None,
+    epoch: int,
+    audits: dict,
+    cfg: EngineConfig | None = None,
+    batch_max_lsn: int | None = None,
+    extra_summary: dict | None = None,
+) -> dict:
+    """Write-audit-publish (Iceberg WAP analog; the quality gate the
+    reference runs as pre-publish validation in its pipe — here a
+    first-class commit protocol): stage the epoch's commit UNPUBLISHED,
+    run every audit against the staged table state, then publish (one
+    atomic pointer swap) or abandon (manifest removed; the epoch's data
+    files become orphans for ``remove_orphan_files``).
+
+    ``audits``: ``{name: fn(staged_state_df) -> bool}`` — each fn gets
+    the version-pinned internal read of the staged snapshot (lsn column
+    included) and returns truthy to pass.  Readers NEVER see a state
+    that failed an audit.  An abandoned epoch does not advance the
+    exactly-once watermark, so the same epoch retries on the next
+    replay — audits must be deterministic functions of the data or a
+    poison batch livelocks (same contract as Iceberg WAP; pair with
+    :mod:`aqueduct_core_spark.operators.validate` row-level quarantine
+    to strip poison rows instead of re-trying them forever).
+
+    Returns the metrics row plus ``published``/``audit_failures``.
+    Skipped (already-committed) epochs return unchanged — nothing is
+    staged, nothing audited.
+
+    Crash recovery: a staged manifest left by a crash between stage and
+    publish blocks the version sequence.  If it carries THIS epoch's
+    stamp it is our own dead attempt — abandoned and restaged (it was
+    never published, so no reader observed it).  A staged manifest from
+    a DIFFERENT epoch is someone else's in-flight audit: fail loud
+    rather than destroy their work (WAP is single-writer per table,
+    like compaction)."""
+    leftover = table.catalog.staged_version()
+    if leftover is not None:
+        staged_epoch = int(
+            table.catalog.load(leftover)["summary"].get("aqueduct.epoch", -1)
+        )
+        if staged_epoch == int(epoch):
+            table.catalog.abandon(leftover)
+        else:
+            raise RuntimeError(
+                f"staged snapshot v{leftover} (epoch {staged_epoch}) is "
+                f"in flight; refusing to stage epoch {epoch} over it — "
+                "publish or abandon it first"
+            )
+    m = apply_batch(
+        table, batch, epoch=epoch, cfg=cfg, batch_max_lsn=batch_max_lsn,
+        extra_summary=extra_summary, publish=False,
+    )
+    if m.get("state") == "SKIPPED_DUPLICATE_EPOCH":
+        return m
+    v = table.catalog.staged_version()
+    staged = table.read_internal(version=v)
+    failures = [name for name, fn in audits.items() if not fn(staged)]
+    if failures:
+        table.catalog.abandon(v)
+        m["published"] = False
+    else:
+        table.catalog.publish(v)
+        m["published"] = True
+    m["audit_failures"] = failures
+    return m
 
 
 def _apply_mor(
@@ -230,6 +306,7 @@ def _apply_mor(
     prewritten: dict | None = None,
     widened_cols: list[str] | tuple = (),
     extra_summary: dict | None = None,
+    publish: bool = True,
 ) -> dict:
     """Merge-on-read fast-append — the sustained-ingest default.
 
@@ -316,11 +393,12 @@ def _apply_mor(
             if (added_cols or widened_cols)
             else None
         ),
+        publish=publish,
     )
     offsets_row["added_columns"] = added_cols
     offsets_row["widened_columns"] = list(widened_cols)
 
-    if cfg.mor_fold_every and delta_epochs >= cfg.mor_fold_every:
+    if publish and cfg.mor_fold_every and delta_epochs >= cfg.mor_fold_every:
         from aqueduct_core_spark.operators.compact import fold_deltas
 
         fold_deltas(table)
@@ -339,6 +417,7 @@ def _apply_inline(
     batch_max_hint: int | None = None,
     widened_cols: list[str] | tuple = (),
     extra_summary: dict | None = None,
+    publish: bool = True,
 ) -> dict:
     """One Spark job per epoch — the throughput path for batches whose
     keys span most buckets (the common case for CDC replay).
@@ -472,6 +551,7 @@ def _apply_inline(
             if (added_cols or widened_cols)
             else None
         ),
+        publish=publish,
     )
     offsets_row["added_columns"] = added_cols
     offsets_row["widened_columns"] = list(widened_cols)
@@ -488,6 +568,7 @@ def _apply_staged(
     added_cols: list[str],
     widened_cols: list[str] | tuple = (),
     extra_summary: dict | None = None,
+    publish: bool = True,
 ) -> dict:
     """Bucket-pruned MERGE via a staging buffer — reads and rewrites
     only the buckets the batch touches; right for sparse batches."""
@@ -608,6 +689,7 @@ def _apply_staged(
                 if (added_cols or widened_cols)
                 else None
             ),
+            publish=publish,
         )
         offsets_row["state"] = PIPE_UP_TO_DATE
         offsets_row["added_columns"] = added_cols
