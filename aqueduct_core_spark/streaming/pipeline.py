@@ -327,14 +327,33 @@ def replay_multi_source(
     return out
 
 
+class AuditFailed(RuntimeError):
+    """A streaming epoch's write-audit-publish audits failed: the stage
+    was abandoned and the query must STOP (failing the trigger keeps
+    the source checkpoint from advancing past the batch — a restart
+    re-delivers the same batch_id with the same data, so nothing is
+    lost; swallowing the failure would silently drop the epoch)."""
+
+
 def _foreach_batch_fn(
     table: ParquetTranscriptTable,
     cfg: EngineConfig,
     record_metrics: bool = False,
     rollup=None,
+    audits: dict | None = None,
 ):
     def fn(batch_df: DataFrame, batch_id: int):
-        m = apply_batch(table, batch_df, epoch=batch_id, cfg=cfg)
+        if audits:
+            from aqueduct_core_spark.operators.merge import apply_audited
+
+            m = apply_audited(table, batch_df, epoch=batch_id, audits=audits, cfg=cfg)
+            if m.get("published") is False:
+                raise AuditFailed(
+                    f"epoch {batch_id} failed audits {m['audit_failures']}; "
+                    "stage abandoned, checkpoint not advanced"
+                )
+        else:
+            m = apply_batch(table, batch_df, epoch=batch_id, cfg=cfg)
         if rollup is not None:
             # continuous materialization: dirty-group refresh rides the
             # same driver turn as the commit; a replayed (skipped) epoch
@@ -387,6 +406,7 @@ def start_stream(
     record_metrics: bool = False,
     dedup_within: str | None = None,
     rollup=None,
+    audits: dict | None = None,
 ):
     """Continuous tail of a change-log directory via Structured
     Streaming.  Backpressure via ``maxFilesPerTrigger`` (the
@@ -396,7 +416,12 @@ def start_stream(
     ``"10 minutes"``) inserts :func:`dedup_redeliveries` ahead of the
     merge.  ``rollup`` (a :class:`~aqueduct_core_spark.operators.rollup.
     ConvRollup`) keeps a downstream materialization continuously fresh:
-    each committed epoch triggers an incremental dirty-group refresh."""
+    each committed epoch triggers an incremental dirty-group refresh.
+    ``audits`` routes every epoch through write-audit-publish
+    (:func:`aqueduct_core_spark.operators.merge.apply_audited`): readers
+    never see an unaudited state, and a failing audit raises
+    :class:`AuditFailed` to stop the query BEFORE the checkpoint
+    advances (restart re-delivers the batch)."""
     cfg = cfg or EngineConfig()
     reader = spark.readStream.schema(CHANGES_SCHEMA)
     if max_files_per_trigger:
@@ -407,7 +432,8 @@ def start_stream(
 
     writer = (
         stream.writeStream.foreachBatch(
-            _foreach_batch_fn(table, cfg, record_metrics, rollup=rollup)
+            _foreach_batch_fn(table, cfg, record_metrics, rollup=rollup,
+                              audits=audits)
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
@@ -430,6 +456,7 @@ def run_available_now(
     record_metrics: bool = False,
     dedup_within: str | None = None,
     rollup=None,
+    audits: dict | None = None,
 ) -> None:
     """Drain everything currently in the log, then stop (the
     bootstrap / catch-up mode; reference BootstrapType PIPE replay)."""
@@ -444,6 +471,7 @@ def run_available_now(
         record_metrics=record_metrics,
         dedup_within=dedup_within,
         rollup=rollup,
+        audits=audits,
     )
     try:
         q.awaitTermination(timeout_s)

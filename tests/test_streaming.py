@@ -255,3 +255,35 @@ def test_stream_with_dedup_end_to_end(spark, tmp_path, log_dir):
         max_files_per_trigger=2, dedup_within="1 hour",
     )
     assert_state_equal(final_state_pdf(table), expected_state_pdf(pdf))
+
+
+def test_stream_audits_fail_stop_then_recover(spark, tmp_path, log_dir):
+    """Streaming WAP: a failing audit stops the query BEFORE the
+    checkpoint advances; a restart re-delivers the same batch, and a
+    passing audit drains everything with no lost epoch."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    flat, pdf = log_dir
+    cfg = EngineConfig(num_buckets=8)
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+
+    with pytest.raises(StreamingQueryException, match="AuditFailed"):
+        run_available_now(
+            spark, table, flat, ckpt, cfg, max_files_per_trigger=1,
+            audits={"always_fails": lambda df: False},
+        )
+    # nothing published, watermark unmoved
+    assert table.read().count() == 0
+    assert table.last_committed_epoch() == -1
+    assert table.catalog.staged_version() is None  # abandoned, not wedged
+
+    # restart from the SAME checkpoint with passing audits: the failed
+    # batch is re-delivered and the drain completes losslessly
+    run_available_now(
+        spark, table, flat, ckpt, cfg, max_files_per_trigger=1,
+        audits={"nonempty": lambda df: df.count() > 0},
+    )
+    assert_state_equal(final_state_pdf(table), expected_state_pdf(pdf))
+    offs = table.read_offsets().toPandas()
+    assert len(offs) == 3  # all three file-triggers committed exactly once
