@@ -422,10 +422,15 @@ class ParquetTranscriptTable:
         return int(self.catalog.current()["summary"].get("aqueduct.max-lsn", -1))
 
     # -- write ---------------------------------------------------------
-    def write_bucket_data(self, df: DataFrame, label: str) -> dict[str, list[str]]:
+    def write_bucket_data(
+        self, df: DataFrame, label: str, num_buckets: int | None = None
+    ) -> dict[str, list[str]]:
         """Write rows (already carrying ``_bucket``) as new parquet files,
         clustered and sorted for locality; returns bucket→relative-paths.
-        Files are not live until a manifest commit references them."""
+        Files are not live until a manifest commit references them.
+        ``num_buckets`` overrides the table's committed count (bucket
+        evolution — the ``_bucket`` column must be computed with the
+        same count)."""
         rel_stage = os.path.join("data", f"{label}-{uuid.uuid4().hex[:8]}")
         stage = os.path.join(self.root, rel_stage)
         (
@@ -438,7 +443,7 @@ class ParquetTranscriptTable:
             # partitions are collision-free and the leading-bucket sort
             # below already satisfies the dynamic-partition write's
             # required ordering (no second planner-inserted sort).
-            df.repartition(self.num_buckets, F.col("conv_id"))
+            df.repartition(num_buckets or self.num_buckets, F.col("conv_id"))
             .sortWithinPartitions(BUCKET_COLUMN, "conv_id", "turn_idx", "ts")
             .write.partitionBy(BUCKET_COLUMN)
             .parquet(stage)

@@ -220,11 +220,15 @@ def rewrite_data_files(
     """Coalesce each bucket's accumulated small files into fresh
     compacted files (Iceberg ``rewrite_data_files`` analog).  Reads the
     current snapshot, writes one clustered file set, commits a
-    full-layout snapshot."""
+    full-layout snapshot.  The commit is pinned to the snapshot the
+    rewrite READ: an epoch landing mid-rewrite raises
+    ``CommitConflict`` instead of being silently dropped by the
+    full-layout replace (retry after the writer settles)."""
+    base = table.catalog.current()
     df = table.read_internal().withColumn(BUCKET_COLUMN, bucket_expr(table.num_buckets))
     new_files = table.write_bucket_data(df, label="rewrite")
     snap = table.catalog.commit(
-        table.catalog.current(),
+        base,
         full_files=new_files,
         # the rewrite output is fully resolved — MOR deltas are folded in
         clear_deltas=True,
@@ -234,6 +238,59 @@ def rewrite_data_files(
         },
     )
     return {"snapshot_id": snap["snapshot_id"], "buckets": len(new_files)}
+
+
+def rebucket(table: ParquetTranscriptTable, new_num_buckets: int) -> dict:
+    """Bucket-count evolution: rewrite the table into a new hash-bucket
+    layout in ONE atomic commit (the escape hatch for a day-one bucket
+    choice that no longer fits — Iceberg's equivalent is a partition-spec
+    change to ``bucket(new_n, key)`` plus a full ``rewrite_data_files``).
+
+    The full resolved state (MOR deltas folded in) is re-hashed with the
+    new count and rewritten; the same commit updates the authoritative
+    ``aqueduct.num-buckets`` summary key, so every consumer that derives
+    bucket math from the table — the serving-path point lookup's
+    driver-side ``bucket_of``, epoch delta writes, fold targeting —
+    switches counts atomically with the data.  The exactly-once
+    epoch/lsn watermark is untouched: ingest resumes exactly where it
+    left off, now writing the new layout.  Time-travel reads of
+    pre-rebucket versions stay correct (each manifest carries its own
+    layout); ``changes_between`` across the boundary fails loud like any
+    base rewrite.  Pinned to the snapshot it read — a racing epoch
+    raises ``CommitConflict`` rather than being dropped.
+
+    Cost is a full-table rewrite (unavoidable for hash re-bucketing:
+    every key's bucket changes) — schedule like any major compaction.
+    """
+    new_num_buckets = int(new_num_buckets)
+    if new_num_buckets < 1:
+        raise ValueError("new_num_buckets must be >= 1")
+    base = table.catalog.current()
+    old = int(base["summary"]["aqueduct.num-buckets"])
+    if new_num_buckets == old:
+        return {"rebucketed": False, "num_buckets": old}
+    df = table.read_internal().withColumn(
+        BUCKET_COLUMN, bucket_expr(new_num_buckets)
+    )
+    new_files = table.write_bucket_data(
+        df, label=f"rebucket{new_num_buckets}", num_buckets=new_num_buckets
+    )
+    snap = table.catalog.commit(
+        base,
+        full_files=new_files,
+        clear_deltas=True,
+        summary_updates={
+            "aqueduct.num-buckets": new_num_buckets,
+            "aqueduct.rebucketed-from": old,
+            "aqueduct.delta-epochs": 0,
+        },
+    )
+    return {
+        "rebucketed": True,
+        "snapshot_id": snap["snapshot_id"],
+        "num_buckets": new_num_buckets,
+        "previous": old,
+    }
 
 
 def expire_snapshots(table: ParquetTranscriptTable, keep_last: int = 2) -> int:
