@@ -71,6 +71,8 @@ doc_stratified_sample       per-language sampling rates, one projection
 doc_top_bigrams             corpus top-k n-gram heavy hitters
 doc_ngram_jaccard           exact n-gram Jaccard near-dup (inverted
                             shingle index, df-capped blocking)
+doc_decontaminate           test-set decontamination: k-gram overlap
+                            vs a broadcast benchmark shingle set
 cdc_point_lookup            serving-path point read: driver-side murmur3
                             bucket math prunes the scan to one bucket
 cdc_rollback                snapshot rollback: undo a bad epoch as a new
@@ -666,6 +668,22 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: training docs (doc_id % 20 != 0)
+    sharing any distinct 5-word shingle with the benchmark slice
+    (doc_id % 20 == 0).  Benchmark shingle hashes broadcast; the only
+    shuffle is the per-doc hit count.  md5-60-bit hash variant for the
+    oracle; production default is xxhash64 (equivalence tested)."""
+    from aqueduct_core_spark.functions.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs.where(F.col("doc_id") % 20 != 0),
+        docs.where(F.col("doc_id") % 20 == 0),
+        k=5, min_hits=1, hash_method="md5",
+    )
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components (alternating
     large-star/small-star) over the verified minhash near-dup pairs —
@@ -939,6 +957,21 @@ ver AS (
   JOIN sh sb ON sb.id = c.id_b
 )
 SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
+"""
+
+
+def _decontaminate_oracle(k: int = 5, min_hits: int = 1) -> str:
+    """Mirror of dedup.decontaminate: training docs (id % 20 != 0)
+    sharing >= min_hits distinct k-shingles (by md5-60-bit hash) with
+    the benchmark slice (id % 20 == 0)."""
+    return f"""
+WITH {_shingle_ctes(k)},
+hashed AS (SELECT id, {_dh('s')} AS h FROM ex),
+bench AS (SELECT DISTINCT h FROM hashed WHERE id % 20 = 0),
+train AS (SELECT id, h FROM hashed WHERE id % 20 <> 0)
+SELECT t.id AS doc_id, count(*) AS hits
+FROM train t JOIN bench b USING (h)
+GROUP BY t.id HAVING count(*) >= {min_hits}
 """
 
 
@@ -1261,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_join": _q_knn_join,
         "doc_minhash_pairs": _q_minhash_pairs,
         "doc_ngram_jaccard": _q_ngram_jaccard,
+        "doc_decontaminate": _q_decontaminate,
         "doc_dup_clusters": _q_dup_clusters,
         "doc_simhash_candidates": _q_simhash,
         "emb_lsh_topk": _q_lsh_topk,
@@ -1759,6 +1793,7 @@ FROM t
         "emb_knn_join": knn_join,
         "doc_minhash_pairs": _minhash_oracle(),
         "doc_ngram_jaccard": _ngram_jaccard_oracle(),
+        "doc_decontaminate": _decontaminate_oracle(),
         "doc_dup_clusters": _dup_clusters_oracle(),
         "doc_simhash_candidates": _simhash_oracle(),
         "emb_lsh_topk": _lsh_topk_oracle(),

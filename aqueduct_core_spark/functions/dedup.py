@@ -544,3 +544,59 @@ def simhash_candidates(
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# test-set decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_method: str = "xxhash64",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Test-set decontamination: flag training documents sharing at
+    least ``min_hits`` distinct ``k``-word shingles with ANY benchmark
+    document — the n-gram-overlap rule the published LLM training
+    pipelines use for eval decontamination (word 8–13-grams are the
+    customary window).
+
+    Returns ``(doc_id, hits)`` for contaminated training docs only;
+    ``hits`` = number of distinct shingles the doc shares with the
+    benchmark union (per-doc shingles are distinct by construction —
+    :func:`word_shingles` — so the count is exact up to hash
+    collisions, and the md5-60-bit ``hash_method`` makes the whole
+    operator reproducible in the DuckDB oracle).
+
+    100 TB shape: both sides reduce to 8-byte shingle hashes before
+    anything shuffles — document text never moves.  The benchmark side
+    (typically a few thousand eval documents → at most a few million
+    distinct shingle hashes) is explicitly broadcast by default, so the
+    training scan is ONE pass with a map-side hash-set probe and the
+    only shuffle is the per-doc count aggregation (map-side partial).
+    For a benchmark too large to broadcast, pass
+    ``broadcast_benchmark=False`` and the join hash-partitions on the
+    8-byte key instead.
+    """
+    sh = word_shingles(F.col(text_col), k)
+    bench = (
+        benchmark.select(F.explode(sh).alias("s"))
+        .select(hash64(F.col("s"), method=hash_method).alias("h"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    train = docs.select(F.col(id_col), F.explode(sh).alias("s")).select(
+        id_col, hash64(F.col("s"), method=hash_method).alias("h")
+    )
+    return (
+        train.join(bench, "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .where(F.col("hits") >= int(min_hits))
+    )

@@ -411,3 +411,44 @@ def test_redact_pii(spark):
     assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
     assert out[3]["text"] == "<EMAIL> and <PHONE> both"
     assert (out[3]["n_emails"], out[3]["n_phones"]) == (1, 1)
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from aqueduct_core_spark.functions.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # shares ONLY the 5-gram "quick brown fox jumps over"
+            # (preceded by "a", not "the") -> flagged with hits=1
+            (1, "she saw a quick brown fox jumps over a fence"),
+            # no shared 5-gram -> clean
+            (2, "completely unrelated text about spark query planning"),
+            # shares two distinct overlapping 5-grams -> hits >= 2
+            (3, "quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["hits"] for r in
+           decontaminate(train, bench, k=5, min_hits=1).collect()}
+    assert set(got) == {1, 3}
+    assert got[3] > got[1] >= 1
+
+    # min_hits raises the bar: only the heavy overlapper survives
+    strict = decontaminate(train, bench, k=5, min_hits=2).collect()
+    assert {r["doc_id"] for r in strict} == {3}
+
+    # md5 oracle variant flags the same docs with the same counts
+    md5 = {r["doc_id"]: r["hits"] for r in
+           decontaminate(train, bench, k=5, min_hits=1,
+                         hash_method="md5").collect()}
+    assert md5 == got
+
+    # benchmark side is broadcast (no shuffle of the training scan for
+    # the probe): the join must be a BroadcastHashJoin
+    plan = decontaminate(train, bench, k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
