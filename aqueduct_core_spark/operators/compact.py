@@ -417,3 +417,58 @@ def remove_orphan_files(table: ParquetTranscriptTable, older_than_s: float = 360
                 shutil.rmtree(p, ignore_errors=True)
                 removed += 1
     return removed
+
+
+def maintain(
+    table: ParquetTranscriptTable,
+    fold_if_delta_epochs: int = 1,
+    rewrite_if_files_per_bucket: int = 8,
+    keep_snapshots: int = 5,
+    orphan_older_than_s: float = 3600,
+) -> dict:
+    """One-call table maintenance (the policy loop a scheduler runs —
+    reference analog: the scheduled compaction + VACUUM tasks,
+    CompactionTask.java:40-47 / PostgresqlStorage.java:495-502), in the
+    safe order:
+
+    1. **fold** MOR deltas into the base when at least
+       ``fold_if_delta_epochs`` delta epochs accumulated (incremental —
+       only touched buckets rewrite);
+    2. **rewrite** small files when the average files-per-bucket
+       exceeds ``rewrite_if_files_per_bucket`` (full clustered rewrite,
+       the expensive step — threshold accordingly);
+    3. **expire** old snapshot manifests beyond ``keep_snapshots``
+       (tagged versions always retained) and delete their
+       newly-unreferenced files;
+    4. **orphan-clean** crash debris older than ``orphan_older_than_s``
+       (in-flight epochs structurally protected).
+
+    Every step is individually race-safe (pinned commits fail loud with
+    ``CommitConflict`` rather than dropping a racing epoch) and no-ops
+    below its threshold, so the call is idempotent and safe on a timer.
+    Note the deliberate lag: a fold's superseded delta files stay on
+    disk while any RETAINED snapshot still references them (time travel
+    to the pre-fold version keeps working) — the space frees on a later
+    cycle once those snapshots age out of ``keep_snapshots``.
+    Returns per-step metrics."""
+    out: dict = {}
+    snap = table.catalog.current()
+    delta_epochs = int(snap["summary"].get("aqueduct.delta-epochs", 0))
+    if delta_epochs >= max(1, int(fold_if_delta_epochs)):
+        out["fold"] = fold_deltas(table)
+    else:
+        out["fold"] = {"folded": False}
+
+    snap = table.catalog.current()
+    buckets = max(1, len(snap["files"]))
+    nfiles = sum(len(fl) for fl in snap["files"].values())
+    if nfiles / buckets > rewrite_if_files_per_bucket:
+        out["rewrite"] = rewrite_data_files(table)
+    else:
+        out["rewrite"] = {"rewritten": False, "files_per_bucket": nfiles / buckets}
+
+    out["expired_files_removed"] = expire_snapshots(table, keep_last=keep_snapshots)
+    out["orphans_removed"] = remove_orphan_files(
+        table, older_than_s=orphan_older_than_s
+    )
+    return out

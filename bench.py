@@ -43,6 +43,7 @@ HEADLINE = [
     "doc_quality_filter",
     "doc_minhash_pairs",
     "doc_simhash_candidates",
+    "doc_decontaminate",
     "emb_cosine_topk",
     "emb_knn_join",
     "emb_sketch_topk",

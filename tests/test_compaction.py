@@ -121,3 +121,47 @@ def test_rewrite_and_expire(spark, tmp_path):
     assert removed > 0
     assert total_files() <= files_before
     assert_state_equal(final_state_pdf(table), before)
+
+
+def test_maintain_policy_loop(spark, tmp_path):
+    """One-call maintenance: fold when delta pressure, skip rewrite
+    below the file threshold, expire old manifests (keeping tags),
+    sweep orphans — state unchanged, idempotent on a timer."""
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.operators.compact import maintain
+    from aqueduct_core_spark.streaming.pipeline import replay
+    from aqueduct_core_spark.verify import states_equal
+
+    cfg = EngineConfig(num_buckets=4, max_events_per_trigger=300,
+                       mor_fold_every=10**9)  # never auto-fold
+    log = generate_changes(spark, n_convs=40, seed=47).cache()
+    t = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
+    replay(t, log, cfg)
+    pre = t.read_internal()
+    snap = t.catalog.current()
+    assert snap.get("delta_files")  # delta pressure exists
+    t.tag("pin")  # tag v_current: must survive expiry
+    pinned_v = t.catalog.current_version()
+
+    m = maintain(t, fold_if_delta_epochs=1, rewrite_if_files_per_bucket=1000,
+                 keep_snapshots=1, orphan_older_than_s=0)
+    assert m["fold"]["folded"] is True
+    assert m["rewrite"] == {"rewritten": False,
+                            "files_per_bucket": m["rewrite"]["files_per_bucket"]}
+    assert not t.catalog.current()["delta_files"]
+    assert states_equal(t.read_internal(), pre)
+    # expiry kept the tag and the current version only
+    hist = t.catalog.history()
+    assert pinned_v in hist and t.catalog.current_version() in hist
+    assert len(hist) <= 3
+
+    # second run is a no-op: nothing folds, nothing removed, version fixed
+    v = t.catalog.current_version()
+    m2 = maintain(t, fold_if_delta_epochs=1, rewrite_if_files_per_bucket=1000,
+                  keep_snapshots=1, orphan_older_than_s=0)
+    assert m2["fold"] == {"folded": False}
+    assert m2["orphans_removed"] == 0 and m2["expired_files_removed"] == 0
+    assert t.catalog.current_version() == v
+    log.unpersist()
