@@ -73,6 +73,8 @@ doc_ngram_jaccard           exact n-gram Jaccard near-dup (inverted
                             shingle index, df-capped blocking)
 doc_decontaminate           test-set decontamination: k-gram overlap
                             vs a broadcast benchmark shingle set
+doc_corpus_recipe           full corpus recipe (dedup->quality->decon->
+                            sample) attrition report, one wide plan
 cdc_point_lookup            serving-path point read: driver-side murmur3
                             bucket math prunes the scan to one bucket
 cdc_rollback                snapshot rollback: undo a bad epoch as a new
@@ -684,6 +686,23 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus recipe in ONE plan: exact dedup →
+    Gopher quality gates → decontamination (vs the doc_id%20==0
+    benchmark slice) → deterministic 50% sample, with every dropped doc
+    attributed to its FIRST failing stage — the disjoint attrition
+    report.  md5 hashing for oracle bit-equality."""
+    from aqueduct_core_spark.functions.recipe import corpus_attrition, prepare_corpus
+
+    docs = _docs(spark, sf_dir)
+    ann = prepare_corpus(
+        docs.where(F.col("doc_id") % 20 != 0),
+        benchmark=docs.where(F.col("doc_id") % 20 == 0),
+        sample_rate_pct=50, decon_k=5, hash_method="md5",
+    )
+    return corpus_attrition(ann)
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components (alternating
     large-star/small-star) over the verified minhash near-dup pairs —
@@ -972,6 +991,85 @@ train AS (SELECT id, h FROM hashed WHERE id % 20 <> 0)
 SELECT t.id AS doc_id, count(*) AS hits
 FROM train t JOIN bench b USING (h)
 GROUP BY t.id HAVING count(*) >= {min_hits}
+"""
+
+
+def _corpus_recipe_oracle(decon_k: int = 5, sample_rate_pct: int = 50) -> str:
+    """Mirror of recipe.prepare_corpus + corpus_attrition over the
+    doc_id%20 train/benchmark split: the four gates composed with the
+    same precedence (duplicate > low_quality > contaminated >
+    sampled_out), each gate the verbatim expression its standalone
+    oracle uses."""
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+),
+keepid AS (
+  SELECT doc_id,
+    min(doc_id) OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ) AS keep_id
+  FROM corpus
+),
+qw AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE string_split_regex(trim(text), '\\s+') END AS ws
+  FROM corpus
+),
+qstats AS (
+  SELECT doc_id,
+    len(ws) AS n_words,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE floor((CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                     / len(ws)) * 1000000 + 0.5) / 1000000 END AS mean_word_len,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE floor((1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+                    * 1000000 + 0.5) / 1000000 END AS dup_word_frac,
+    ws
+  FROM qw
+),
+qbg AS (
+  SELECT s.doc_id, s.ws[t.i] || ' ' || s.ws[t.i + 1] AS b
+  FROM qstats s, UNNEST(range(1, len(s.ws))) AS t(i)
+),
+qtop AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS tot
+  FROM (SELECT doc_id, b, count(*) AS c FROM qbg GROUP BY doc_id, b)
+  GROUP BY doc_id
+),
+quality AS (
+  SELECT s.doc_id,
+    (s.n_words >= 25 AND s.n_words <= 100000
+     AND s.mean_word_len >= 3.0 AND s.mean_word_len <= 10.0
+     AND s.dup_word_frac <= 0.60
+     AND COALESCE(floor((CAST(t.mx AS DOUBLE) / t.tot) * 1000000 + 0.5) / 1000000, 0.0)
+         <= 0.05) AS q_keep
+  FROM qstats s LEFT JOIN qtop t USING (doc_id)
+),
+{_shingle_ctes(decon_k).strip().rstrip()},
+hashed AS (SELECT id, {_dh('s')} AS h FROM ex),
+bench AS (SELECT DISTINCT h FROM hashed WHERE id % 20 = 0),
+contam AS (
+  SELECT DISTINCT t.id AS doc_id
+  FROM (SELECT id, h FROM hashed WHERE id % 20 <> 0) t JOIN bench b USING (h)
+),
+annotated AS (
+  SELECT c.doc_id,
+    CASE
+      WHEN c.doc_id <> k.keep_id THEN 'duplicate'
+      WHEN NOT COALESCE(q.q_keep, FALSE) THEN 'low_quality'
+      WHEN x.doc_id IS NOT NULL THEN 'contaminated'
+      WHEN ({_dh('CAST(c.doc_id AS VARCHAR)', 42)} % 100) >= {sample_rate_pct}
+        THEN 'sampled_out'
+      ELSE 'kept'
+    END AS stage
+  FROM corpus c
+  JOIN keepid k USING (doc_id)
+  LEFT JOIN quality q USING (doc_id)
+  LEFT JOIN contam x USING (doc_id)
+)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_docs FROM annotated GROUP BY stage
 """
 
 
@@ -1295,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_pairs": _q_minhash_pairs,
         "doc_ngram_jaccard": _q_ngram_jaccard,
         "doc_decontaminate": _q_decontaminate,
+        "doc_corpus_recipe": _q_corpus_recipe,
         "doc_dup_clusters": _q_dup_clusters,
         "doc_simhash_candidates": _q_simhash,
         "emb_lsh_topk": _q_lsh_topk,
@@ -1794,6 +1893,7 @@ FROM t
         "doc_minhash_pairs": _minhash_oracle(),
         "doc_ngram_jaccard": _ngram_jaccard_oracle(),
         "doc_decontaminate": _decontaminate_oracle(),
+        "doc_corpus_recipe": _corpus_recipe_oracle(),
         "doc_dup_clusters": _dup_clusters_oracle(),
         "doc_simhash_candidates": _simhash_oracle(),
         "emb_lsh_topk": _lsh_topk_oracle(),

@@ -452,3 +452,53 @@ def test_decontaminate_flags_ngram_overlap(spark):
     plan = decontaminate(train, bench, k=5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_prepare_corpus_precedence_and_attrition(spark):
+    from aqueduct_core_spark.functions.recipe import corpus_attrition, prepare_corpus
+
+    good = ("the neural network converges smoothly when gradients remain "
+            "well conditioned and every layer keeps activations bounded "
+            "through normalization so training proceeds without surprises "
+            "or instability anywhere")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),                       # kept (bucket permitting)
+            (2, good),                       # exact dup of 1 -> duplicate
+            (3, "short text"),               # fails min_words -> low_quality
+            # duplicate AND low-quality: precedence says duplicate
+            (4, "short text"),
+            # contains a benchmark 5-gram but padded to pass quality
+            (5, good + " alpha beta gamma delta epsilon zeta"),
+        ],
+        ["doc_id", "text"],
+    )
+    ann = prepare_corpus(docs, benchmark=bench, sample_rate_pct=100,
+                         decon_k=5, hash_method="md5")
+    got = {r["doc_id"]: r["drop_stage"] for r in ann.collect()}
+    assert got[1] is None
+    assert got[2] == "duplicate"
+    assert got[4] == "low_quality" or got[3] == "low_quality"
+    # 3 vs 4: the min-id doc of the "short text" pair is the quality
+    # drop; the other is attributed to dedup first
+    assert {got[3], got[4]} == {"low_quality", "duplicate"}
+    assert got[3] == "low_quality" and got[4] == "duplicate"
+    assert got[5] == "contaminated"
+
+    att = {r["stage"]: r["n_docs"] for r in corpus_attrition(ann).collect()}
+    # docs 2 and 4 are the non-representative halves of the two dup pairs
+    assert att == {"kept": 1, "duplicate": 2, "low_quality": 1, "contaminated": 1}
+
+    # counts are disjoint and total: every doc appears exactly once
+    assert sum(att.values()) == docs.count()
+
+    # sampling stage: rate 0 sends every survivor to sampled_out
+    ann0 = prepare_corpus(docs, benchmark=bench, sample_rate_pct=0,
+                          decon_k=5, hash_method="md5")
+    got0 = {r["doc_id"]: r["drop_stage"] for r in ann0.collect()}
+    assert got0[1] == "sampled_out"          # kept doc now sampled away
+    assert got0[2] == "duplicate"            # earlier stages unchanged
