@@ -8,13 +8,12 @@ computes every gate as a column and attributes each dropped document to
 the FIRST failing stage (fixed precedence), so one scan produces both
 the kept corpus and the attrition report auditors ask for.
 
-Shuffle budget (the whole recipe):
-- dedup keep: one shuffle of (fp, doc_id) — 24-byte rows, never text;
-- quality: pure projection (run-length array aggregates, zero shuffle);
-- decontamination: map-side probe of a broadcast benchmark shingle-hash
-  set + one (doc_id, hits) aggregation;
-- sampling: pure projection.
-Document text moves at most once (the final kept-corpus write).
+Shuffle budget (the whole recipe): ONE wide shuffle — the document rows
+partition by fingerprint for the dedup-representative window; the
+quality gates and the sample bucket compute inline in the same stage
+(pure projections), and the contaminated-id set arrives as a broadcast
+(itself built from a broadcast benchmark shingle-hash probe plus one
+narrow (doc_id, hits) aggregation).  Document text moves at most once.
 """
 
 from __future__ import annotations
@@ -73,12 +72,17 @@ def prepare_corpus(
     w = Window.partitionBy(fingerprint(F.col(text_col)))
     out = out.withColumn("_keep_id", F.min(id_col).over(w))
 
-    # 2. quality flags ride a join on doc_id (the filter itself is a
-    # zero-shuffle projection; the join key is the 8-byte id)
-    q = gopher_quality_filter(
-        docs, col=text_col, id_col=id_col, **(quality_kwargs or {})
-    ).select(F.col(id_col), F.col("keep").alias("_q_keep"))
-    out = out.join(q, on=id_col, how="left")
+    # 2. quality flags inline: the array-method filter is a pure
+    # projection that preserves input columns, so the gates compute in
+    # the SAME stage as the window output — no join, no shuffle (a
+    # doc_id join here would be a big-big sort-merge join at corpus
+    # scale, since the flag set is corpus-sized)
+    out = gopher_quality_filter(
+        out, col=text_col, id_col=id_col, **(quality_kwargs or {})
+    )
+    out = out.withColumnRenamed("keep", "_q_keep").drop(
+        "n_words", "mean_word_len", "dup_word_frac", "top_bigram_frac"
+    )
 
     # 3. contaminated ids (broadcast-probe + tiny agg), anti-flag join
     if benchmark is not None:
