@@ -1,0 +1,97 @@
+"""FeedCursor: at-least-once incremental consumption of the table feed
+with persisted resume — the store-node tail loop against the TABLE."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+from aqueduct_core_spark.config import EngineConfig
+from aqueduct_core_spark.generator import generate_changes
+from aqueduct_core_spark.operators.compact import fold_deltas
+from aqueduct_core_spark.operators.merge import apply_batch
+from aqueduct_core_spark.schema import LSN_COLUMN
+from aqueduct_core_spark.streaming.feed import FeedCursor
+from aqueduct_core_spark.streaming.pipeline import replay
+from aqueduct_core_spark.verify import states_equal
+
+
+def _setup(spark, tmp_path, n_convs=50):
+    cfg = EngineConfig(num_buckets=4, mor_fold_every=10**9,
+                       max_events_per_trigger=400)
+    log = generate_changes(spark, n_convs=n_convs, seed=48).cache()
+    primary = ParquetTranscriptTable.create(spark, str(tmp_path / "p"), num_buckets=4)
+    return cfg, log, primary
+
+
+def _drain(cursor, replica, cfg, epoch0):
+    """Poll-apply-commit until the cursor is caught up; returns epochs applied."""
+    n = 0
+    while True:
+        feed = cursor.poll()
+        if feed is None:
+            return n
+        apply_batch(replica, feed.withColumnRenamed(LSN_COLUMN, "lsn"),
+                    epoch=epoch0 + n, cfg=cfg)
+        cursor.commit()
+        n += 1
+
+
+def test_cursor_replica_converges_and_persists(spark, tmp_path):
+    cfg, log, primary = _setup(spark, tmp_path)
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    state = str(tmp_path / "cursor.json")
+
+    replica = ParquetTranscriptTable.create(spark, str(tmp_path / "r"), num_buckets=4)
+    cur = FeedCursor(primary, state_path=state)
+    assert cur.poll() is None  # nothing committed yet
+
+    replay(primary, log.where(F.col("lsn") < mx // 2), cfg, start_epoch=0, start_lsn=0)
+    n1 = _drain(cur, replica, cfg, 0)
+    assert n1 >= 1
+    assert states_equal(replica.read_internal(), primary.read_internal())
+
+    # a "restarted" consumer resumes from the persisted position: a new
+    # cursor object sees nothing new until the primary advances
+    cur2 = FeedCursor(primary, state_path=state)
+    assert cur2.version == cur.version
+    assert cur2.poll() is None
+
+    replay(primary, log.where(F.col("lsn") >= mx // 2), cfg)
+    n2 = _drain(cur2, replica, cfg, n1)
+    assert n2 >= 1
+    assert states_equal(replica.read_internal(), primary.read_internal())
+    log.unpersist()
+
+
+def test_cursor_redelivers_on_crash_before_commit(spark, tmp_path):
+    cfg, log, primary = _setup(spark, tmp_path, n_convs=30)
+    state = str(tmp_path / "cursor.json")
+    replay(primary, log, cfg, start_epoch=0, start_lsn=0)
+
+    cur = FeedCursor(primary, start_version=0, state_path=state)
+    first = cur.poll()
+    assert first is not None
+    n = first.count()
+    # crash before commit: a fresh cursor re-delivers the SAME window
+    cur3 = FeedCursor(primary, start_version=0, state_path=state)
+    again = cur3.poll()
+    assert again is not None and again.count() == n
+    cur3.commit()
+    assert cur3.poll() is None
+    log.unpersist()
+
+
+def test_cursor_fold_outruns_retention_then_reset(spark, tmp_path):
+    cfg, log, primary = _setup(spark, tmp_path, n_convs=30)
+    replay(primary, log, cfg, start_epoch=0, start_lsn=0)
+    cur = FeedCursor(primary, start_version=0)
+
+    fold_deltas(primary)  # history rewritten past the cursor
+    with pytest.raises(ValueError, match="unfolded"):
+        cur.poll()
+
+    # recovery: full resync — re-seed from state, cursor jumps to current
+    v = cur.reset()
+    assert v == primary.catalog.current_version()
+    assert cur.poll() is None
+    log.unpersist()
