@@ -201,6 +201,73 @@ def decode_wav(payload: bytes) -> dict | None:
         return None
 
 
+def decode_jpeg(payload: bytes) -> dict | None:
+    """JPEG structural parse (marker-segment walk, no entropy decode —
+    a full DCT needs codec libraries this container lacks): SOI → walk
+    FF-marker segments to the first SOF — frame dimensions, component
+    count, bit precision, progressive-vs-baseline — counting DQT/DHT
+    tables on the way.  Returns ``{width, height, components,
+    precision, progressive, n_quant_tables, n_huffman_tables}`` or
+    None when the bytes are not a JPEG."""
+    try:
+        if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+            return None
+        pos = 2
+        n_dqt = n_dht = 0
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: bare
+                pos += 2
+                continue
+            if marker == 0xD9:  # EOI before any frame header
+                return None
+            (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            body = payload[pos + 4 : pos + 2 + seg_len]
+            if marker == 0xDB:
+                n_dqt += 1
+            elif marker == 0xC4:
+                n_dht += 1
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3
+                precision = body[0]
+                height, width = struct.unpack(">HH", body[1:5])
+                components = body[5]
+                return {
+                    "width": int(width),
+                    "height": int(height),
+                    "components": int(components),
+                    "precision": int(precision),
+                    "progressive": marker == 0xC2,
+                    "n_quant_tables": n_dqt,
+                    "n_huffman_tables": n_dht,
+                }
+            elif marker == 0xDA:  # SOS before SOF: malformed
+                return None
+            pos += 2 + seg_len
+        return None
+    except Exception:
+        return None
+
+
+def _jpeg_features(d: dict, dim: int) -> np.ndarray:
+    """Feature vector from real JPEG frame structure (no pixels without
+    an entropy decoder): dimensions, components, precision, mode and
+    table counts."""
+    head = [
+        float(d["width"]),
+        float(d["height"]),
+        float(d["components"]),
+        float(d["precision"]),
+        1.0 if d["progressive"] else 0.0,
+        float(d["n_quant_tables"]),
+        float(d["n_huffman_tables"]),
+    ]
+    return np.concatenate([head, np.zeros(max(0, dim - len(head)))])[:dim].astype(
+        np.float32
+    )
+
+
 def _png_features(d: dict, dim: int) -> np.ndarray:
     """Feature vector from real pixel structure: dimensions + per-channel
     means + luminance std, padded with a coarse luminance histogram."""
@@ -255,8 +322,10 @@ def _fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
 def decode_features(payload: bytes, dim: int = 16) -> np.ndarray | None:
     """Feature vector for one payload: REAL decode when the bytes are a
     PNG or WAV (pure-stdlib decoders above — features are functions of
-    actual pixel/sample structure), sha256 stub otherwise (declared;
-    other codecs need libraries not in this container)."""
+    actual pixel/sample structure), REAL structural parse for JPEG
+    (frame header: dims/components/mode — entropy decode needs codec
+    libraries this container lacks), sha256 stub otherwise
+    (declared)."""
     if payload is None:
         return None
     d = decode_png(payload)
@@ -265,6 +334,9 @@ def decode_features(payload: bytes, dim: int = 16) -> np.ndarray | None:
     d = decode_wav(payload)
     if d is not None:
         return _wav_features(d, dim)
+    d = decode_jpeg(payload)
+    if d is not None:
+        return _jpeg_features(d, dim)
     return _fake_decode(payload, dim)
 
 

@@ -180,3 +180,41 @@ def test_real_decode_summary_matches_arithmetic(spark):
         assert abs(r["rms"] - amp / 32768.0) < 1e-6
         zc = (n - 1) // half
         assert abs(r["zcr"] - zc / (n - 1)) < 1e-6
+
+
+def _jpeg_bytes(width, height, components=3, progressive=False):
+    """Hand-built minimal JPEG header stream: SOI, DQT, DHT, SOF, SOS."""
+    import struct
+
+    sof = 0xC2 if progressive else 0xC0
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(components))
+    sof_body = bytes([8]) + struct.pack(">HH", height, width) + bytes([components]) + comps
+    out = b"\xff\xd8"                                     # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes(65)   # DQT
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 19) + bytes(19)   # DHT
+    out += bytes([0xFF, sof]) + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    out += b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"      # SOS
+    return out + b"entropy-coded-junk" + b"\xff\xd9"
+
+
+def test_decode_jpeg_structural_parse():
+    from aqueduct_core_spark.functions.multimodal import decode_features, decode_jpeg
+
+    d = decode_jpeg(_jpeg_bytes(640, 480))
+    assert d == {"width": 640, "height": 480, "components": 3,
+                 "precision": 8, "progressive": False,
+                 "n_quant_tables": 1, "n_huffman_tables": 1}
+
+    p = decode_jpeg(_jpeg_bytes(31, 17, components=1, progressive=True))
+    assert p["width"] == 31 and p["height"] == 17
+    assert p["components"] == 1 and p["progressive"] is True
+
+    # non-JPEG and truncated/malformed inputs are None, never raise
+    assert decode_jpeg(b"notajpeg") is None
+    assert decode_jpeg(None) is None
+    assert decode_jpeg(b"\xff\xd8\xff") is None
+    assert decode_jpeg(b"\xff\xd8" + b"\xff\xda\x00\x04\x00\x00") is None  # SOS first
+
+    # decode_features routes JPEG bytes to the structural features
+    f = decode_features(_jpeg_bytes(640, 480), dim=16)
+    assert list(f[:5]) == [640.0, 480.0, 3.0, 8.0, 0.0]
