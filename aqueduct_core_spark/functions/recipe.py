@@ -84,13 +84,17 @@ def prepare_corpus(
         "n_words", "mean_word_len", "dup_word_frac", "top_bigram_frac"
     )
 
-    # 3. contaminated ids (broadcast-probe + tiny agg), anti-flag join
+    # 3. contaminated ids (broadcast-probe + tiny agg), anti-flag join.
+    # The flag set is explicitly broadcast: it is bounded by documents
+    # actually sharing shingles with the (small) benchmark — orders of
+    # magnitude under the corpus — and an implicit plan would fall back
+    # to a sort-merge join that re-shuffles the full corpus by doc_id.
     if benchmark is not None:
         bad = decontaminate(
             docs, benchmark, k=decon_k, min_hits=decon_min_hits,
             text_col=text_col, id_col=id_col, hash_method=hash_method,
         ).select(F.col(id_col), F.lit(True).alias("_contam"))
-        out = out.join(bad, on=id_col, how="left")
+        out = out.join(F.broadcast(bad), on=id_col, how="left")
     else:
         out = out.withColumn("_contam", F.lit(None).cast("boolean"))
 

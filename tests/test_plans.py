@@ -188,3 +188,26 @@ def test_hash_sample_is_shuffle_free(spark):
     df = spark.range(100).withColumnRenamed("id", "doc_id")
     plan = _plan(hash_sample(df, rate_pct=10))
     assert "Exchange" not in plan, plan
+
+
+def test_prepare_corpus_one_wide_shuffle_no_smj(spark):
+    """The whole recipe moves document text through exactly ONE wide
+    shuffle (the fingerprint window); quality gates compute inline in
+    the same stage and the contamination flags arrive broadcast — no
+    sort-merge join anywhere (a doc_id SMJ here would re-shuffle the
+    corpus at scale)."""
+    from aqueduct_core_spark.functions.recipe import prepare_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with several words present") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "held out benchmark words only")], "doc_id long, text string"
+    )
+    plan = _plan(prepare_corpus(docs, benchmark=bench, sample_rate_pct=50))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2  # contam flags + shingle probe
+    # wide exchanges: the fp window + the narrow contam-id aggregation +
+    # the narrow benchmark shingle distinct — never more
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
