@@ -134,10 +134,30 @@ class SnapshotCatalog:
             "offsets_files": base["offsets_files"] + list(added_offsets_files or []),
             "summary": {**base["summary"], **(summary_updates or {})},
         }
+        if not publish:
+            # per-stage identity: the publish/abandon decision claims an
+            # O_EXCL file named by this id, so exactly one of a racing
+            # publish and abandon wins even across processes — and a
+            # re-stage of the same version number (after an abandon)
+            # gets a fresh decision
+            snap["summary"]["aqueduct.stage-id"] = uuid.uuid4().hex
         self._write_manifest(snap)
         if publish:
             self._swap_version(snap["snapshot_id"])
         return snap
+
+    def _claim_decision(self, snap: dict, verb: str) -> None:
+        sid = snap["summary"].get("aqueduct.stage-id", f"v{snap['snapshot_id']}")
+        path = os.path.join(self._snap_dir, f".decide-{sid}")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"staged v{snap['snapshot_id']} already decided "
+                f"(racing {verb} lost)"
+            ) from e
+        with os.fdopen(fd, "w") as f:
+            f.write(verb)
 
     # -- write-audit-publish --------------------------------------------
     def staged_version(self) -> int | None:
@@ -151,7 +171,10 @@ class SnapshotCatalog:
     def publish(self, version: int) -> dict:
         """Make a staged snapshot the readers' current version.  The
         manifest was durable (fsync'd) at stage time, so publish is one
-        atomic pointer swap — nothing can half-publish."""
+        atomic pointer swap — nothing can half-publish.  The
+        publish-vs-abandon decision is single-winner (O_EXCL claim on
+        the stage id): a racing abandon cannot remove the manifest the
+        pointer is about to reference."""
         cur = self.current_version()
         if version != cur + 1:
             raise ValueError(
@@ -159,6 +182,7 @@ class SnapshotCatalog:
                 "(only the staged head, head+1, is publishable)"
             )
         snap = self.load(version)  # raises if nothing staged
+        self._claim_decision(snap, "publish")
         self._swap_version(version)
         return snap
 
@@ -166,10 +190,17 @@ class SnapshotCatalog:
         """Drop a staged (never-published) snapshot: the manifest is
         removed, unblocking the version sequence; its data files become
         unreferenced and are reclaimed by ``remove_orphan_files``.
-        Refuses to touch published versions."""
+        Refuses to touch published versions; loses (raises
+        ``CommitConflict``) against a racing publish; a repeat abandon
+        of an already-removed stage is a no-op."""
         if version <= self.current_version():
             raise ValueError(f"v{version} is published; use rollback, not abandon")
         path = os.path.join(self._snap_dir, f"v{version}.json")
+        try:
+            snap = self.load(version)
+        except FileNotFoundError:
+            return  # already abandoned
+        self._claim_decision(snap, "abandon")
         try:
             os.remove(path)
         except FileNotFoundError:
@@ -310,6 +341,18 @@ class SnapshotCatalog:
         for v in versions:
             if v not in keep:
                 os.remove(os.path.join(self._snap_dir, f"v{v}.json"))
+        # decided WAP stages leave inert one-byte decision claims; sweep
+        # aged ones (age guard: a decision mid-flight right now must
+        # keep its claim — see publish/abandon)
+        cutoff = time.time() - 3600
+        for fn in os.listdir(self._snap_dir):
+            if fn.startswith(".decide-"):
+                p = os.path.join(self._snap_dir, fn)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        os.remove(p)
+                except FileNotFoundError:
+                    pass
         return orphans
 
 

@@ -165,3 +165,49 @@ def test_tags_pin_versions_and_survive_expiry(spark, tmp_path):
     with pytest.raises(KeyError):
         t.read_as_of("no-such-tag")
     log.unpersist()
+
+
+def test_wap_publish_abandon_decision_is_single_winner(spark, tmp_path):
+    """The publish-vs-abandon decision on one staged snapshot has
+    exactly one winner (O_EXCL stage-id claim): the loser raises
+    instead of corrupting the pointer or destroying published work."""
+    cfg = EngineConfig(num_buckets=4, max_events_per_trigger=10**9)
+    log, ranges = _log_and_ranges(spark, cfg)
+    (r,) = ranges
+
+    # publish wins -> abandon refuses (version now published)
+    t = ParquetTranscriptTable.create(spark, str(tmp_path / "t1"), num_buckets=4)
+    apply_batch(t, _batch(log, r), epoch=0, cfg=cfg, batch_max_lsn=r.end_lsn,
+                publish=False)
+    v = t.catalog.staged_version()
+    t.catalog.publish(v)
+    with pytest.raises(ValueError, match="published"):
+        t.catalog.abandon(v)
+    assert t.read().count() > 0
+
+    # abandon wins -> publish fails loud (manifest gone), repeat abandon
+    # is a no-op, and restaging the same version gets a FRESH decision
+    t2 = ParquetTranscriptTable.create(spark, str(tmp_path / "t2"), num_buckets=4)
+    apply_batch(t2, _batch(log, r), epoch=0, cfg=cfg, batch_max_lsn=r.end_lsn,
+                publish=False)
+    v2 = t2.catalog.staged_version()
+    t2.catalog.abandon(v2)
+    with pytest.raises(FileNotFoundError):
+        t2.catalog.publish(v2)
+    t2.catalog.abandon(v2)  # idempotent
+    apply_batch(t2, _batch(log, r), epoch=0, cfg=cfg, batch_max_lsn=r.end_lsn,
+                publish=False)
+    assert t2.catalog.staged_version() == v2
+    t2.catalog.publish(v2)  # new stage-id -> new decision claim
+    assert t2.last_committed_epoch() == 0
+
+    # the raw double-decision race: second decision on one stage loses
+    t3 = ParquetTranscriptTable.create(spark, str(tmp_path / "t3"), num_buckets=4)
+    apply_batch(t3, _batch(log, r), epoch=0, cfg=cfg, batch_max_lsn=r.end_lsn,
+                publish=False)
+    v3 = t3.catalog.staged_version()
+    snap = t3.catalog.load(v3)
+    t3.catalog._claim_decision(snap, "abandon")  # simulate racing winner
+    with pytest.raises(CommitConflict, match="already decided"):
+        t3.catalog.publish(v3)
+    log.unpersist()
