@@ -66,6 +66,9 @@ cdc_net_changes             net-changes collapse of an lsn window
 cdc_asof_join               as-of join (latest conv-level event at-or-
                             before each turn event) — single-window shape
 cdc_sessionize              gap-based sessionization per conversation
+cdc_replica_diff            anti-entropy key diff: primary vs a replica
+                            with lost + bit-rotted events (hash compare
+                            engine-side, column compare oracle-side)
 doc_sample                  deterministic hash-bucket corpus sampling
 doc_stratified_sample       per-language sampling rates, one projection
 doc_top_bigrams             corpus top-k n-gram heavy hitters
@@ -504,6 +507,35 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.operators.temporal import sessionize
 
     return sessionize(load_changes(spark, sf_dir), gap_minutes=30)
+
+
+def _q_replica_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy key diff: a replica whose input log lost every
+    ``lsn % 101 == 0`` event and bit-rotted the text of every
+    ``lsn % 103 == 0`` event, diffed against the primary state.  The
+    engine compares per-row 64-bit hashes (text never shuffles); the
+    oracle compares the columns directly — same divergence set."""
+    from aqueduct_core_spark.operators import lww
+    from aqueduct_core_spark.operators.antientropy import key_diff
+    from aqueduct_core_spark.schema import LSN_COLUMN, OP_DELETE
+
+    def _state(ch: DataFrame) -> DataFrame:
+        winners, _ = lww.resolve_batch(ch, ["role", "text", "tool", "ts"])
+        return winners.where(F.col("op") != OP_DELETE).select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts", LSN_COLUMN
+        )
+
+    changes = load_changes(spark, sf_dir)
+    rlog = changes.where(F.col("lsn") % 101 != 0).withColumn(
+        "text",
+        F.when(
+            (F.col("lsn") % 103 == 0) & F.col("text").isNotNull(),
+            F.concat(F.col("text"), F.lit("!bitrot")),
+        ).otherwise(F.col("text")),
+    )
+    return key_diff(
+        _state(changes), _state(rlog), payload_cols=["role", "text", "tool", "ts"]
+    )
 
 
 def _q_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1379,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_net_changes": _q_net_changes,
         "cdc_asof_join": _q_asof_join,
         "cdc_sessionize": _q_sessionize,
+        "cdc_replica_diff": _q_replica_diff,
         "doc_sample": _q_sample,
         "doc_stratified_sample": _q_stratified_sample,
         "doc_top_bigrams": _q_top_bigrams,
@@ -1801,6 +1834,48 @@ SELECT conv_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
   min(ts) AS start_ts, max(ts) AS end_ts,
   min(lsn) AS first_lsn, max(lsn) AS last_lsn
 FROM s GROUP BY conv_id, session_id
+"""
+        ),
+        "cdc_replica_diff": oracle(
+            _STATE_BODY
+            + """,
+rchanges AS (
+  SELECT lsn, op, conv_id, turn_idx, role,
+         CASE WHEN lsn % 103 = 0 AND text IS NOT NULL
+              THEN text || '!bitrot' ELSE text END AS text,
+         tool, ts
+  FROM changes WHERE lsn % 101 <> 0
+),
+rturns AS (SELECT * FROM rchanges WHERE turn_idx IS NOT NULL),
+rconv_del AS (
+  SELECT conv_id, max(lsn) AS conv_del_lsn
+  FROM rchanges WHERE turn_idx IS NULL AND op = 'D' GROUP BY conv_id
+),
+rw AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM rturns
+),
+rstate AS (
+  SELECT rw.conv_id, rw.turn_idx, rw.role, rw.text, rw.tool, rw.ts, rw.lsn
+  FROM rw LEFT JOIN rconv_del ON rw.conv_id = rconv_del.conv_id
+  WHERE rn = 1 AND op <> 'D'
+    AND (conv_del_lsn IS NULL OR rw.lsn > conv_del_lsn)
+)
+SELECT coalesce(p.conv_id, r.conv_id) AS conv_id,
+       coalesce(p.turn_idx, r.turn_idx) AS turn_idx,
+       CASE WHEN r.lsn IS NULL THEN 'missing_in_replica'
+            WHEN p.lsn IS NULL THEN 'missing_in_primary'
+            ELSE 'differs' END AS status,
+       p.lsn AS primary_lsn,
+       r.lsn AS replica_lsn
+FROM state p FULL OUTER JOIN rstate r
+  ON p.conv_id = r.conv_id AND p.turn_idx = r.turn_idx
+WHERE p.lsn IS NULL OR r.lsn IS NULL
+   OR p.lsn <> r.lsn
+   OR p.role IS DISTINCT FROM r.role
+   OR p.text IS DISTINCT FROM r.text
+   OR p.tool IS DISTINCT FROM r.tool
+   OR p.ts IS DISTINCT FROM r.ts
 """
         ),
         "doc_sample": f"""
