@@ -74,6 +74,9 @@ doc_stratified_sample       per-language sampling rates, one projection
 doc_top_bigrams             corpus top-k n-gram heavy hitters
 doc_ngram_jaccard           exact n-gram Jaccard near-dup (inverted
                             shingle index, df-capped blocking)
+doc_index_dedup             incremental admission-control dedup: a
+                            persisted LSH signature index over history,
+                            incoming batch checked + Jaccard-verified
 doc_decontaminate           test-set decontamination: k-gram overlap
                             vs a broadcast benchmark shingle set
 doc_corpus_recipe           full corpus recipe (dedup->quality->decon->
@@ -690,6 +693,33 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental admission-control dedup: history (doc_id % 3 != 0)
+    is indexed ONCE into a persisted LSH signature index; the incoming
+    third is checked against the index (part-pruned read, 12-byte join
+    keys) and exact-Jaccard verified.  The oracle runs the same
+    signatures over the union and keeps only cross-set candidate
+    pairs."""
+    import tempfile
+
+    from aqueduct_core_spark.functions.dedup_index import DedupIndex
+
+    docs = _docs(spark, sf_dir)
+    hist = docs.where(F.col("doc_id") % 3 != 0)
+    inc = docs.where(F.col("doc_id") % 3 == 0)
+    ix = DedupIndex.create(
+        spark, tempfile.mkdtemp(prefix="aq-dedup-ix-"),
+        hash_method="md5", num_parts=4,
+    )
+    ix.add(hist)
+    out = ix.check(inc, corpus=hist, threshold=0.3)
+    return out.select(
+        F.col("id_in").cast("bigint").alias("id_in"),
+        F.col("id_indexed").cast("bigint").alias("id_indexed"),
+        "jaccard",
+    )
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-probabilistic near-dup: inverted shingle index (df-capped
     blocking — never all-pairs) + exact Jaccard verify.  Complements
@@ -982,6 +1012,62 @@ ver AS (
   JOIN sh sb ON sb.id = c.id_b
 )
 SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
+"""
+
+
+def _index_dedup_oracle(num_hashes: int = 64, bands: int = 16, k: int = 3,
+                        threshold: float = 0.3) -> str:
+    """Cross-set variant of :func:`_minhash_oracle`: candidates where
+    the incoming side is ``doc_id % 3 = 0`` and the indexed side is the
+    rest — the admission-control contract of
+    ``functions.dedup_index.DedupIndex.check``."""
+    from aqueduct_core_spark.functions.dedup import MINHASH_P, minhash_mixers
+
+    rpb = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min(((h % {MINHASH_P}) * {a} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_mixers(num_hashes))
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT id, {b} AS band, {bucket} AS bucket FROM sig".format(
+            b=b,
+            bucket=_dh(
+                "("
+                + " || ',' || ".join(
+                    f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+                )
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingle_ctes(k)},
+hh AS (SELECT id, {_dh('s')} AS h FROM ex),
+sig AS (
+  SELECT id,
+    {mins}
+  FROM hh GROUP BY id
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_in, b.id AS id_indexed
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id % 3 = 0 AND b.id % 3 <> 0
+),
+ver AS (
+  SELECT c.id_in, c.id_indexed,
+    floor((len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles))))
+          * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_in
+  JOIN sh sb ON sb.id = c.id_indexed
+)
+SELECT id_in, id_indexed, jaccard FROM ver WHERE jaccard >= {threshold}
 """
 
 
@@ -1425,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_join": _q_knn_join,
         "doc_minhash_pairs": _q_minhash_pairs,
         "doc_ngram_jaccard": _q_ngram_jaccard,
+        "doc_index_dedup": _q_index_dedup,
         "doc_decontaminate": _q_decontaminate,
         "doc_corpus_recipe": _q_corpus_recipe,
         "doc_dup_clusters": _q_dup_clusters,
@@ -1967,6 +2054,7 @@ FROM t
         "emb_knn_join": knn_join,
         "doc_minhash_pairs": _minhash_oracle(),
         "doc_ngram_jaccard": _ngram_jaccard_oracle(),
+        "doc_index_dedup": _index_dedup_oracle(),
         "doc_decontaminate": _decontaminate_oracle(),
         "doc_corpus_recipe": _corpus_recipe_oracle(),
         "doc_dup_clusters": _dup_clusters_oracle(),
