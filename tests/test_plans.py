@@ -211,3 +211,61 @@ def test_prepare_corpus_one_wide_shuffle_no_smj(spark):
     # wide exchanges: the fp window + the narrow contam-id aggregation +
     # the narrow benchmark shingle distinct — never more
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_key_diff_shuffles_hashes_not_text(spark, log_path):
+    """Anti-entropy per-key diff: the full-outer join's inputs are
+    (key, lsn, xxhash64) projections — the transcript text column is
+    consumed by the hash BELOW the exchange and never shuffles."""
+    from aqueduct_core_spark.operators.antientropy import key_diff
+
+    log = spark.read.parquet(log_path)
+    p = log.select("conv_id", "turn_idx", "text", "role", "ts", F.col("lsn").alias("_lsn"))
+    r = p.where(F.col("_lsn") % 7 != 0)
+    plan = _plan(key_diff(p, r, payload_cols=["text", "role", "ts"]))
+    assert "FullOuter" in plan
+    assert "xxhash64" in plan
+    # every exchange below the join carries only key/lsn/hash columns
+    for frag in plan.split("Exchange hashpartitioning"):
+        header = frag.splitlines()[0]
+        assert "text" not in header, f"text in shuffle key list: {header}"
+
+
+def test_bucket_digests_single_partial_agg(spark, tmp_path):
+    """Per-bucket digest = ONE hash aggregation with map-side combine
+    over the resolved state: digesting a 100 TB table is a scan, not a
+    shuffle of its contents."""
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.operators.antientropy import bucket_digests
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    cfg = EngineConfig(num_buckets=4, max_events_per_trigger=10**9)
+    t = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
+    log = to_spark(spark, generate_changes_pdf(20, seed=44))
+    replay(t, log, cfg, start_epoch=0, start_lsn=0)
+    plan = _plan(bucket_digests(t))
+    base = _plan(t.read_internal())
+    added = plan.count("Exchange hashpartitioning") - base.count(
+        "Exchange hashpartitioning"
+    )
+    assert added == 1, f"digest must add exactly one exchange, added {added}"
+    assert "partial_sum" in plan, "map-side combine missing from digest agg"
+
+
+def test_index_check_join_carries_no_text(spark, tmp_path):
+    """DedupIndex.check: the candidate join moves (band, bucket, id)
+    rows only — the incoming batch's text is reduced to shingle hashes
+    below the exchange."""
+    from aqueduct_core_spark.functions.dedup_index import DedupIndex
+
+    ix = DedupIndex.create(spark, str(tmp_path / "ix"), num_parts=4)
+    docs = spark.createDataFrame(
+        [("a", "one two three four five"), ("b", "six seven eight nine ten")],
+        "doc_id string, text string",
+    )
+    ix.add(docs)
+    plan = _plan(ix.check(docs))
+    for frag in plan.split("Exchange hashpartitioning"):
+        header = frag.splitlines()[0]
+        assert "text" not in header, f"text in shuffle key list: {header}"
