@@ -409,3 +409,25 @@ def sync_index_from_feed(index: DedupIndex, table, cursor) -> dict:
         index.remove(gone)
         cursor.commit()
         synced += 1
+
+
+class DedupIndexMaintainer:
+    """Adapter that lets a :class:`DedupIndex` ride the streaming apply
+    loop (``start_stream(maintainers=[...])``): after each committed
+    epoch, :meth:`refresh` drains the table's change feed into the
+    index via :func:`sync_index_from_feed`, so admission-control dedup
+    always sees the corpus as of the last commit.  A replayed (skipped)
+    epoch leaves the table version unchanged, so the cursor polls
+    nothing and the refresh no-ops — maintenance inherits the engine's
+    exactly-once story the same way the rollup does.  Cost per epoch is
+    O(changed conversations); pass a persisted-``state_path`` cursor so
+    a restarted stream resumes index maintenance where it acknowledged."""
+
+    name = "dedup_index"
+
+    def __init__(self, index: DedupIndex, cursor) -> None:
+        self.index = index
+        self.cursor = cursor
+
+    def refresh(self, table) -> dict:
+        return sync_index_from_feed(self.index, table, self.cursor)

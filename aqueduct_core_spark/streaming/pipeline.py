@@ -341,6 +341,7 @@ def _foreach_batch_fn(
     record_metrics: bool = False,
     rollup=None,
     audits: dict | None = None,
+    maintainers: list | None = None,
 ):
     def fn(batch_df: DataFrame, batch_id: int):
         if audits:
@@ -360,6 +361,11 @@ def _foreach_batch_fn(
             # leaves the table version unchanged, so refresh no-ops —
             # the rollup stays exactly-once for free
             m["rollup"] = rollup.refresh(table)
+        # generic continuous maintenance: anything with .refresh(table)
+        # (e.g. functions.dedup_index.DedupIndexMaintainer) rides the
+        # same driver turn; skipped epochs no-op for the same reason
+        for mt in maintainers or []:
+            m[getattr(mt, "name", type(mt).__name__)] = mt.refresh(table)
         return m
 
     if record_metrics:
@@ -407,6 +413,7 @@ def start_stream(
     dedup_within: str | None = None,
     rollup=None,
     audits: dict | None = None,
+    maintainers: list | None = None,
 ):
     """Continuous tail of a change-log directory via Structured
     Streaming.  Backpressure via ``maxFilesPerTrigger`` (the
@@ -433,7 +440,7 @@ def start_stream(
     writer = (
         stream.writeStream.foreachBatch(
             _foreach_batch_fn(table, cfg, record_metrics, rollup=rollup,
-                              audits=audits)
+                              audits=audits, maintainers=maintainers)
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
@@ -457,6 +464,7 @@ def run_available_now(
     dedup_within: str | None = None,
     rollup=None,
     audits: dict | None = None,
+    maintainers: list | None = None,
 ) -> None:
     """Drain everything currently in the log, then stop (the
     bootstrap / catch-up mode; reference BootstrapType PIPE replay)."""
@@ -472,6 +480,7 @@ def run_available_now(
         dedup_within=dedup_within,
         rollup=rollup,
         audits=audits,
+        maintainers=maintainers,
     )
     try:
         q.awaitTermination(timeout_s)

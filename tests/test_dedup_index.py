@@ -188,3 +188,47 @@ def test_params_stamped_and_bands_must_divide(spark, tmp_path):
     # load() round-trips the stamped params
     m2 = DedupIndex.load(spark, str(tmp_path / "ok"))._meta()
     assert m2 == m
+
+
+def test_streaming_maintainer_keeps_index_fresh(spark, tmp_path):
+    """The index rides foreachBatch via DedupIndexMaintainer: after a
+    multi-epoch streaming drain every current conversation is findable
+    in the index by its own text, and a second drain of the same log
+    (fresh checkpoint -> idempotently-skipped epochs) leaves the
+    cursor untouched."""
+    from aqueduct_core_spark.functions.dedup_index import DedupIndexMaintainer
+    from aqueduct_core_spark.streaming.pipeline import run_available_now
+
+    cfg = EngineConfig(num_buckets=4, mor_fold_every=10**9)
+    changes_dir = str(tmp_path / "changes")
+    generate_changes(spark, n_convs=30, seed=29).repartition(4).write.parquet(
+        changes_dir
+    )
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
+    ix = DedupIndex.create(spark, str(tmp_path / "ix"), num_parts=4)
+    cur = FeedCursor(table, state_path=str(tmp_path / "cur.json"))
+
+    run_available_now(
+        spark, table, changes_dir, str(tmp_path / "ckpt"), cfg,
+        max_files_per_trigger=2,
+        maintainers=[DedupIndexMaintainer(ix, cur)],
+    )
+    assert table.catalog.current_version() >= 2  # multiple epochs ran
+    assert cur.version == table.catalog.current_version()
+
+    docs_now = conversation_documents(table.read())
+    probe = docs_now.withColumn("doc_id", F.concat(F.lit("probe-"), "doc_id"))
+    hits = ix.check(probe, corpus=docs_now, threshold=0.99)
+    matched = {
+        r["id_in"].removeprefix("probe-"): r["id_indexed"] for r in hits.collect()
+    }
+    assert all(k == v for k, v in matched.items())
+    assert len(matched) == docs_now.count()
+
+    v = cur.version
+    run_available_now(
+        spark, table, changes_dir, str(tmp_path / "ckpt2"), cfg,
+        max_files_per_trigger=2,
+        maintainers=[DedupIndexMaintainer(ix, cur)],
+    )
+    assert cur.version == v  # skipped epochs -> no feed -> no index churn
