@@ -55,6 +55,10 @@ cdc_conv_rollup             incremental per-conversation rollup (dirty-
                             group recompute from the table change feed)
 cdc_quarantine              dead-letter validation: first-violated-rule
                             stamping of malformed change events
+cdc_envelope_roundtrip      Debezium-envelope wire adapter: to_json →
+                            from_json round trip equals the source log
+cdc_envelope_dlq            envelope-level dead letters (corrupt JSON,
+                            unknown op, missing source.lsn) by reason
 doc_chunks                  overlapping token-window chunking (explode,
                             zero-shuffle)
 doc_pii_redact              email/phone PII scrub with per-doc audit
@@ -438,6 +442,51 @@ def _q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, invalid = split_quarantine(injected)
     return invalid.select("lsn", "op", "conv_id", "turn_idx", "reason")
+
+
+def _q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-envelope wire adapter: serialize the whole change log to
+    JSON envelopes (Kafka value shape) and parse it back — the output
+    must equal the original log column-for-column (ts through epoch
+    micros, event_size recomputed from the payload, deletes carrying
+    their key image in `before`).  Zero Python, zero shuffle."""
+    from aqueduct_core_spark.sources.envelope import (
+        split_envelopes,
+        to_envelope_json,
+    )
+
+    changes = load_changes(spark, sf_dir)
+    ok, _ = split_envelopes(to_envelope_json(changes))
+    return ok
+
+
+def _q_envelope_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope-level dead letters: corrupt deterministic slices of the
+    serialized wire stream (truncated JSON at lsn%101, unknown op at
+    lsn%103, missing source.lsn at lsn%107 — first rule wins, expressed
+    identically in the oracle) and count each first-violation reason."""
+    from aqueduct_core_spark.sources.envelope import (
+        split_envelopes,
+        to_envelope_json,
+    )
+
+    env = to_envelope_json(load_changes(spark, sf_dir)).select("value")
+    lsn = F.regexp_extract("value", '"lsn":(\\d+)', 1).cast("long")
+    corrupted = env.select(
+        F.when(lsn % 101 == 0, F.concat(F.lit("{oops "), F.col("value")))
+        .when(
+            lsn % 103 == 0,
+            F.regexp_replace("value", '^\\{"op":"[a-z]"', '{"op":"x"'),
+        )
+        .when(
+            lsn % 107 == 0,
+            F.regexp_replace("value", '"lsn":\\d+,', ""),
+        )
+        .otherwise(F.col("value"))
+        .alias("value")
+    )
+    _, bad = split_envelopes(corrupted)
+    return bad.groupBy("reason").agg(F.count("*").alias("n"))
 
 
 def _q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1493,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_table_changes": _q_table_changes,
         "cdc_conv_rollup": _q_conv_rollup,
         "cdc_quarantine": _q_quarantine,
+        "cdc_envelope_roundtrip": _q_envelope_roundtrip,
+        "cdc_envelope_dlq": _q_envelope_dlq,
         "cdc_changefeed": _q_changefeed,
         "cdc_net_changes": _q_net_changes,
         "cdc_asof_join": _q_asof_join,
@@ -1838,6 +1889,17 @@ stamped AS (
   FROM inj
 )
 SELECT * FROM stamped WHERE reason IS NOT NULL
+"""
+        ),
+        "cdc_envelope_roundtrip": oracle("SELECT * FROM changes"),
+        "cdc_envelope_dlq": oracle(
+            """
+SELECT reason, count(*) AS n FROM (
+  SELECT CASE WHEN lsn % 101 = 0 THEN 'not_json'
+              WHEN lsn % 103 = 0 THEN 'bad_op'
+              WHEN lsn % 107 = 0 THEN 'no_lsn' END AS reason
+  FROM changes
+) WHERE reason IS NOT NULL GROUP BY reason
 """
         ),
         "cdc_conv_rollup": oracle(
