@@ -57,6 +57,8 @@ cdc_quarantine              dead-letter validation: first-violated-rule
                             stamping of malformed change events
 cdc_envelope_roundtrip      Debezium-envelope wire adapter: to_json →
                             from_json round trip equals the source log
+cdc_rename_evolution        metadata-only column rename mid-stream
+                            (logical name mapping, zero rewrite)
 cdc_envelope_dlq            envelope-level dead letters (corrupt JSON,
                             unknown op, missing source.lsn) by reason
 doc_chunks                  overlapping token-window chunking (explode,
@@ -442,6 +444,44 @@ def _q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, invalid = split_quarantine(injected)
     return invalid.select("lsn", "op", "conv_id", "turn_idx", "reason")
+
+
+def _q_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column rename mid-stream: apply the first half of
+    the log, rename tool→tool_name and role→speaker (no rewrite — the
+    snapshot's file list is asserted unchanged), apply the second half
+    addressed by the NEW names, and read the merged state back under
+    the logical schema.  Oracle: the plain merged state with the
+    columns aliased."""
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.operators.evolve import rename_column
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    changes = load_changes(spark, sf_dir)
+    split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
+
+    root = tempfile.mkdtemp(prefix="aqueduct_rename_")
+    table = ParquetTranscriptTable.create(spark, root, num_buckets=16)
+    cfg = EngineConfig(
+        num_buckets=16,
+        max_events_per_trigger=150_000,
+        max_bytes_per_trigger=48 * 1024 * 1024,
+    )
+    replay(table, changes.where(F.col("lsn") < split), cfg,
+           start_epoch=0, start_lsn=0, lsn_bounds=(0, split - 1))
+    files_before = table.catalog.current()["files"]
+    rename_column(table, "tool", "tool_name")
+    rename_column(table, "role", "speaker")
+    assert table.catalog.current()["files"] == files_before, "rename rewrote data!"
+    second = (
+        changes.where(F.col("lsn") >= split)
+        .withColumnRenamed("tool", "tool_name")
+        .withColumnRenamed("role", "speaker")
+    )
+    replay(table, second, cfg, lsn_bounds=(split, split * 2 + 1))
+    return table.read().select("conv_id", "turn_idx", "speaker", "text",
+                               "tool_name", "ts")
 
 
 def _q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1543,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_conv_rollup": _q_conv_rollup,
         "cdc_quarantine": _q_quarantine,
         "cdc_envelope_roundtrip": _q_envelope_roundtrip,
+        "cdc_rename_evolution": _q_rename_evolution,
         "cdc_envelope_dlq": _q_envelope_dlq,
         "cdc_changefeed": _q_changefeed,
         "cdc_net_changes": _q_net_changes,
@@ -1892,6 +1933,11 @@ SELECT * FROM stamped WHERE reason IS NOT NULL
 """
         ),
         "cdc_envelope_roundtrip": oracle("SELECT * FROM changes"),
+        "cdc_rename_evolution": oracle(
+            _STATE_BODY
+            + "SELECT conv_id, turn_idx, role AS speaker, text, "
+            "tool AS tool_name, ts FROM state"
+        ),
         "cdc_envelope_dlq": oracle(
             """
 SELECT reason, count(*) AS n FROM (

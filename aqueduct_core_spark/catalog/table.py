@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 
 from aqueduct_core_spark.catalog.snapshot import SnapshotCatalog
 from aqueduct_core_spark.schema import (
+    KEY_COLUMNS,
     LSN_COLUMN,
     OFFSETS_SCHEMA,
     TRANSCRIPTS_INTERNAL_SCHEMA,
@@ -152,6 +153,104 @@ class ParquetTranscriptTable:
     def payload_columns(self) -> list[str]:
         return [f.name for f in self.schema().fields if f.name != LSN_COLUMN]
 
+    # -- logical column mapping (rename/drop without rewrite) ------------
+    #
+    # Physical column names are write-once: data files keep the name a
+    # column was born with, forever.  Renames and drops are pure
+    # metadata — a {logical: physical} mapping plus a dropped-physicals
+    # list in the snapshot manifest (Iceberg's field-id indirection,
+    # expressed over plain Parquet).  Internals (LWW, folds, compaction,
+    # consistency sums) run entirely on physical names; the mapping is
+    # applied only at the public boundaries: reads map physical →
+    # logical, incoming batches map logical → physical.
+
+    def column_mapping(self, snap: dict | None = None) -> dict[str, str]:
+        """Visible payload columns as {logical: physical} — identity for
+        never-renamed columns, dropped physicals absent.  Key columns
+        and the internal lsn are not mapped (never renameable)."""
+        snap = snap or self.catalog.current()
+        stored = snap.get("column_mapping", {})  # logical -> physical, renames only
+        dropped = set(snap.get("dropped_columns", []))
+        by_physical = {v: k for k, v in stored.items()}
+        out: dict[str, str] = {}
+        for fd in snap["schema"]:
+            p = fd["name"]
+            if p in (*KEY_COLUMNS, LSN_COLUMN) or p in dropped:
+                continue
+            out[by_physical.get(p, p)] = p
+        return out
+
+    def logical_schema(self) -> T.StructType:
+        """The public (post-rename, post-drop) payload schema."""
+        snap = self.catalog.current()
+        mapping = self.column_mapping(snap)
+        by_physical = {v: k for k, v in mapping.items()}
+        fields = []
+        for fd in snap["schema"]:
+            p = fd["name"]
+            if p == LSN_COLUMN:
+                continue
+            if p in KEY_COLUMNS:
+                fields.append(T.StructField.fromJson(fd))
+            elif p in by_physical:
+                fd2 = dict(fd, name=by_physical[p])
+                fields.append(T.StructField.fromJson(fd2))
+        return T.StructType(fields)
+
+    def _map_payload(self, df: DataFrame, snap: dict) -> DataFrame:
+        """physical → logical at a read boundary: rename visible payload
+        columns, hide dropped ones; key/extra columns pass through."""
+        mapping = self.column_mapping(snap)
+        by_physical = {v: k for k, v in mapping.items()}
+        payload_physicals = {
+            fd["name"] for fd in snap["schema"]
+            if fd["name"] not in (*KEY_COLUMNS, LSN_COLUMN)
+        }
+        cols = []
+        for c in df.columns:
+            if c in payload_physicals:
+                if c in by_physical:
+                    cols.append(F.col(c).alias(by_physical[c]))
+                # else: dropped — hidden
+            else:
+                cols.append(F.col(c))
+        return df.select(*cols)
+
+    def to_physical(self, batch: DataFrame) -> DataFrame:
+        """logical → physical for an incoming change batch.  Columns not
+        known logically pass through (schema evolution adds them) —
+        except a name that collides with a RETIRED physical (renamed
+        away or dropped), which fails loud: silently merging new data
+        into an old column's files would resurrect it."""
+        snap = self.catalog.current()
+        mapping = self.column_mapping(snap)
+        # a physical payload name is writable under its own name only
+        # while it is ALSO the logical name (identity); anything else —
+        # dropped, or renamed away — is retired
+        identity = {k for k, v in mapping.items() if k == v}
+        retired = {
+            fd["name"] for fd in snap["schema"]
+            if fd["name"] not in (*KEY_COLUMNS, LSN_COLUMN)
+        } - identity
+        cols = []
+        for c in batch.columns:
+            if c in mapping:
+                p = mapping[c]
+                cols.append(F.col(c).alias(p) if p != c else F.col(c))
+            elif c in retired:
+                from aqueduct_core_spark.operators.evolve import (
+                    IncompatibleSchemaChange,
+                )
+
+                raise IncompatibleSchemaChange(
+                    f"column name {c!r} was previously used by a renamed or "
+                    "dropped column; reusing a retired physical name would "
+                    "merge new data into its old files — pick another name"
+                )
+            else:
+                cols.append(F.col(c))
+        return batch.select(*cols)
+
     # -- read ----------------------------------------------------------
     def _base_df(self, snap: dict, wanted: set | None, schema: T.StructType) -> DataFrame:
         files = []
@@ -263,8 +362,14 @@ class ParquetTranscriptTable:
         return out.select(*[f.name for f in schema.fields])
 
     def read(self) -> DataFrame:
-        """Public table state (internal lsn column hidden)."""
-        return self.read_internal().drop(LSN_COLUMN)
+        """Public table state (internal lsn column hidden; renamed
+        columns read back under their logical names, dropped columns
+        hidden — both metadata-only)."""
+        v = self.catalog.current_version()
+        snap = self.catalog.load(v)
+        return self._map_payload(
+            self.read_internal(version=v), snap
+        ).drop(LSN_COLUMN)
 
     def snapshots(self) -> DataFrame:
         """Snapshot-history metadata table (Iceberg ``.snapshots``
@@ -315,18 +420,22 @@ class ParquetTranscriptTable:
         min/max stats prune further.  At 100 TB with 1024 buckets a
         lookup touches ~0.1% of files before any row is read."""
         b = bucket_of(conv_id, self.num_buckets)
-        return (
-            self.read_internal(buckets=[b])
-            .where(F.col("conv_id") == F.lit(conv_id))
-            .drop(LSN_COLUMN)
-        )
+        v = self.catalog.current_version()
+        return self._map_payload(
+            self.read_internal(buckets=[b], version=v)
+            .where(F.col("conv_id") == F.lit(conv_id)),
+            self.catalog.load(v),
+        ).drop(LSN_COLUMN)
 
     def read_as_of(self, version: int | str) -> DataFrame:
         """Time travel: public table state at a historical snapshot
         version (``catalog.history()`` lists retained versions) or at a
-        named tag (string — e.g. the tag a training run pinned)."""
-        return self.read_internal(
-            version=self.catalog.resolve(version)
+        named tag (string — e.g. the tag a training run pinned).  The
+        column mapping travels with the version: a read as of a
+        pre-rename snapshot sees the old column names."""
+        v = self.catalog.resolve(version)
+        return self._map_payload(
+            self.read_internal(version=v), self.catalog.load(v)
         ).drop(LSN_COLUMN)
 
     def tag(self, name: str, version: int | None = None) -> int:
@@ -389,7 +498,9 @@ class ParquetTranscriptTable:
             ]
         )
         if not new_files:
-            return self.spark.createDataFrame([], out_schema)
+            return self._map_payload(
+                self.spark.createDataFrame([], out_schema), snap_b
+            )
         d = self.spark.read.schema(self.delta_read_schema(schema)).parquet(*new_files)
         turns = d.where(F.col("_tkey") >= 0).select(
             F.col("conv_id"),
@@ -405,7 +516,9 @@ class ParquetTranscriptTable:
             *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload],
             F.col("_dlsn").alias(LSN_COLUMN),
         )
-        return turns.unionByName(convs)
+        # feed columns under the TARGET version's logical names, so a
+        # replica applying the feed round-trips through to_physical
+        return self._map_payload(turns.unionByName(convs), snap_b)
 
     def read_offsets(self) -> DataFrame:
         snap = self.catalog.current()

@@ -66,6 +66,60 @@ def widens(frm: T.DataType, to: T.DataType) -> bool:
     return False
 
 
+def rename_column(table, old: str, new: str) -> dict:
+    """Rename a payload column — metadata-only (Iceberg ``ALTER TABLE
+    … RENAME COLUMN``): data files keep the physical name the column
+    was born with; the snapshot gains a {logical: physical} mapping
+    entry applied at the read/write boundaries.  Key columns are never
+    renameable (bucket hashing and LWW identity depend on them); the
+    new name must not collide with any visible column.  Time travel
+    honors history: a read as of a pre-rename version sees the old
+    name.  Returns the committed snapshot."""
+    mapping = table.column_mapping()
+    if old in KEY_COLUMNS or old == LSN_COLUMN:
+        raise IncompatibleSchemaChange(f"key/internal column {old!r} is not renameable")
+    if old not in mapping:
+        raise IncompatibleSchemaChange(f"unknown column {old!r}; visible: {sorted(mapping)}")
+    if new in mapping or new in KEY_COLUMNS or new == LSN_COLUMN:
+        raise IncompatibleSchemaChange(f"column name {new!r} already in use")
+    base = table.catalog.current()
+    stored = dict(base.get("column_mapping", {}))
+    stored.pop(old, None)
+    physical = mapping[old]
+    if new != physical:
+        stored[new] = physical
+    return table.catalog.commit(
+        base,
+        column_mapping=stored,
+        summary_updates={"aqueduct.rename-column": f"{old}->{new}"},
+    )
+
+
+def drop_column(table, name: str) -> dict:
+    """Drop a payload column — metadata-only (Iceberg ``ALTER TABLE …
+    DROP COLUMN``): the physical column stays in existing files but is
+    hidden from every read and retired from every write; its storage is
+    reclaimed incrementally as folds/compactions rewrite buckets.  The
+    retired physical name cannot be reused by a later batch
+    (fail-loud in ``to_physical`` — reuse would resurrect old data)."""
+    mapping = table.column_mapping()
+    if name in KEY_COLUMNS or name == LSN_COLUMN:
+        raise IncompatibleSchemaChange(f"key/internal column {name!r} is not droppable")
+    if name not in mapping:
+        raise IncompatibleSchemaChange(f"unknown column {name!r}; visible: {sorted(mapping)}")
+    base = table.catalog.current()
+    stored = dict(base.get("column_mapping", {}))
+    stored.pop(name, None)
+    dropped = list(base.get("dropped_columns", []))
+    dropped.append(mapping[name])
+    return table.catalog.commit(
+        base,
+        column_mapping=stored,
+        dropped_columns=dropped,
+        summary_updates={"aqueduct.drop-column": name},
+    )
+
+
 def batch_payload_fields(batch: DataFrame) -> list[T.StructField]:
     """Payload fields of an incoming change batch, key columns first."""
     return [f for f in batch.schema.fields if f.name not in _NON_PAYLOAD]

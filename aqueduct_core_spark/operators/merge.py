@@ -111,6 +111,7 @@ def mor_prepare(
     import time as _time
 
     t0 = _time.time()
+    batch = table.to_physical(batch)  # logical → physical column names
     table_fields = table.schema().fields
     new_fields, added_cols, widened_cols = evolve.evolve_table_fields(
         table_fields, batch
@@ -196,6 +197,7 @@ def apply_batch(
             batch_max_lsn, prewritten=prewritten, widened_cols=widened_cols,
             extra_summary=extra_summary, publish=publish,
         )
+    batch = table.to_physical(batch)  # logical → physical column names
     table_fields = table.schema().fields
     new_fields, added_cols, widened_cols = evolve.evolve_table_fields(
         table_fields, batch
