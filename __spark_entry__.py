@@ -59,6 +59,8 @@ cdc_envelope_roundtrip      Debezium-envelope wire adapter: to_json →
                             from_json round trip equals the source log
 cdc_rename_evolution        metadata-only column rename mid-stream
                             (logical name mapping, zero rewrite)
+cdc_partial_upserts         patch-semantics LWW over sparse row images
+                            (latest non-null per column, delete resets)
 cdc_envelope_dlq            envelope-level dead letters (corrupt JSON,
                             unknown op, missing source.lsn) by reason
 doc_chunks                  overlapping token-window chunking (explode,
@@ -482,6 +484,25 @@ def _q_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay(table, second, cfg, lsn_bounds=(split, split * 2 + 1))
     return table.read().select("conv_id", "turn_idx", "speaker", "text",
                                "tool_name", "ts")
+
+
+def _q_partial_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-semantics LWW over sparse row images: updates carry only
+    the changed columns (role nulled at lsn%2, text at lsn%3 — expressed
+    identically in the oracle), and the merged value of each column is
+    its latest non-null write above the key's tombstone/conversation
+    watermarks (MySQL minimal-row-image / Debezium partial-update
+    semantics).  One hash aggregation, no per-key join."""
+    from aqueduct_core_spark.operators.lww import partial_merged_state
+
+    c = load_changes(spark, sf_dir)
+    is_u = F.col("op") == "U"
+    sparse = c.withColumn(
+        "role", F.when(is_u & (F.col("lsn") % 2 == 0), None).otherwise(F.col("role"))
+    ).withColumn(
+        "text", F.when(is_u & (F.col("lsn") % 3 == 0), None).otherwise(F.col("text"))
+    )
+    return partial_merged_state(sparse)
 
 
 def _q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1584,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_quarantine": _q_quarantine,
         "cdc_envelope_roundtrip": _q_envelope_roundtrip,
         "cdc_rename_evolution": _q_rename_evolution,
+        "cdc_partial_upserts": _q_partial_upserts,
         "cdc_envelope_dlq": _q_envelope_dlq,
         "cdc_changefeed": _q_changefeed,
         "cdc_net_changes": _q_net_changes,
@@ -1933,6 +1955,49 @@ SELECT * FROM stamped WHERE reason IS NOT NULL
 """
         ),
         "cdc_envelope_roundtrip": oracle("SELECT * FROM changes"),
+        "cdc_partial_upserts": oracle(
+            """
+sparse AS (
+  SELECT lsn, op, conv_id, turn_idx,
+         CASE WHEN op = 'U' AND lsn % 2 = 0 THEN NULL ELSE role END AS role,
+         CASE WHEN op = 'U' AND lsn % 3 = 0 THEN NULL ELSE text END AS text,
+         tool, ts
+  FROM changes
+),
+turns AS (SELECT * FROM sparse WHERE turn_idx IS NOT NULL),
+conv_del AS (
+  SELECT conv_id, max(lsn) AS conv_del_lsn
+  FROM sparse WHERE turn_idx IS NULL AND op = 'D' GROUP BY conv_id
+),
+g AS (
+  SELECT conv_id, turn_idx,
+    max_by(role, CASE WHEN op <> 'D' AND role IS NOT NULL THEN lsn END) AS v_role,
+    max(CASE WHEN op <> 'D' AND role IS NOT NULL THEN lsn END) AS l_role,
+    max_by(text, CASE WHEN op <> 'D' AND text IS NOT NULL THEN lsn END) AS v_text,
+    max(CASE WHEN op <> 'D' AND text IS NOT NULL THEN lsn END) AS l_text,
+    max_by(tool, CASE WHEN op <> 'D' AND tool IS NOT NULL THEN lsn END) AS v_tool,
+    max(CASE WHEN op <> 'D' AND tool IS NOT NULL THEN lsn END) AS l_tool,
+    max_by(ts, CASE WHEN op <> 'D' THEN lsn END) AS v_ts,
+    max(CASE WHEN op <> 'D' THEN lsn END) AS l_ts,
+    max(CASE WHEN op = 'D' THEN lsn END) AS tdel,
+    max(lsn) AS lsn
+  FROM turns GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx,
+  CASE WHEN l_role > greatest(coalesce(tdel, -1), coalesce(conv_del_lsn, -1))
+       THEN v_role END AS role,
+  CASE WHEN l_text > greatest(coalesce(tdel, -1), coalesce(conv_del_lsn, -1))
+       THEN v_text END AS text,
+  CASE WHEN l_tool > greatest(coalesce(tdel, -1), coalesce(conv_del_lsn, -1))
+       THEN v_tool END AS tool,
+  CASE WHEN l_ts > greatest(coalesce(tdel, -1), coalesce(conv_del_lsn, -1))
+       THEN v_ts END AS ts,
+  lsn
+FROM g LEFT JOIN conv_del USING (conv_id)
+WHERE lsn > coalesce(tdel, -1)
+  AND (conv_del_lsn IS NULL OR lsn > conv_del_lsn)
+"""
+        ),
         "cdc_rename_evolution": oracle(
             _STATE_BODY
             + "SELECT conv_id, turn_idx, role AS speaker, text, "

@@ -200,3 +200,77 @@ def lww_dedup_window(turn_events: DataFrame) -> DataFrame:
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def partial_merged_state(
+    changes: DataFrame, payload_cols: list[str] | None = None
+) -> DataFrame:
+    """LWW merge under PARTIAL row images (patch semantics).
+
+    Some CDC feeds ship sparse updates — only the columns that changed
+    (MySQL binlog with ``binlog_row_image=minimal``, Debezium's
+    partial-update events, DynamoDB UpdateItem streams).  There a NULL
+    payload column in an update means "unchanged", not "set to NULL"
+    (the standard patch-encoding limitation, documented here rather
+    than hidden), so the merged value of each column is the LATEST
+    NON-NULL write for that column — not the winning row's value.
+
+    Semantics per (conv_id, turn_idx):
+
+    - the row is alive iff the plain LWW winner is alive (op ≠ 'D' and
+      winning lsn above the conversation-delete watermark — identical
+      to :func:`argmax_winners` + hierarchy rules);
+    - a delete RESETS the patch history: only events strictly above the
+      key's last turn-tombstone (and above the conversation watermark)
+      contribute column values — coalescing across a tombstone would
+      resurrect deleted data;
+    - each payload column = ``max_by(col, lsn WHERE col IS NOT NULL)``
+      over the contributing events; ``ts`` and ``lsn`` report the
+      winner's (row freshness), not per-column freshness.
+
+    Scale shape: ONE hash aggregation over the turn events with
+    map-side partial combine — the tombstone reset is enforced AFTER
+    the aggregate by comparing each column's latest-write lsn against
+    the key's tombstone watermark (a write voided by a later delete is
+    either superseded by a post-delete write or correctly nulled), so
+    there is no per-key tombstone join (per-key watermarks don't
+    broadcast at 10^10 keys).  The per-conversation watermark join
+    stays broadcast, exactly as the plain merged state.
+    """
+    payload_cols = payload_cols or ["role", "text", "tool"]
+    turn_events, conv_events = split_hierarchy(changes)
+    conv_del = conv_delete_watermarks(conv_events)
+
+    def write_lsn(c: str):
+        # lsn of an event that actually writes column c
+        return F.when(
+            (F.col("op") != OP_DELETE) & F.col(c).isNotNull(), F.col("lsn")
+        )
+
+    aggs = []
+    for c in payload_cols:
+        aggs.append(F.max_by(c, write_lsn(c)).alias(f"_v_{c}"))
+        aggs.append(F.max(write_lsn(c)).alias(f"_l_{c}"))
+    ts_key = F.when(F.col("op") != OP_DELETE, F.col("lsn"))
+    g = turn_events.groupBy(*KEY_COLUMNS).agg(
+        *aggs,
+        F.max_by("ts", ts_key).alias("_v_ts"),
+        F.max(ts_key).alias("_l_ts"),
+        F.max(F.when(F.col("op") == OP_DELETE, F.col("lsn"))).alias("_tdel"),
+        F.max("lsn").alias("lsn"),
+    )
+    tdel = F.coalesce(F.col("_tdel"), F.lit(-1))
+    alive = (
+        g.where(F.col("lsn") > tdel)  # last event is not the tombstone
+        .join(F.broadcast(conv_del), on="conv_id", how="left")
+        .where(
+            F.col("conv_del_lsn").isNull() | (F.col("lsn") > F.col("conv_del_lsn"))
+        )
+    )
+    floor = F.greatest(tdel, F.coalesce(F.col("conv_del_lsn"), F.lit(-1)))
+    cols = [
+        F.when(F.col(f"_l_{c}") > floor, F.col(f"_v_{c}")).alias(c)
+        for c in payload_cols
+    ]
+    ts_col = F.when(F.col("_l_ts") > floor, F.col("_v_ts")).alias("ts")
+    return alive.select(*KEY_COLUMNS, *cols, ts_col, "lsn")
