@@ -269,3 +269,21 @@ def test_index_check_join_carries_no_text(spark, tmp_path):
     for frag in plan.split("Exchange hashpartitioning"):
         header = frag.splitlines()[0]
         assert "text" not in header, f"text in shuffle key list: {header}"
+
+
+def test_partial_merged_state_one_wide_shuffle_broadcast_watermark(spark, log_path):
+    """Patch-semantics merge: ONE wide hash aggregation (per-key) with
+    map-side partial combine; the conversation-delete watermark joins
+    broadcast (never a shuffled join against per-key state); and no
+    per-key tombstone join exists at all — the reset rides the same
+    aggregate."""
+    from aqueduct_core_spark.operators import lww
+
+    df = lww.partial_merged_state(spark.read.parquet(log_path))
+    plan = _plan(df)
+    # wide exchanges: the per-key agg + the tiny conv_del agg — no more
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    n_aggs = plan.count("SortAggregate") + plan.count("HashAggregate")
+    assert n_aggs >= 2, plan
