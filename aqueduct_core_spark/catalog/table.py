@@ -361,14 +361,47 @@ class ParquetTranscriptTable:
         )
         return out.select(*[f.name for f in schema.fields])
 
-    def read(self) -> DataFrame:
+    def _reduced_schema(
+        self, snap: dict, columns: list[str]
+    ) -> T.StructType:
+        """Physical read schema for a column-pruned read: keys + the
+        requested LOGICAL payload columns + the internal lsn.  The MOR
+        resolve's winner struct is built from this schema, so the prune
+        reaches the parquet scan (base files AND the nested delta ``w``
+        struct) instead of materializing every column through the
+        aggregate.  LWW winners are unchanged: the struct comparator
+        leads with the unique lsn."""
+        mapping = self.column_mapping(snap)
+        unknown = [
+            c for c in columns if c not in mapping and c not in KEY_COLUMNS
+        ]
+        if unknown:
+            raise KeyError(
+                f"unknown column(s) {unknown}; visible: {sorted(mapping)}"
+            )
+        keep = {mapping[c] for c in columns if c in mapping}
+        keep.update(KEY_COLUMNS)
+        keep.add(LSN_COLUMN)
+        return T.StructType(
+            [
+                T.StructField.fromJson(fd)
+                for fd in snap["schema"]
+                if fd["name"] in keep
+            ]
+        )
+
+    def read(self, columns: list[str] | None = None) -> DataFrame:
         """Public table state (internal lsn column hidden; renamed
         columns read back under their logical names, dropped columns
-        hidden — both metadata-only)."""
+        hidden — both metadata-only).  ``columns`` prunes the read to
+        the named payload columns — the prune pushes through the MOR
+        delta-resolve into the parquet scan, so a 2-of-6-column read
+        scans 2 columns (plus keys/lsn), not 6."""
         v = self.catalog.current_version()
         snap = self.catalog.load(v)
+        schema = None if columns is None else self._reduced_schema(snap, columns)
         return self._map_payload(
-            self.read_internal(version=v), snap
+            self.read_internal(version=v, schema=schema), snap
         ).drop(LSN_COLUMN)
 
     def snapshots(self) -> DataFrame:
@@ -410,7 +443,9 @@ class ParquetTranscriptTable:
         rollback resumes from the reverted epoch/lsn watermark."""
         return self.catalog.rollback(to_version)
 
-    def read_conversation(self, conv_id: str | int) -> DataFrame:
+    def read_conversation(
+        self, conv_id: str | int, columns: list[str] | None = None
+    ) -> DataFrame:
         """Point lookup: one conversation's current state, scanning only
         its bucket's files — the serving-path read.  The bucket is
         computed driver-side (:func:`bucket_of`, zero Spark jobs), so
@@ -421,10 +456,12 @@ class ParquetTranscriptTable:
         lookup touches ~0.1% of files before any row is read."""
         b = bucket_of(conv_id, self.num_buckets)
         v = self.catalog.current_version()
+        snap = self.catalog.load(v)
+        schema = None if columns is None else self._reduced_schema(snap, columns)
         return self._map_payload(
-            self.read_internal(buckets=[b], version=v)
+            self.read_internal(buckets=[b], version=v, schema=schema)
             .where(F.col("conv_id") == F.lit(conv_id)),
-            self.catalog.load(v),
+            snap,
         ).drop(LSN_COLUMN)
 
     def read_as_of(self, version: int | str) -> DataFrame:
