@@ -414,6 +414,8 @@ def start_stream(
     rollup=None,
     audits: dict | None = None,
     maintainers: list | None = None,
+    wire_format: str = "parquet",
+    quarantine_dir: str | None = None,
 ):
     """Continuous tail of a change-log directory via Structured
     Streaming.  Backpressure via ``maxFilesPerTrigger`` (the
@@ -428,20 +430,76 @@ def start_stream(
     (:func:`aqueduct_core_spark.operators.merge.apply_audited`): readers
     never see an unaudited state, and a failing audit raises
     :class:`AuditFailed` to stop the query BEFORE the checkpoint
-    advances (restart re-delivers the batch)."""
+    advances (restart re-delivers the batch).
+
+    ``wire_format``: ``"parquet"`` (columnar change files, default) or
+    ``"json-envelope"`` — newline-delimited Debezium-style envelopes
+    (:mod:`aqueduct_core_spark.sources.envelope`), the shape a Kafka /
+    wal2json tail delivers.  Envelope-level dead letters (corrupt JSON,
+    unknown op, missing lsn) are appended per-epoch to
+    ``quarantine_dir`` with the raw wire bytes — at-least-once with
+    ``(epoch, raw)`` dedup on read, same DLQ contract as row-level
+    validation — while clean rows proceed to the exactly-once merge."""
     cfg = cfg or EngineConfig()
-    reader = spark.readStream.schema(CHANGES_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(changes_dir)
-    if dedup_within:
-        stream = dedup_redeliveries(stream, dedup_within)
+    if wire_format == "json-envelope":
+        from aqueduct_core_spark.sources.envelope import (
+            REASON_COLUMN,
+            parse_envelopes,
+        )
+
+        reader = spark.readStream
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = parse_envelopes(reader.text(changes_dir))
+        if dedup_within:
+            # dead letters carry NULL lsn; key them by the raw line so
+            # re-delivered corrupt lines dedup too instead of colliding
+            # on a shared NULL
+            stream = (
+                stream.withColumn(
+                    "_dk", F.coalesce(F.col("lsn").cast("string"), F.col("_raw"))
+                )
+                .withColumn("_evt", F.coalesce(F.col("ts"), F.current_timestamp()))
+                .withWatermark("_evt", dedup_within)
+                .dropDuplicatesWithinWatermark(["_dk"])
+                .drop("_dk", "_evt")
+            )
+
+        inner = _foreach_batch_fn(table, cfg, record_metrics, rollup=rollup,
+                                  audits=audits, maintainers=maintainers)
+
+        def fn(stamped: DataFrame, batch_id: int):
+            ok = stamped.where(F.col(REASON_COLUMN).isNull()).drop(
+                "_raw", REASON_COLUMN
+            )
+            if quarantine_dir is not None:
+                bad = (
+                    stamped.where(F.col(REASON_COLUMN).isNotNull())
+                    .select(
+                        F.col("_raw").alias("raw"),
+                        F.col(REASON_COLUMN).alias("reason"),
+                        F.lit(int(batch_id)).alias("epoch"),
+                    )
+                )
+                if bad.limit(1).count():
+                    bad.write.mode("append").parquet(quarantine_dir)
+            return inner(ok, batch_id)
+
+        batch_fn = fn
+    elif wire_format == "parquet":
+        reader = spark.readStream.schema(CHANGES_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(changes_dir)
+        if dedup_within:
+            stream = dedup_redeliveries(stream, dedup_within)
+        batch_fn = _foreach_batch_fn(table, cfg, record_metrics, rollup=rollup,
+                                     audits=audits, maintainers=maintainers)
+    else:
+        raise ValueError(f"unknown wire_format {wire_format!r}")
 
     writer = (
-        stream.writeStream.foreachBatch(
-            _foreach_batch_fn(table, cfg, record_metrics, rollup=rollup,
-                              audits=audits, maintainers=maintainers)
-        )
+        stream.writeStream.foreachBatch(batch_fn)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
@@ -465,6 +523,8 @@ def run_available_now(
     rollup=None,
     audits: dict | None = None,
     maintainers: list | None = None,
+    wire_format: str = "parquet",
+    quarantine_dir: str | None = None,
 ) -> None:
     """Drain everything currently in the log, then stop (the
     bootstrap / catch-up mode; reference BootstrapType PIPE replay)."""
@@ -481,6 +541,8 @@ def run_available_now(
         rollup=rollup,
         audits=audits,
         maintainers=maintainers,
+        wire_format=wire_format,
+        quarantine_dir=quarantine_dir,
     )
     try:
         q.awaitTermination(timeout_s)
