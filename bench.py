@@ -199,7 +199,28 @@ def bench_replay(spark, n_convs: int, work: str, input_path: str | None = None) 
     stream_ok = consistency_sum(log) == table_consistency_sum(
         stream_table.read_internal()
     )
+
+    # Wire-path throughput: Debezium-envelope JSON parse rate (the
+    # shape a Kafka / wal2json tail actually delivers).  Serialization
+    # happens OUTSIDE the timed window; the timed job is newline-
+    # delimited JSON → from_json → canonical change columns (pure JVM,
+    # no shuffle).
+    from aqueduct_core_spark.sources.envelope import (
+        split_envelopes,
+        to_envelope_json,
+    )
+
+    wire_path = f"{work}/wire"
+    to_envelope_json(log).select("value").write.mode("overwrite").text(wire_path)
+    spark._jvm.System.gc()
+    t5 = time.time()
+    ok_rows, _ = split_envelopes(spark.read.text(wire_path))
+    ok_rows.write.format("noop").mode("overwrite").save()
+    wire_sec = time.time() - t5
+
     return {
+        "wire_parse_sec": round(wire_sec, 3),
+        "wire_parse_events_per_sec": round(n_events / wire_sec, 1),
         "stream_sec": round(stream_sec, 3),
         "stream_events_per_sec": round(n_events / stream_sec, 1),
         "stream_state_ok": bool(stream_ok),
