@@ -21,4 +21,4 @@ from aqueduct_core_spark.config import EngineConfig
 from aqueduct_core_spark.session import get_spark
 
 __all__ = ["EngineConfig", "get_spark"]
-__version__ = "0.2.0"
+__version__ = "0.3.0"

@@ -35,6 +35,7 @@ HEADLINE = [
     "cdc_merged_state",
     "cdc_apply_full",
     "cdc_lww_latest",
+    "cdc_partial_upserts",
     "cdc_compact_log",
     "cdc_consistency_sum",
     "cdc_byte_page",
