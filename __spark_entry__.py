@@ -74,6 +74,9 @@ cdc_net_changes             net-changes collapse of an lsn window
 cdc_asof_join               as-of join (latest conv-level event at-or-
                             before each turn event) — single-window shape
 cdc_sessionize              gap-based sessionization per conversation
+cdc_scd2_history            SCD type-2 audit history: validity interval
+                            per key version, conv tombstones close open
+                            versions (union-window, no range join)
 cdc_replica_diff            anti-entropy key diff: primary vs a replica
                             with lost + bit-rotted events (hash compare
                             engine-side, column compare oracle-side)
@@ -620,6 +623,15 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.operators.temporal import sessionize
 
     return sessionize(load_changes(spark, sf_dir), gap_minutes=30)
+
+
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 audit history: one validity interval per version of
+    each (conv_id, turn_idx), conv-level tombstones closing open
+    versions at-or-below their offset (hierarchical-delete rule)."""
+    from aqueduct_core_spark.operators.temporal import scd2_history
+
+    return scd2_history(load_changes(spark, sf_dir))
 
 
 def _q_replica_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1611,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_net_changes": _q_net_changes,
         "cdc_asof_join": _q_asof_join,
         "cdc_sessionize": _q_sessionize,
+        "cdc_scd2_history": _q_scd2_history,
         "cdc_replica_diff": _q_replica_diff,
         "doc_sample": _q_sample,
         "doc_stratified_sample": _q_stratified_sample,
@@ -2072,6 +2085,33 @@ cd AS (SELECT conv_id, lsn AS conv_del_lsn FROM changes WHERE turn_idx IS NULL)
 SELECT t.lsn, t.conv_id, t.turn_idx, t.op, cd.conv_del_lsn
 FROM turns t ASOF LEFT JOIN cd
   ON t.conv_id = cd.conv_id AND t.lsn >= cd.conv_del_lsn
+"""
+        ),
+        "cdc_scd2_history": oracle(
+            """
+turns AS (SELECT * FROM changes WHERE turn_idx IS NOT NULL),
+seq AS (
+  SELECT conv_id, turn_idx, lsn, op, role, text, tool, ts,
+         lead(lsn) OVER w AS turn_to, lead(op) OVER w AS next_op
+  FROM turns WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY lsn)
+),
+vers AS (SELECT * FROM seq WHERE op IN ('I','U')),
+tomb AS (SELECT conv_id, lsn FROM changes WHERE turn_idx IS NULL AND op = 'D'),
+cc AS (
+  SELECT v.conv_id, v.turn_idx, v.lsn, min(t.lsn) AS conv_close
+  FROM vers v LEFT JOIN tomb t ON v.conv_id = t.conv_id AND t.lsn >= v.lsn
+  GROUP BY 1, 2, 3
+)
+SELECT v.conv_id, v.turn_idx, v.lsn AS valid_from_lsn,
+       least(v.turn_to, cc.conv_close) AS valid_to_lsn,
+       CASE WHEN cc.conv_close IS NOT NULL
+                 AND (v.turn_to IS NULL OR cc.conv_close < v.turn_to)
+            THEN 'conv_delete'
+            WHEN v.next_op = 'D' THEN 'delete'
+            WHEN v.turn_to IS NOT NULL THEN 'update' END AS end_reason,
+       least(v.turn_to, cc.conv_close) IS NULL AS is_current,
+       v.op AS row_op, v.role, v.text, v.tool, v.ts
+FROM vers v JOIN cc USING (conv_id, turn_idx, lsn)
 """
         ),
         "cdc_sessionize": oracle(

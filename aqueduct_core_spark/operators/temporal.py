@@ -112,3 +112,91 @@ def sessionize(
         F.min(ord_col).alias("first_lsn"),
         F.max(ord_col).alias("last_lsn"),
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    payload_cols: tuple[str, ...] = ("role", "text", "tool", "ts"),
+) -> DataFrame:
+    """Slowly-changing-dimension **type-2** history of the transcript
+    table: one row per *version* of each (conv_id, turn_idx) key, with
+    the log-offset validity interval ``[valid_from_lsn, valid_to_lsn)``
+    (``valid_to_lsn`` NULL = still current), the reason the version was
+    closed, and the version's payload.
+
+    Semantics (mirrors the engine's LWW + hierarchical-delete rules —
+    the reference deletes everything at-or-below a parent deletion's
+    offset, ``/root/reference/pipe-storage-postgresql/.../
+    PostgresqlStorage.java:479-493``):
+
+    - every turn-level ``I``/``U`` event *opens* a version at its lsn;
+    - the next turn-level event on the same key (any op) closes it —
+      ``end_reason`` ``'update'`` (next is I/U) or ``'delete'`` (next
+      is a turn tombstone); turn tombstones emit no version themselves;
+    - a conversation-level tombstone at lsn T closes every version of
+      the conversation's turns open at T (``valid_from_lsn <= T``,
+      at-or-below semantics) — ``end_reason 'conv_delete'`` when it
+      lands before the key's own next event;
+    - ``is_current`` = the interval is still open.
+
+    Plan shape (the 100 TB lens): two shuffles total.  One window over
+    ``(conv_id, turn_idx) → lsn`` for the lead()s, then the
+    conv-tombstone closure as a *union-window* (tombstones tagged into
+    the per-conversation stream, running ``min`` of tombstone lsns over
+    a DESCENDING lsn sort = earliest tombstone at-or-after each
+    version) — no range join, no per-version × per-tombstone fan-out;
+    per-conv skew is bounded by the largest single conversation, the
+    same bound :func:`sessionize` and the as-of join already carry.
+    """
+    turns = changes.where(F.col("turn_idx").isNotNull())
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("lsn").asc())
+    seq = turns.select(
+        "conv_id",
+        "turn_idx",
+        "lsn",
+        "op",
+        *payload_cols,
+        F.lead("lsn").over(w).alias("_turn_to"),
+        F.lead("op").over(w).alias("_next_op"),
+    )
+    versions = seq.where(F.col("op").isin("I", "U")).withColumn("_is_tomb", F.lit(0))
+
+    conv_tombs = (
+        changes.where(F.col("turn_idx").isNull() & (F.col("op") == "D"))
+        .select("conv_id", "lsn")
+        .withColumn("_is_tomb", F.lit(1))
+    )
+    u = versions.unionByName(conv_tombs, allowMissingColumns=True)
+    # lsn DESC + running min over preceding rows == earliest conv
+    # tombstone with tomb.lsn >= version.lsn (lsns are unique, so the
+    # at-or-after comparison never ties).
+    wd = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("lsn").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    closed = u.withColumn(
+        "_conv_close",
+        F.min(F.when(F.col("_is_tomb") == 1, F.col("lsn"))).over(wd),
+    ).where(F.col("_is_tomb") == 0)
+
+    valid_to = F.least(F.col("_turn_to"), F.col("_conv_close"))
+    end_reason = (
+        F.when(
+            F.col("_conv_close").isNotNull()
+            & (F.col("_turn_to").isNull() | (F.col("_conv_close") < F.col("_turn_to"))),
+            F.lit("conv_delete"),
+        )
+        .when(F.col("_next_op") == "D", F.lit("delete"))
+        .when(F.col("_turn_to").isNotNull(), F.lit("update"))
+    )
+    return closed.select(
+        "conv_id",
+        "turn_idx",
+        F.col("lsn").alias("valid_from_lsn"),
+        valid_to.alias("valid_to_lsn"),
+        end_reason.alias("end_reason"),
+        valid_to.isNull().alias("is_current"),
+        F.col("op").alias("row_op"),
+        *payload_cols,
+    )

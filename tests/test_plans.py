@@ -287,3 +287,16 @@ def test_partial_merged_state_one_wide_shuffle_broadcast_watermark(spark, log_pa
     assert "SortMergeJoin" not in plan, plan
     n_aggs = plan.count("SortAggregate") + plan.count("HashAggregate")
     assert n_aggs >= 2, plan
+
+
+def test_scd2_two_shuffles_no_join(spark, log_path):
+    """SCD2 history = two hash exchanges (key window + conv union-window),
+    zero joins: the conv-tombstone closure must NOT plan as a range/SMJ
+    join or a nested-loop candidate explosion."""
+    from aqueduct_core_spark.operators.temporal import scd2_history
+
+    plan = _plan(scd2_history(spark.read.parquet(log_path)))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    for bad in ("SortMergeJoin", "BroadcastNestedLoop", "CartesianProduct",
+                "BroadcastHashJoin"):
+        assert bad not in plan, f"unexpected {bad} in scd2 plan"

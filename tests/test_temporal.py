@@ -367,3 +367,88 @@ def test_feed_replication_cascade(spark, tmp_path):
     pd.testing.assert_frame_equal(
         p.reset_index(drop=True), r.reset_index(drop=True), check_dtype=False
     )
+
+
+# ---------------------------------------------------------------------------
+# scd2_history
+# ---------------------------------------------------------------------------
+
+
+_SCD_SCHEMA = (
+    "lsn long, conv_id string, turn_idx int, op string, "
+    "role string, text string, tool string, ts timestamp"
+)
+
+
+def _scd_row(lsn, conv, turn, op, text=None):
+    return Row(
+        lsn=lsn, conv_id=conv, turn_idx=turn, op=op,
+        role=None if op == "D" else "user", text=text, tool=None,
+        ts=_ts(0, lsn % 60),
+    )
+
+
+def test_scd2_versions_and_end_reasons(spark):
+    from aqueduct_core_spark.operators.temporal import scd2_history
+
+    rows = [
+        _scd_row(1, "c1", 0, "I", "v1"),   # closed by update @3
+        _scd_row(3, "c1", 0, "U", "v2"),   # closed by turn delete @5
+        _scd_row(5, "c1", 0, "D"),         # tombstone: no version
+        _scd_row(7, "c1", 0, "I", "v3"),   # reopened; still current
+        _scd_row(2, "c2", 1, "I", "w1"),   # closed by conv tombstone @4
+        _scd_row(4, "c2", None, "D"),      # conv-level tombstone
+        _scd_row(6, "c2", 1, "U", "w2"),   # after the tombstone; current
+    ]
+    out = scd2_history(spark.createDataFrame(rows, _SCD_SCHEMA)).orderBy(
+        "conv_id", "turn_idx", "valid_from_lsn"
+    )
+    got = [
+        (r.conv_id, r.turn_idx, r.valid_from_lsn, r.valid_to_lsn,
+         r.end_reason, r.is_current, r.text)
+        for r in out.collect()
+    ]
+    assert got == [
+        ("c1", 0, 1, 3, "update", False, "v1"),
+        ("c1", 0, 3, 5, "delete", False, "v2"),
+        ("c1", 0, 7, None, None, True, "v3"),
+        ("c2", 1, 2, 4, "conv_delete", False, "w1"),
+        ("c2", 1, 6, None, None, True, "w2"),
+    ]
+
+
+def test_scd2_conv_tombstone_closes_only_at_or_after(spark):
+    """A conv tombstone BELOW a version's valid_from must not close it
+    (at-or-below kills history, not the future)."""
+    from aqueduct_core_spark.operators.temporal import scd2_history
+
+    rows = [
+        _scd_row(2, "c1", None, "D"),      # tombstone before any version
+        _scd_row(5, "c1", 0, "I", "x"),
+    ]
+    out = scd2_history(spark.createDataFrame(rows, _SCD_SCHEMA)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.valid_from_lsn, r.valid_to_lsn, r.is_current) == (5, None, True)
+
+
+def test_scd2_current_rows_match_lww_state(spark):
+    """Invariant: the is_current slice of the SCD2 history == the LWW
+    merged state (alive winners), on a generated log."""
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.operators import lww
+    from aqueduct_core_spark.operators.temporal import scd2_history
+    from aqueduct_core_spark.schema import LSN_COLUMN, OP_DELETE
+
+    log = generate_changes(spark, n_convs=40, seed=11)
+    cur = (
+        scd2_history(log)
+        .where(F.col("is_current"))
+        .select("conv_id", "turn_idx", "text", F.col("valid_from_lsn").alias("lsn"))
+    )
+    winners, _ = lww.resolve_batch(log, ["role", "text", "tool", "ts"])
+    alive = winners.where(F.col("op") != OP_DELETE).select(
+        "conv_id", "turn_idx", "text", F.col(LSN_COLUMN).alias("lsn")
+    )
+    assert cur.exceptAll(alive).count() == 0
+    assert alive.exceptAll(cur).count() == 0
