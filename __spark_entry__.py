@@ -77,6 +77,9 @@ cdc_sessionize              gap-based sessionization per conversation
 cdc_scd2_history            SCD type-2 audit history: validity interval
                             per key version, conv tombstones close open
                             versions (union-window, no range join)
+cdc_demux_routes            central-pipe fan-out: one replay loop demuxes
+                            the log to routed replica tables, per-table
+                            exactly-once, global epoch sequence
 cdc_replica_diff            anti-entropy key diff: primary vs a replica
                             with lost + bit-rotted events (hash compare
                             engine-side, column compare oracle-side)
@@ -195,6 +198,41 @@ def _q_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         F.col(LSN_COLUMN).alias("lsn"),
     )
+
+
+def _q_demux_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Central-pipe fan-out: ONE replay loop demuxes the log to two
+    routed replica tables (cluster parity routing — conv-consistent),
+    per-table exactly-once commits; returns the union of the replicas'
+    states tagged by route.  Must equal the full LWW state partitioned
+    by each conversation's cluster parity."""
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.schema import LSN_COLUMN
+    from aqueduct_core_spark.streaming.pipeline import replay_demux
+
+    changes = load_changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="aqueduct_demux_")
+    cfg = EngineConfig(
+        num_buckets=16,
+        max_events_per_trigger=150_000,
+        max_bytes_per_trigger=48 * 1024 * 1024,
+    )
+    tables = {
+        r: ParquetTranscriptTable.create(spark, f"{root}/route-{r}", num_buckets=16)
+        for r in (0, 1)
+    }
+    routes = {r: (F.col("cluster_id") % 2 == r) for r in (0, 1)}
+    replay_demux(tables, changes, routes, cfg)
+    out = None
+    for r in sorted(tables):
+        d = tables[r].read_internal().select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+            F.col(LSN_COLUMN).alias("lsn"),
+            F.lit(int(r)).cast("int").alias("route"),
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
 
 
 def _q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1624,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_asof_join": _q_asof_join,
         "cdc_sessionize": _q_sessionize,
         "cdc_scd2_history": _q_scd2_history,
+        "cdc_demux_routes": _q_demux_routes,
         "cdc_replica_diff": _q_replica_diff,
         "doc_sample": _q_sample,
         "doc_stratified_sample": _q_stratified_sample,
@@ -2085,6 +2124,17 @@ cd AS (SELECT conv_id, lsn AS conv_del_lsn FROM changes WHERE turn_idx IS NULL)
 SELECT t.lsn, t.conv_id, t.turn_idx, t.op, cd.conv_del_lsn
 FROM turns t ASOF LEFT JOIN cd
   ON t.conv_id = cd.conv_id AND t.lsn >= cd.conv_del_lsn
+"""
+        ),
+        "cdc_demux_routes": oracle(
+            _STATE_BODY
+            + """,
+conv_route AS (
+  SELECT conv_id, CAST(min(cluster_id) % 2 AS INTEGER) AS route
+  FROM changes GROUP BY conv_id
+)
+SELECT s.conv_id, s.turn_idx, s.role, s.text, s.tool, s.ts, s.lsn, r.route
+FROM state s JOIN conv_route r USING (conv_id)
 """
         ),
         "cdc_scd2_history": oracle(

@@ -327,6 +327,105 @@ def replay_multi_source(
     return out
 
 
+def replay_demux(
+    tables: dict,
+    changes: DataFrame,
+    routes: dict,
+    cfg: EngineConfig | None = None,
+    cache_epoch_slices: bool = True,
+) -> dict:
+    """Fan one central ordered log out to MANY routed replica tables —
+    the reference's central-pipe → store-node distribution topology
+    (each store receives the subset its location routing selects;
+    ``PipeReadFilter`` / location-group routing,
+    ``/root/reference/pipe-api/.../PipeReadFilter.java``), run as ONE
+    replay loop instead of N independent tail loops.
+
+    ``routes`` maps each table key to a predicate over the changes
+    (a Column or a SQL expression string).  Soundness requires each
+    predicate to be **conversation-consistent** — all events of a
+    conversation (its turn events AND its conversation-level
+    tombstones) either all match or none, the invariant cluster/
+    location routing provides (``cluster_id`` is per-conversation) —
+    otherwise a route could see a turn without the tombstone that
+    kills it.  Routes may overlap (a conversation replicated to
+    several stores) and need not cover the log.
+
+    Plan + scale shape: trigger ranges are planned ONCE from the bare
+    log's footer index (no Spark job), epochs are GLOBAL (epoch *i* =
+    the i-th trigger slice from lsn 0, deterministic across restarts
+    because planning is prefix-stable for an append-only log), and each
+    epoch's slice is cached once (``cache_epoch_slices``; bounded by
+    the trigger's byte budget) so N route applies read the scan once
+    instead of N times.  Exactly-once is PER TABLE: every table commits
+    its own epoch stamp + lsn watermark atomically, so a crash between
+    route applies leaves some tables one epoch ahead — on rerun the
+    committed ones skip idempotently (the ``epoch <= last`` guard) and
+    the rest catch up; no cross-table transaction is needed, exactly
+    like N independent store nodes tailing one pipe.  Each commit
+    stamps the SLICE's max lsn (not the route subset's), so a route
+    that saw nothing in an lsn range still resumes past it.
+
+    Returns ``{table_key: [per-epoch metrics, ...]}``.
+    """
+    cfg = cfg or EngineConfig()
+    if set(tables) != set(routes):
+        raise ValueError(
+            f"tables/routes key mismatch: {sorted(set(tables) ^ set(routes))}"
+        )
+    preds = {
+        k: (F.expr(p) if isinstance(p, str) else p) for k, p in routes.items()
+    }
+
+    file_index = _lsn_file_index(changes)
+    ranges = None
+    if file_index is not None:
+        from aqueduct_core_spark.operators.batching import plan_triggers_from_files
+
+        ranges = plan_triggers_from_files(
+            file_index,
+            max_events=cfg.max_events_per_trigger,
+            max_bytes=cfg.max_bytes_per_trigger,
+            start_lsn=0,
+        )
+    if ranges is None:
+        ranges = plan_triggers(
+            changes,
+            max_events=cfg.max_events_per_trigger,
+            max_bytes=cfg.max_bytes_per_trigger,
+            overhead_per_msg=cfg.message_overhead_bytes,
+        )
+
+    metrics: dict = {k: [] for k in tables}
+    for i, r in enumerate(ranges):
+        # tables whose committed epoch already covers this slice skip
+        # without planning a job (crash-recovery fast path)
+        todo = sorted(k for k in tables if tables[k].last_committed_epoch() < i)
+        if not todo:
+            continue
+        batch = changes.where(
+            (F.col("lsn") >= r.start_lsn) & (F.col("lsn") <= r.end_lsn)
+        )
+        cached = cache_epoch_slices and len(todo) > 1
+        if cached:
+            batch = batch.persist()
+        try:
+            for k in todo:
+                m = apply_batch(
+                    tables[k],
+                    batch.where(preds[k]),
+                    epoch=i,
+                    cfg=cfg,
+                    batch_max_lsn=r.end_lsn,
+                )
+                m["route"] = k
+                metrics[k].append(m)
+        finally:
+            if cached:
+                batch.unpersist()
+    return metrics
+
+
 class AuditFailed(RuntimeError):
     """A streaming epoch's write-audit-publish audits failed: the stage
     was abandoned and the query must STOP (failing the trigger keeps
