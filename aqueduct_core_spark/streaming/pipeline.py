@@ -426,6 +426,97 @@ def replay_demux(
     return metrics
 
 
+def start_stream_demux(
+    spark: SparkSession,
+    tables: dict,
+    changes_dir: str,
+    checkpoint_dir: str,
+    routes: dict,
+    cfg: EngineConfig | None = None,
+    max_files_per_trigger: int | None = None,
+    processing_time: str | None = None,
+    available_now: bool = False,
+    cache_epoch_slices: bool = True,
+):
+    """Streaming twin of :func:`replay_demux`: ONE Structured Streaming
+    tail of the log directory whose ``foreachBatch`` fans each
+    micro-batch out to N routed replica tables.
+
+    The checkpoint supplies the global monotone epoch sequence
+    (``batch_id``); each table commits its own epoch stamp atomically,
+    so exactly-once is per table: a crash between route applies leaves
+    the checkpoint un-advanced, the batch is re-delivered with the same
+    id, tables that committed it skip via the epoch guard and the rest
+    apply it — the same recovery contract as :func:`start_stream`, N
+    ways.  Same soundness requirement as the batch demux: route
+    predicates must be conversation-consistent.  The batch is cached
+    once per trigger (bounded by the trigger size) so N route applies
+    don't rescan the source.  One checkpoint owns the epoch numbering
+    for its table set — don't mix tables across checkpoints.
+    """
+    cfg = cfg or EngineConfig()
+    if set(tables) != set(routes):
+        raise ValueError(
+            f"tables/routes key mismatch: {sorted(set(tables) ^ set(routes))}"
+        )
+    preds = {k: (F.expr(p) if isinstance(p, str) else p) for k, p in routes.items()}
+
+    reader = spark.readStream.schema(CHANGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(changes_dir)
+
+    def fn(batch_df: DataFrame, batch_id: int):
+        todo = sorted(k for k in tables if tables[k].last_committed_epoch() < batch_id)
+        if not todo:
+            return
+        cached = cache_epoch_slices and len(todo) > 1
+        b = batch_df.persist() if cached else batch_df
+        try:
+            for k in todo:
+                apply_batch(tables[k], b.where(preds[k]), epoch=batch_id, cfg=cfg)
+        finally:
+            if cached:
+                b.unpersist()
+
+    writer = stream.writeStream.foreachBatch(fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def run_available_now_demux(
+    spark: SparkSession,
+    tables: dict,
+    changes_dir: str,
+    checkpoint_dir: str,
+    routes: dict,
+    cfg: EngineConfig | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 3600,
+) -> None:
+    """Drain the log once through the streaming demux, then stop."""
+    q = start_stream_demux(
+        spark,
+        tables,
+        changes_dir,
+        checkpoint_dir,
+        routes,
+        cfg,
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=True,
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+
+
 class AuditFailed(RuntimeError):
     """A streaming epoch's write-audit-publish audits failed: the stage
     was abandoned and the query must STOP (failing the trigger keeps

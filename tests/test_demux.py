@@ -116,3 +116,37 @@ def test_demux_key_mismatch_raises(spark, log, tmp_path):
     t = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
     with pytest.raises(ValueError, match="mismatch"):
         replay_demux({"a": t}, log, {"b": F.lit(True)})
+
+
+def test_streaming_demux_available_now(spark, log, tmp_path):
+    """One stream, N tables: availableNow drain converges each replica
+    to its routed slice; a re-drain with a FRESH checkpoint re-delivers
+    every batch id and every table skips idempotently."""
+    from aqueduct_core_spark.streaming.pipeline import run_available_now_demux
+
+    src = str(tmp_path / "src")
+    log.write.parquet(src)
+    tables = {
+        r: ParquetTranscriptTable.create(spark, str(tmp_path / f"s{r}"), num_buckets=4)
+        for r in (0, 1)
+    }
+    routes = {r: (F.col("cluster_id") % 2 == r) for r in (0, 1)}
+    cfg = EngineConfig(num_buckets=4, mor_fold_every=10**9)
+    run_available_now_demux(
+        spark, tables, src, str(tmp_path / "ckpt"), routes, cfg,
+        max_files_per_trigger=3,
+    )
+
+    single = ParquetTranscriptTable.create(spark, str(tmp_path / "one"), num_buckets=4)
+    replay(single, log, cfg, start_epoch=0, start_lsn=0)
+    union = _state(tables[0]).unionByName(_state(tables[1]))
+    assert union.exceptAll(_state(single)).count() == 0
+    assert _state(single).exceptAll(union).count() == 0
+
+    versions = {r: t.catalog.current_version() for r, t in tables.items()}
+    run_available_now_demux(
+        spark, tables, src, str(tmp_path / "ckpt2"), routes, cfg,
+        max_files_per_trigger=3,
+    )
+    for r, t in tables.items():
+        assert t.catalog.current_version() == versions[r]
