@@ -61,6 +61,50 @@ def pipe_status(table, changes_df=None, up_to_date_lag: int = 0) -> dict:
     return out
 
 
+def fleet_status(tables: dict, changes_df=None, up_to_date_lag: int = 0) -> dict:
+    """:func:`pipe_status` across a demux fleet (one routed replica
+    table per key — :func:`aqueduct_core_spark.streaming.pipeline.
+    replay_demux`): per-route status plus the fleet roll-up a central
+    operator pages on — max lag, the slowest route, and whether every
+    replica is up to date.  The source log's max lsn is computed ONCE
+    and shared (it is the same central pipe for every route)."""
+    source_max = None
+    if changes_df is not None:
+        from aqueduct_core_spark.sources.changes import global_latest_offset
+
+        source_max = global_latest_offset(changes_df)
+
+    routes = {}
+    for k in sorted(tables, key=str):
+        s = pipe_status(tables[k])
+        if source_max is not None:
+            lag = max(0, source_max - s["last_lsn"])
+            s.update(
+                {
+                    "source_max_lsn": source_max,
+                    "lag_lsn": lag,
+                    "state": PIPE_UP_TO_DATE
+                    if lag <= up_to_date_lag
+                    else PIPE_OUT_OF_DATE,
+                }
+            )
+        routes[k] = s
+    out = {"routes": routes}
+    if source_max is not None:
+        worst = max(routes, key=lambda k: routes[k]["lag_lsn"])
+        out.update(
+            {
+                "source_max_lsn": source_max,
+                "max_lag_lsn": routes[worst]["lag_lsn"],
+                "slowest_route": worst,
+                "all_up_to_date": all(
+                    r["state"] == PIPE_UP_TO_DATE for r in routes.values()
+                ),
+            }
+        )
+    return out
+
+
 class BatchMetricsRecorder:
     """Per-batch telemetry hook for the apply loop.
 

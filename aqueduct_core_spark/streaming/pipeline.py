@@ -473,8 +473,20 @@ def start_stream_demux(
         cached = cache_epoch_slices and len(todo) > 1
         b = batch_df.persist() if cached else batch_df
         try:
+            # every route commits the BATCH's max lsn, not its own
+            # subset's — a replica whose route saw nothing in this
+            # trigger has still consumed the pipe through it (lag 0 in
+            # fleet_status, and batch-replay resume skips the range)
+            mx = b.agg(F.max("lsn")).collect()[0][0]
+            hint = int(mx) if mx is not None else None
             for k in todo:
-                apply_batch(tables[k], b.where(preds[k]), epoch=batch_id, cfg=cfg)
+                apply_batch(
+                    tables[k],
+                    b.where(preds[k]),
+                    epoch=batch_id,
+                    cfg=cfg,
+                    batch_max_lsn=hint,
+                )
         finally:
             if cached:
                 b.unpersist()

@@ -201,6 +201,28 @@ def bench_replay(spark, n_convs: int, work: str, input_path: str | None = None) 
         stream_table.read_internal()
     )
 
+    # Routed fan-out: the same log demuxed to 2 replica tables in ONE
+    # loop (replay_demux) — each epoch's slice is cached once and
+    # applied per route, so maintaining N replicas costs ~(scan +
+    # N·resolve/write), not N independent replays.  state check:
+    # consistency_sum is additive over the disjoint routes.
+    from aqueduct_core_spark.streaming.pipeline import replay_demux
+
+    demux_tables = {
+        r: ParquetTranscriptTable.create(
+            spark, f"{work}/transcripts-demux-{r}", num_buckets=32
+        )
+        for r in (0, 1)
+    }
+    demux_routes = {r: F.col("cluster_id") % 2 == r for r in (0, 1)}
+    spark._jvm.System.gc()
+    t6 = time.time()
+    replay_demux(demux_tables, log, demux_routes, cfg)
+    demux_sec = time.time() - t6
+    demux_ok = consistency_sum(log) == sum(
+        table_consistency_sum(t.read_internal()) for t in demux_tables.values()
+    )
+
     # Wire-path throughput: Debezium-envelope JSON parse rate (the
     # shape a Kafka / wal2json tail actually delivers).  Serialization
     # happens OUTSIDE the timed window; the timed job is newline-
@@ -225,6 +247,10 @@ def bench_replay(spark, n_convs: int, work: str, input_path: str | None = None) 
         "stream_sec": round(stream_sec, 3),
         "stream_events_per_sec": round(n_events / stream_sec, 1),
         "stream_state_ok": bool(stream_ok),
+        "demux_sec": round(demux_sec, 3),
+        "demux_events_per_sec": round(n_events / demux_sec, 1),
+        "demux_routes": 2,
+        "demux_state_ok": bool(demux_ok),
         "events": n_events,
         "timed_events": timed_events,
         "sec": round(dt, 3),

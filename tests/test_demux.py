@@ -150,3 +150,56 @@ def test_streaming_demux_available_now(spark, log, tmp_path):
     )
     for r, t in tables.items():
         assert t.catalog.current_version() == versions[r]
+
+
+def test_fleet_status_rolls_up_lag(spark, log, tmp_path):
+    from aqueduct_core_spark.streaming.monitor import fleet_status
+
+    cfg = _cfg()
+    tables = {
+        r: ParquetTranscriptTable.create(spark, str(tmp_path / f"f{r}"), num_buckets=4)
+        for r in (0, 1)
+    }
+    routes = {r: (F.col("cluster_id") % 2 == r) for r in (0, 1)}
+    replay_demux(tables, log, routes, cfg)
+
+    st = fleet_status(tables, log)
+    assert st["all_up_to_date"] and st["max_lag_lsn"] == 0
+    assert set(st["routes"]) == {0, 1}
+
+    # a replica that stopped early shows up as the slowest route
+    lag_t = ParquetTranscriptTable.create(spark, str(tmp_path / "lag"), num_buckets=4)
+    mid = int(log.agg(F.max("lsn")).collect()[0][0]) // 2
+    replay(lag_t, log, cfg, start_epoch=0, start_lsn=0, end_lsn=mid)
+    st2 = fleet_status({**tables, "late": lag_t}, log)
+    assert not st2["all_up_to_date"]
+    assert st2["slowest_route"] == "late"
+    assert st2["max_lag_lsn"] > 0
+    assert st2["routes"]["late"]["state"] == "OUT_OF_DATE"
+
+
+def test_streaming_demux_watermarks_cover_filtered_ranges(spark, log, tmp_path):
+    """Every route commits the batch's global max lsn: a caught-up
+    replica reports lag 0 even when the tail of the log carried no
+    events for its route."""
+    from aqueduct_core_spark.streaming.monitor import fleet_status
+    from aqueduct_core_spark.streaming.pipeline import run_available_now_demux
+
+    src = str(tmp_path / "src")
+    log.write.parquet(src)
+    tables = {
+        r: ParquetTranscriptTable.create(spark, str(tmp_path / f"w{r}"), num_buckets=4)
+        for r in (0, 1)
+    }
+    routes = {r: (F.col("cluster_id") % 2 == r) for r in (0, 1)}
+    cfg = EngineConfig(num_buckets=4, mor_fold_every=10**9)
+    run_available_now_demux(
+        spark, tables, src, str(tmp_path / "wk"), routes, cfg,
+        max_files_per_trigger=3,
+    )
+    st = fleet_status(tables, log)
+    assert st["all_up_to_date"], st
+    assert st["max_lag_lsn"] == 0
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    for r, t in tables.items():
+        assert t.last_committed_lsn() == mx
