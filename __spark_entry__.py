@@ -67,6 +67,9 @@ doc_chunks                  overlapping token-window chunking (explode,
                             zero-shuffle)
 doc_pii_redact              email/phone PII scrub with per-doc audit
                             counts (deterministic injected PII)
+doc_pack_sequences          GPT-style concat-and-chunk packing into
+                            fixed-token training sequences with per-doc
+                            span attribution (one shuffle + explode)
 cdc_changefeed              CDC change feed with before-images
                             (create/update/delete classification)
 cdc_net_changes             net-changes collapse of an lsn window
@@ -441,6 +444,17 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     return chunk_docs(docs, size=32, overlap=8)
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: the corpus as one
+    deterministic token stream cut into 512-token training sequences,
+    one row per (doc, sequence) span — the attribution a packed-batch
+    loader needs for cross-document attention masking."""
+    from aqueduct_core_spark.functions.text import pack_token_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return pack_token_stream(docs, budget=512, n_shards=16)
 
 
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1669,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "doc_pii_redact": _q_pii_redact,
+        "doc_pack_sequences": _q_pack_sequences,
         "doc_exact_dedup": _q_exact_dedup,
         "doc_text_stats": _q_text_stats,
         "doc_subword_tokens": _q_subword_tokens,
@@ -1961,6 +1976,36 @@ SELECT doc_id,
        array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text,
        CAST(least(32, len(toks) - start) AS INTEGER) AS chunk_tokens
 FROM s
+""",
+        "doc_pack_sequences": """
+WITH d AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+    CAST(doc_id % 16 AS INTEGER) AS shard
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (
+    ORDER BY shard, doc_id ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM d WHERE n_tokens > 0
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(cum_end - n_tokens AS BIGINT) AS start_off,
+         CAST(cum_end - 1 AS BIGINT) AS end_off
+  FROM c
+),
+e AS (
+  SELECT doc_id, n_tokens, start_off, end_off,
+         unnest(generate_series(start_off // 512, end_off // 512)) AS seq_id
+  FROM s
+)
+SELECT doc_id, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(start_off, seq_id * 512) - seq_id * 512 AS INTEGER) AS seq_off,
+       CAST(least(end_off, (seq_id + 1) * 512 - 1)
+            - greatest(start_off, seq_id * 512) + 1 AS INTEGER) AS span_tokens
+FROM e
 """,
         "doc_pii_redact": """
 WITH inj AS (

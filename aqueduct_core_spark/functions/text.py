@@ -379,3 +379,89 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), F.lit(0)))
         .alias("n_phones"),
     )
+
+
+def pack_token_stream(
+    df: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the corpus out as one
+    token stream (documents concatenated in a deterministic total
+    order) and cut it into fixed-``budget`` training sequences — the
+    standard GPT-style pretraining packing, where a document may span
+    a sequence boundary.  Output: one row per (document, sequence)
+    span — ``seq_id``, ``seq_off`` (the span's start offset inside the
+    sequence) and ``span_tokens`` — i.e. exactly the attribution a
+    packed-batch loader needs to mask cross-document attention.
+    Zero-token documents pack nothing.
+
+    Stream order is ``(shard, id)`` with ``shard = id mod n_shards`` —
+    deterministic and independent of parallelism or file layout.  An
+    exact GLOBAL running token offset without a global sort: one
+    window per shard (hash shuffle on ``shard``), then the per-shard
+    totals — ``n_shards`` rows, a bounded driver collect like the
+    trigger planner's block stats — prefix-summed and broadcast back
+    as each shard's stream base.  The explode generates a doc's
+    covered sequence ids arithmetically (no join against a sequence
+    table).  At 100 TB: one shuffle, a ≤``n_shards``-row collect, and
+    per-shard skew bounded by ``max doc count per residue class``.
+
+    Reference analog: none — additive LLM-pipeline capability
+    (:func:`chunk_docs` splits WITHIN documents; this packs ACROSS
+    them).
+    """
+    from pyspark.sql.window import Window
+
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError(f"need positive budget/n_shards, got {budget=} {n_shards=}")
+    nt = token_count(F.col(text_col))
+    t = (
+        df.select(F.col(id_col), nt.cast("long").alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .withColumn("_shard", F.pmod(F.col(id_col), F.lit(n_shards)).cast("int"))
+    )
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = t.withColumn("_local_end", F.sum("n_tokens").over(w))
+
+    totals = {
+        int(r["_shard"]): int(r["tot"])
+        for r in t.groupBy("_shard").agg(F.max("_local_end").alias("tot")).collect()
+    }
+    bases, acc = [], 0
+    for s in range(n_shards):
+        bases.append((s, acc))
+        acc += totals.get(s, 0)
+    base_df = df.sparkSession.createDataFrame(bases, "_shard int, _base long")
+
+    b = F.lit(int(budget))
+    g = t.join(F.broadcast(base_df), "_shard").select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("_base") + F.col("_local_end") - F.col("n_tokens")).alias("_start"),
+        (F.col("_base") + F.col("_local_end") - 1).alias("_end"),
+    )
+    out = g.select(
+        F.col(id_col),
+        "n_tokens",
+        "_start",
+        "_end",
+        F.explode(
+            F.sequence(F.floor(F.col("_start") / b), F.floor(F.col("_end") / b))
+        ).alias("seq_id"),
+    )
+    span_lo = F.greatest(F.col("_start"), F.col("seq_id") * b)
+    span_hi = F.least(F.col("_end"), (F.col("seq_id") + 1) * b - 1)
+    return out.select(
+        F.col(id_col),
+        "n_tokens",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (span_lo - F.col("seq_id") * b).cast("int").alias("seq_off"),
+        (span_hi - span_lo + 1).cast("int").alias("span_tokens"),
+    )

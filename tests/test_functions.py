@@ -502,3 +502,64 @@ def test_prepare_corpus_precedence_and_attrition(spark):
     got0 = {r["doc_id"]: r["drop_stage"] for r in ann0.collect()}
     assert got0[1] == "sampled_out"          # kept doc now sampled away
     assert got0[2] == "duplicate"            # earlier stages unchanged
+
+
+# ---------------------------------------------------------------------------
+# pack_token_stream
+# ---------------------------------------------------------------------------
+
+
+def test_pack_token_stream_invariants(spark):
+    from aqueduct_core_spark.functions.text import pack_token_stream
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(3 + (i * 7) % 11))) for i in range(40)]
+        + [(99, ""), (100, "   ")],  # zero-token docs pack nothing
+        "doc_id long, text string",
+    )
+    out = pack_token_stream(docs, budget=16, n_shards=4).toPandas()
+
+    assert set(out["doc_id"]) == set(range(40))  # empties dropped
+    # per-doc spans sum to the doc's token count
+    per_doc = out.groupby("doc_id").agg(n=("span_tokens", "sum"),
+                                        nt=("n_tokens", "first"))
+    assert (per_doc["n"] == per_doc["nt"]).all()
+    # every sequence except the last is exactly full
+    per_seq = out.groupby("seq_id")["span_tokens"].sum().sort_index()
+    total = int(out.drop_duplicates("doc_id")["n_tokens"].sum())
+    assert (per_seq.iloc[:-1] == 16).all()
+    assert per_seq.iloc[-1] == total - 16 * (len(per_seq) - 1)
+    # spans inside a sequence tile it without gaps or overlap
+    for sid, grp in out.groupby("seq_id"):
+        spans = sorted(zip(grp["seq_off"], grp["span_tokens"]))
+        pos = 0
+        for off, n in spans:
+            assert off == pos
+            pos += n
+    assert out["seq_off"].min() == 0 and (out["seq_off"] + out["span_tokens"]).max() <= 16
+
+
+def test_pack_token_stream_partitioning_invariant(spark):
+    """The packing layout is a pure function of (ids, texts, budget,
+    n_shards) — independent of the input's physical partitioning."""
+    from aqueduct_core_spark.functions.text import pack_token_stream
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range((i * 13) % 9 + 1))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    a = pack_token_stream(docs.coalesce(1), budget=32, n_shards=8)
+    b = pack_token_stream(docs.repartition(16), budget=32, n_shards=8)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pack_token_stream_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from aqueduct_core_spark.functions.text import pack_token_stream
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        pack_token_stream(docs, budget=0)
+    with _pytest.raises(ValueError):
+        pack_token_stream(docs, budget=8, n_shards=0)
