@@ -165,3 +165,46 @@ def test_dup_clusters_matches_union_find(spark, edges):
     )
     got = {r["id"]: r["rep"] for r in dup_clusters(pairs).collect()}
     assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(frac=st.floats(0.05, 1.0))
+def test_scd2_current_slice_equals_state_at_any_prefix(spark, frac):
+    """SCD2 time-machine property: for ANY lsn prefix of the log, the
+    history's ``is_current`` slice equals the straight-line pandas state
+    oracle of that prefix — i.e. the type-2 intervals reconstruct the
+    LWW + hierarchical-delete state as of every point in log time."""
+    from pyspark.sql import functions as F
+
+    from aqueduct_core_spark.operators.temporal import scd2_history
+
+    cut = _PDF["lsn"].quantile(frac, interpolation="lower")
+    prefix = _PDF[_PDF["lsn"] <= cut]
+    exp = expected_state_pdf(prefix)
+
+    hist = scd2_history(to_spark(spark, prefix))
+    cur = (
+        hist.where(F.col("is_current"))
+        .select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+            F.col("valid_from_lsn").alias("_lsn"),
+        )
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx", "ts"], ignore_index=True)
+    )
+    assert_state_equal(cur, exp)
+
+    # interval sanity on the same history: per key, spans are ordered,
+    # non-overlapping, and only the last may be open
+    pdf = hist.toPandas().sort_values(["conv_id", "turn_idx", "valid_from_lsn"])
+    for (_, _), grp in pdf.groupby(["conv_id", "turn_idx"]):
+        closes = grp["valid_to_lsn"].to_numpy()
+        opens = grp["valid_from_lsn"].to_numpy()
+        assert pd.isna(closes[:-1]).sum() == 0  # only the last span open
+        assert all(
+            c <= o for c, o in zip(closes[:-1], opens[1:])
+        )  # no overlap between consecutive versions
