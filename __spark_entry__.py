@@ -83,6 +83,8 @@ cdc_scd2_history            SCD type-2 audit history: validity interval
 cdc_demux_routes            central-pipe fan-out: one replay loop demuxes
                             the log to routed replica tables, per-table
                             exactly-once, global epoch sequence
+cdc_state_at_lsn            log time travel: point-in-time state at any
+                            lsn from SCD2 validity intervals
 cdc_replica_diff            anti-entropy key diff: primary vs a replica
                             with lost + bit-rotted events (hash compare
                             engine-side, column compare oracle-side)
@@ -201,6 +203,14 @@ def _q_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         F.col(LSN_COLUMN).alias("lsn"),
     )
+
+
+def _q_state_at_lsn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log time travel: LWW + hierarchical-delete state as of lsn 8000,
+    reconstructed from SCD2 validity intervals (no snapshot needed)."""
+    from aqueduct_core_spark.operators.temporal import state_at_lsn
+
+    return state_at_lsn(load_changes(spark, sf_dir), lsn=8000)
 
 
 def _q_demux_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1677,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_sessionize": _q_sessionize,
         "cdc_scd2_history": _q_scd2_history,
         "cdc_demux_routes": _q_demux_routes,
+        "cdc_state_at_lsn": _q_state_at_lsn,
         "cdc_replica_diff": _q_replica_diff,
         "doc_sample": _q_sample,
         "doc_stratified_sample": _q_stratified_sample,
@@ -2169,6 +2180,24 @@ cd AS (SELECT conv_id, lsn AS conv_del_lsn FROM changes WHERE turn_idx IS NULL)
 SELECT t.lsn, t.conv_id, t.turn_idx, t.op, cd.conv_del_lsn
 FROM turns t ASOF LEFT JOIN cd
   ON t.conv_id = cd.conv_id AND t.lsn >= cd.conv_del_lsn
+"""
+        ),
+        "cdc_state_at_lsn": oracle(
+            """
+turns AS (SELECT * FROM changes WHERE turn_idx IS NOT NULL AND lsn <= 8000),
+conv_del AS (
+  SELECT conv_id, max(lsn) AS conv_del_lsn
+  FROM changes WHERE turn_idx IS NULL AND op = 'D' AND lsn <= 8000
+  GROUP BY conv_id
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM turns
+)
+SELECT w.conv_id, w.turn_idx, w.role, w.text, w.tool, w.ts, w.lsn
+FROM w LEFT JOIN conv_del ON w.conv_id = conv_del.conv_id
+WHERE rn = 1 AND op <> 'D'
+  AND (conv_del_lsn IS NULL OR w.lsn > conv_del_lsn)
 """
         ),
         "cdc_demux_routes": oracle(

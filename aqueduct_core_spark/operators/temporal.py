@@ -200,3 +200,30 @@ def scd2_history(
         F.col("op").alias("row_op"),
         *payload_cols,
     )
+
+
+def state_at_lsn(
+    changes: DataFrame,
+    lsn: int,
+    payload_cols: tuple[str, ...] = ("role", "text", "tool", "ts"),
+) -> DataFrame:
+    """Point-in-time state at ANY log offset — log time travel without
+    snapshot retention: the slice of the :func:`scd2_history` whose
+    validity interval covers ``lsn`` (``valid_from_lsn <= lsn`` and the
+    version is still open at it).  Equals the LWW + hierarchical-delete
+    state of the log prefix ``<= lsn`` (the SCD2 prefix property,
+    proven in ``tests/test_property.py``), while snapshot
+    :meth:`read_as_of` time travel is bounded by manifest retention.
+    Same two-shuffle plan as the history; the lsn predicate prunes
+    before the final projection.
+    """
+    h = scd2_history(changes, payload_cols)
+    return h.where(
+        (F.col("valid_from_lsn") <= F.lit(int(lsn)))
+        & (F.col("valid_to_lsn").isNull() | (F.col("valid_to_lsn") > F.lit(int(lsn))))
+    ).select(
+        "conv_id",
+        "turn_idx",
+        *payload_cols,
+        F.col("valid_from_lsn").alias("lsn"),
+    )

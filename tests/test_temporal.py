@@ -452,3 +452,25 @@ def test_scd2_current_rows_match_lww_state(spark):
     )
     assert cur.exceptAll(alive).count() == 0
     assert alive.exceptAll(cur).count() == 0
+
+
+def test_state_at_lsn_matches_prefix_state(spark):
+    """state_at_lsn(full log, L) == LWW state of the prefix <= L — even
+    though versions open at L may be closed by events after L."""
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.operators import lww
+    from aqueduct_core_spark.operators.temporal import state_at_lsn
+    from aqueduct_core_spark.schema import LSN_COLUMN, OP_DELETE
+
+    log = generate_changes(spark, n_convs=30, seed=13)
+    cut = int(log.agg(F.expr("percentile_approx(lsn, 0.6)")).collect()[0][0])
+
+    got = state_at_lsn(log, cut).select("conv_id", "turn_idx", "text", "lsn")
+    winners, _ = lww.resolve_batch(
+        log.where(F.col("lsn") <= cut), ["role", "text", "tool", "ts"]
+    )
+    exp = winners.where(F.col("op") != OP_DELETE).select(
+        "conv_id", "turn_idx", "text", F.col(LSN_COLUMN).alias("lsn")
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
