@@ -70,6 +70,8 @@ doc_pii_redact              email/phone PII scrub with per-doc audit
 doc_pack_sequences          GPT-style concat-and-chunk packing into
                             fixed-token training sequences with per-doc
                             span attribution (one shuffle + explode)
+doc_lm_score                CCNet-style unigram LM quality score
+                            (corpus-trained top-K vocab, broadcast join)
 cdc_changefeed              CDC change feed with before-images
                             (create/update/delete classification)
 cdc_net_changes             net-changes collapse of an lsn window
@@ -465,6 +467,16 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     return pack_token_stream(docs, budget=512, n_shards=16)
+
+
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score: mean log-probability per
+    doc under a corpus-trained top-1000 unigram model (train pass +
+    score pass, broadcast vocab, text never shuffles)."""
+    from aqueduct_core_spark.functions.text import unigram_logprob_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return unigram_logprob_scores(docs, top_k=1000)
 
 
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1695,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "doc_pii_redact": _q_pii_redact,
         "doc_pack_sequences": _q_pack_sequences,
+        "doc_lm_score": _q_lm_score,
         "doc_exact_dedup": _q_exact_dedup,
         "doc_text_stats": _q_text_stats,
         "doc_subword_tokens": _q_subword_tokens,
@@ -1987,6 +2000,23 @@ SELECT doc_id,
        array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text,
        CAST(least(32, len(toks) - start) AS INTEGER) AS chunk_tokens
 FROM s
+""",
+        "doc_lm_score": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+n AS (SELECT count(*) AS total FROM tok),
+vocab AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+  ORDER BY c DESC, t ASC LIMIT 1000
+)
+SELECT tok.doc_id,
+       floor(avg(ln(coalesce(vocab.c, 0) + 1.0)
+                 - ln(n.total + 1.0)) * 1000000 + 0.5) / 1000000 AS lm_score,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM tok LEFT JOIN vocab USING (t), n
+GROUP BY tok.doc_id, n.total
 """,
         "doc_pack_sequences": """
 WITH d AS (

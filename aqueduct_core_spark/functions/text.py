@@ -465,3 +465,59 @@ def pack_token_stream(
         (span_lo - F.col("seq_id") * b).cast("int").alias("seq_off"),
         (span_hi - span_lo + 1).cast("int").alias("span_tokens"),
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    top_k: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: score every document
+    by its mean unigram log-probability under a model trained on the
+    corpus itself — fluent, typical text scores high; gibberish, boiler
+    and wrong-language text scores low.  The published pipelines use a
+    KenLM 5-gram here; the unigram variant keeps the exact same plan
+    shape (train a model in one aggregate pass, score in a second) while
+    staying deterministic and oracle-replicable.
+
+    Model: the ``top_k`` most frequent whitespace tokens (ties broken
+    by token text — deterministic), add-one smoothed against the corpus
+    token total N: ``logp(t) = ln(count(t) + 1) − ln(N + 1)`` with
+    ``count = 0`` for out-of-vocabulary tokens.  Score = mean logp over
+    the document's tokens, rounded to 6 decimals.  Zero-token documents
+    are dropped.
+
+    Shape at scale: token counting is explode → hash agg with map-side
+    combine (8-byte-ish tokens move, never document text); the vocab is
+    a bounded ``top_k``-row relation kept distributed and broadcast into
+    the scoring join; scoring is explode → broadcast-hash join → one
+    hash agg on the doc id.  No sort-merge join, no driver-side model.
+    """
+    if top_k <= 0:
+        raise ValueError(f"need positive top_k, got {top_k=}")
+    toks = df.where(token_count(F.col(text_col)) > 0).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    total = toks.count()
+    vocab = (
+        toks.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_t").asc())
+        .limit(int(top_k))
+    )
+    ln_n = F.log(F.lit(float(total) + 1.0))
+    scored = (
+        toks.join(F.broadcast(vocab), "_t", "left")
+        .select(
+            F.col(id_col),
+            (F.log(F.coalesce(F.col("_c"), F.lit(0)).cast("double") + 1.0) - ln_n)
+            .alias("_lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            round6(F.avg("_lp")).alias("lm_score"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+    return scored

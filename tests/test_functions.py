@@ -563,3 +563,20 @@ def test_pack_token_stream_rejects_bad_params(spark):
         pack_token_stream(docs, budget=0)
     with _pytest.raises(ValueError):
         pack_token_stream(docs, budget=8, n_shards=0)
+
+
+def test_unigram_logprob_orders_typical_above_gibberish(spark):
+    from aqueduct_core_spark.functions.text import unigram_logprob_scores
+
+    common = "the cat sat on the mat and the dog sat too"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(20)]
+        + [(100, "zxqv jkwp qqzz vvkk wwyy"), (101, ""), (102, "the cat sat")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lm_score for r in unigram_logprob_scores(docs, top_k=50).collect()}
+    assert 101 not in out  # zero-token doc dropped
+    assert out[102] > out[100]  # in-vocab text beats OOV gibberish
+    assert out[0] > out[100]
+    # identical docs → identical scores
+    assert out[0] == out[19]

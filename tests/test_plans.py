@@ -300,3 +300,20 @@ def test_scd2_two_shuffles_no_join(spark, log_path):
     for bad in ("SortMergeJoin", "BroadcastNestedLoop", "CartesianProduct",
                 "BroadcastHashJoin"):
         assert bad not in plan, f"unexpected {bad} in scd2 plan"
+
+
+def test_pack_token_stream_one_shuffle_broadcast_bases(spark):
+    """Sequence packing = ONE hash shuffle (the per-shard window); the
+    shard stream bases join as a broadcast, never a sort-merge join,
+    and sequence ids are generated arithmetically (no join against a
+    sequence table)."""
+    from aqueduct_core_spark.functions.text import pack_token_stream
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan(pack_token_stream(docs, budget=8, n_shards=4))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in plan
