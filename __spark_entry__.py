@@ -87,6 +87,8 @@ cdc_demux_routes            central-pipe fan-out: one replay loop demuxes
                             exactly-once, global epoch sequence
 cdc_state_at_lsn            log time travel: point-in-time state at any
                             lsn from SCD2 validity intervals
+cdc_conv_text               transcript assembly: merged state rendered as
+                            ordered role/text lines per conversation
 cdc_replica_diff            anti-entropy key diff: primary vs a replica
                             with lost + bit-rotted events (hash compare
                             engine-side, column compare oracle-side)
@@ -205,6 +207,14 @@ def _q_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         F.col(LSN_COLUMN).alias("lsn"),
     )
+
+
+def _q_conv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript assembly: each conversation's merged state rendered
+    as ordered `role: text` lines — the serving/training payload view."""
+    from aqueduct_core_spark.operators.rollup import conversation_text
+
+    return conversation_text(_q_merged_state(spark, sf_dir))
 
 
 def _q_state_at_lsn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1700,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": _q_scd2_history,
         "cdc_demux_routes": _q_demux_routes,
         "cdc_state_at_lsn": _q_state_at_lsn,
+        "cdc_conv_text": _q_conv_text,
         "cdc_replica_diff": _q_replica_diff,
         "doc_sample": _q_sample,
         "doc_stratified_sample": _q_stratified_sample,
@@ -2210,6 +2221,14 @@ cd AS (SELECT conv_id, lsn AS conv_del_lsn FROM changes WHERE turn_idx IS NULL)
 SELECT t.lsn, t.conv_id, t.turn_idx, t.op, cd.conv_del_lsn
 FROM turns t ASOF LEFT JOIN cd
   ON t.conv_id = cd.conv_id AND t.lsn >= cd.conv_del_lsn
+"""
+        ),
+        "cdc_conv_text": oracle(
+            _STATE_BODY
+            + """
+SELECT conv_id, CAST(count(*) AS INTEGER) AS n_turns,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS conv_text
+FROM state GROUP BY conv_id
 """
         ),
         "cdc_state_at_lsn": oracle(

@@ -200,3 +200,34 @@ class ConvRollup:
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
                 removed.append(d)
         return removed
+
+
+def conversation_text(state: DataFrame, sep: str = "\n") -> DataFrame:
+    """Assemble each conversation's full transcript in stable turn
+    order — the serving/training payload view of the merged state
+    (one `role: text` line per turn, joined with ``sep``).
+
+    One hash aggregation on ``conv_id`` with map-side partial
+    ``collect_list``; the sort is per-group ``array_sort`` over
+    ``(turn_idx, …)`` structs (turn_idx is unique per conversation in
+    state, so the struct order is exactly turn order) — no window, no
+    global sort, skew bounded by the longest single conversation, the
+    bound every per-conv operator in the engine carries.
+    """
+    turns = F.array_sort(
+        F.collect_list(F.struct(F.col("turn_idx"), F.col("role"), F.col("text")))
+    )
+    return (
+        state.groupBy("conv_id")
+        .agg(turns.alias("_turns"))
+        .select(
+            "conv_id",
+            F.size("_turns").cast("int").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    "_turns", lambda t: F.concat_ws(": ", t["role"], t["text"])
+                ),
+                sep,
+            ).alias("conv_text"),
+        )
+    )

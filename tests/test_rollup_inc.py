@@ -145,3 +145,21 @@ def test_streaming_rollup_stays_fresh(spark, tmp_path):
     )
     assert rollup.last_table_version() == v  # skipped epochs -> noop refreshes
     _assert_rollup_equal(rollup, table)
+
+
+def test_conversation_text_orders_and_joins(spark):
+    from aqueduct_core_spark.operators.rollup import conversation_text
+
+    state = spark.createDataFrame(
+        [
+            ("c1", 2, "assistant", "hi there"),
+            ("c1", 0, "user", "hello"),
+            ("c1", 1, "assistant", "hey"),
+            ("c2", 0, "user", "solo"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {r.conv_id: r for r in conversation_text(state).collect()}
+    assert out["c1"].n_turns == 3
+    assert out["c1"].conv_text == "user: hello\nassistant: hey\nassistant: hi there"
+    assert out["c2"].conv_text == "user: solo"
