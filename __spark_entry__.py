@@ -82,6 +82,9 @@ cdc_sessionize              gap-based sessionization per conversation
 cdc_scd2_history            SCD type-2 audit history: validity interval
                             per key version, conv tombstones close open
                             versions (union-window, no range join)
+cdc_scd2_incremental        the SAME history maintained incrementally
+                            (Scd2History sink: per-epoch close/insert,
+                            dirty-bucket rewrites) — equals the oracle
 cdc_demux_routes            central-pipe fan-out: one replay loop demuxes
                             the log to routed replica tables, per-table
                             exactly-once, global epoch sequence
@@ -207,6 +210,22 @@ def _q_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         F.col(LSN_COLUMN).alias("lsn"),
     )
+
+
+def _q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained SCD2 history sink: the log applied in
+    two ordered segments through Scd2History (per-epoch close/insert,
+    dirty-bucket rewrites) must hash-match the one-pass batch operator's
+    oracle — the dbt-snapshot sink on exactly-once terms."""
+    from aqueduct_core_spark.operators.scd2 import Scd2History
+
+    changes = load_changes(spark, sf_dir)
+    split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
+    root = tempfile.mkdtemp(prefix="aqueduct_scd2_hist_")
+    h = Scd2History.create(spark, root, num_buckets=16)
+    h.apply(changes.where(F.col("lsn") < split), epoch=0)
+    h.apply(changes.where(F.col("lsn") >= split), epoch=1)
+    return h.read()
 
 
 def _q_conv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1708,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_asof_join": _q_asof_join,
         "cdc_sessionize": _q_sessionize,
         "cdc_scd2_history": _q_scd2_history,
+        "cdc_scd2_incremental": _q_scd2_incremental,
         "cdc_demux_routes": _q_demux_routes,
         "cdc_state_at_lsn": _q_state_at_lsn,
         "cdc_conv_text": _q_conv_text,
@@ -2258,6 +2278,33 @@ conv_route AS (
 )
 SELECT s.conv_id, s.turn_idx, s.role, s.text, s.tool, s.ts, s.lsn, r.route
 FROM state s JOIN conv_route r USING (conv_id)
+"""
+        ),
+        "cdc_scd2_incremental": oracle(
+            """
+turns AS (SELECT * FROM changes WHERE turn_idx IS NOT NULL),
+seq AS (
+  SELECT conv_id, turn_idx, lsn, op, role, text, tool, ts,
+         lead(lsn) OVER w AS turn_to, lead(op) OVER w AS next_op
+  FROM turns WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY lsn)
+),
+vers AS (SELECT * FROM seq WHERE op IN ('I','U')),
+tomb AS (SELECT conv_id, lsn FROM changes WHERE turn_idx IS NULL AND op = 'D'),
+cc AS (
+  SELECT v.conv_id, v.turn_idx, v.lsn, min(t.lsn) AS conv_close
+  FROM vers v LEFT JOIN tomb t ON v.conv_id = t.conv_id AND t.lsn >= v.lsn
+  GROUP BY 1, 2, 3
+)
+SELECT v.conv_id, v.turn_idx, v.lsn AS valid_from_lsn,
+       least(v.turn_to, cc.conv_close) AS valid_to_lsn,
+       CASE WHEN cc.conv_close IS NOT NULL
+                 AND (v.turn_to IS NULL OR cc.conv_close < v.turn_to)
+            THEN 'conv_delete'
+            WHEN v.next_op = 'D' THEN 'delete'
+            WHEN v.turn_to IS NOT NULL THEN 'update' END AS end_reason,
+       least(v.turn_to, cc.conv_close) IS NULL AS is_current,
+       v.op AS row_op, v.role, v.text, v.tool, v.ts
+FROM vers v JOIN cc USING (conv_id, turn_idx, lsn)
 """
         ),
         "cdc_scd2_history": oracle(

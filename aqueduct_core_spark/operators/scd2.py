@@ -1,0 +1,249 @@
+"""Incrementally-maintained SCD type-2 history sink.
+
+:func:`aqueduct_core_spark.operators.temporal.scd2_history` computes
+the full validity-interval history from a complete log in one pass;
+this module maintains the SAME table continuously as ordered change
+batches apply — the dbt-snapshot / warehouse-SCD2 sink pattern on the
+engine's own exactly-once terms.  Cost per epoch is O(batch + open
+versions of touched conversations), never O(history): closed intervals
+are immutable and only the buckets holding touched conversations are
+rewritten (the :class:`~aqueduct_core_spark.operators.rollup.ConvRollup`
+storage pattern).
+
+Correctness contract (proven by the segment-equivalence test in
+``tests/test_scd2_sink.py``): for ANY in-order segmentation of the log,
+applying the segments equals the batch operator over the whole log —
+the same replay property the transcript table itself carries.
+
+Batch update math (all joins key- or conv-local, no window over
+history):
+
+- a batch's internal versions come from the batch operator itself
+  (``scd2_history(B)`` — in-batch chains and in-batch tombstone
+  closure are already right);
+- an OPEN version in the history closes at the earliest of (the key's
+  first event in B — any op; reason ``update``/``delete``) and (the
+  conversation's first tombstone in B — reason ``conv_delete``).  Any
+  B tombstone qualifies: ordered batches mean every open
+  ``valid_from_lsn`` precedes every B lsn, and the hierarchical rule
+  kills at-or-below (PostgresqlStorage.java:479-493);
+- a conversation tombstone from an EARLIER batch can never close a
+  later version (its lsn is below the version's ``valid_from_lsn``),
+  so no cross-batch tombstone state is carried — the induction the
+  segment test exercises.
+
+Ordering contract: batches must arrive in lsn order with monotone
+epochs (the replay loop's own guarantee).  Re-delivered epochs skip
+idempotently; an out-of-order batch fails loud instead of silently
+corrupting intervals.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from aqueduct_core_spark.operators.temporal import scd2_history
+
+_BUCKET = "_hbucket"
+
+_SCHEMA = (
+    "conv_id string, turn_idx int, valid_from_lsn long, valid_to_lsn long, "
+    "end_reason string, is_current boolean, row_op string, "
+    "role string, text string, tool string, ts timestamp"
+)
+_COLS = [c.split()[0] for c in _SCHEMA.split(", ")]
+
+
+class OutOfOrderBatch(RuntimeError):
+    """A batch arrived with lsns at-or-below the history's watermark —
+    the ordered-replay contract is broken; applying it would corrupt
+    validity intervals."""
+
+
+class Scd2History:
+    """Bucket-partitioned, incrementally-maintained SCD2 history table."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- meta (same atomic-swap pattern as ConvRollup) -------------------
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "meta.json")
+
+    def _meta(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, root: str, num_buckets: int = 32
+    ) -> "Scd2History":
+        os.makedirs(root, exist_ok=True)
+        h = cls(spark, root)
+        h._write_meta(
+            {
+                "epoch": -1,
+                "last_lsn": -1,
+                "num_buckets": num_buckets,
+                "bucket_dirs": {},
+            }
+        )
+        return h
+
+    # -- read ------------------------------------------------------------
+    def last_epoch(self) -> int:
+        return int(self._meta()["epoch"])
+
+    def last_lsn(self) -> int:
+        return int(self._meta()["last_lsn"])
+
+    def read(self) -> DataFrame:
+        meta = self._meta()
+        paths = [
+            os.path.join(self.root, d, f"{_BUCKET}={b}")
+            for b, d in meta["bucket_dirs"].items()
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return self.spark.createDataFrame([], _SCHEMA)
+        return self.spark.read.parquet(*paths).select(*_COLS)
+
+    # -- apply -----------------------------------------------------------
+    def _bucket_col(self):
+        n = int(self._meta()["num_buckets"])
+        return F.pmod(F.hash(F.col("conv_id")), F.lit(n))
+
+    def apply(self, batch: DataFrame, epoch: int) -> dict:
+        """Fold one ordered micro-batch of change events into the
+        history.  Returns metrics; re-delivered epochs no-op."""
+        meta = self._meta()
+        if epoch <= int(meta["epoch"]):
+            return {"epoch": epoch, "mode": "skipped", "buckets_rewritten": 0}
+
+        lo_hi = batch.agg(
+            F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+        ).collect()[0]
+        if lo_hi["lo"] is None:
+            meta["epoch"] = int(epoch)
+            self._write_meta(meta)
+            return {"epoch": epoch, "mode": "empty", "buckets_rewritten": 0}
+        if int(lo_hi["lo"]) <= int(meta["last_lsn"]):
+            raise OutOfOrderBatch(
+                f"batch min lsn {lo_hi['lo']} <= history watermark "
+                f"{meta['last_lsn']} (epoch {epoch})"
+            )
+
+        inner = scd2_history(batch)
+        affected_convs = batch.select("conv_id").distinct()
+
+        # first event in B per touched key (any op closes an open span)
+        turn_events = batch.where(F.col("turn_idx").isNotNull())
+        fe = (
+            turn_events.groupBy("conv_id", "turn_idx")
+            .agg(F.min_by("op", "lsn").alias("_fe_op"), F.min("lsn").alias("_fe_lsn"))
+        )
+        # first conv tombstone in B per conversation (closes EVERY open
+        # span of the conversation — ordered batches put all open
+        # valid_from_lsn below it)
+        ct = (
+            batch.where(F.col("turn_idx").isNull() & (F.col("op") == "D"))
+            .groupBy("conv_id")
+            .agg(F.min("lsn").alias("_ct_lsn"))
+        )
+
+        old = self.read().join(affected_convs, "conv_id", "leftsemi")
+        closed_old = old.where(~F.col("is_current"))
+        open_old = (
+            old.where(F.col("is_current"))
+            .join(fe, ["conv_id", "turn_idx"], "left")
+            .join(ct, "conv_id", "left")
+        )
+        close_lsn = F.least(F.col("_fe_lsn"), F.col("_ct_lsn"))
+        reason = (
+            F.when(
+                F.col("_ct_lsn").isNotNull()
+                & (F.col("_fe_lsn").isNull() | (F.col("_ct_lsn") < F.col("_fe_lsn"))),
+                F.lit("conv_delete"),
+            )
+            .when(F.col("_fe_op") == "D", F.lit("delete"))
+            .when(F.col("_fe_lsn").isNotNull(), F.lit("update"))
+        )
+        resolved_open = open_old.select(
+            "conv_id",
+            "turn_idx",
+            "valid_from_lsn",
+            close_lsn.alias("valid_to_lsn"),
+            reason.alias("end_reason"),
+            close_lsn.isNull().alias("is_current"),
+            "row_op",
+            "role",
+            "text",
+            "tool",
+            "ts",
+        )
+
+        fresh = closed_old.unionByName(resolved_open).unionByName(
+            inner.select(*_COLS)
+        )
+
+        affected = sorted(
+            r[0]
+            for r in affected_convs.select(self._bucket_col().alias("b"))
+            .distinct()
+            .collect()
+        )
+        kept_paths = [
+            os.path.join(self.root, meta["bucket_dirs"][str(b)], f"{_BUCKET}={b}")
+            for b in affected
+            if str(b) in meta["bucket_dirs"]
+        ]
+        kept_paths = [p for p in kept_paths if os.path.isdir(p)]
+        out = fresh
+        if kept_paths:
+            kept = (
+                self.spark.read.parquet(*kept_paths)
+                .select(*_COLS)
+                .join(affected_convs, "conv_id", "left_anti")
+            )
+            out = kept.unionByName(fresh)
+
+        out_dir = f"data-e{epoch}"
+        (
+            out.withColumn(_BUCKET, self._bucket_col())
+            .repartition(len(affected) or 1, F.col(_BUCKET))
+            .write.partitionBy(_BUCKET)
+            .parquet(os.path.join(self.root, out_dir))
+        )
+        meta["bucket_dirs"].update({str(b): out_dir for b in affected})
+        meta["epoch"] = int(epoch)
+        meta["last_lsn"] = int(lo_hi["hi"])
+        self._write_meta(meta)
+        return {
+            "epoch": epoch,
+            "mode": "applied",
+            "buckets_rewritten": len(affected),
+            "last_lsn": int(lo_hi["hi"]),
+        }
+
+    def expire(self) -> list[str]:
+        """Remove data-e* dirs no bucket references anymore."""
+        meta = self._meta()
+        live = set(meta["bucket_dirs"].values())
+        removed = []
+        for d in os.listdir(self.root):
+            if d.startswith("data-e") and d not in live:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+                removed.append(d)
+        return removed

@@ -1,0 +1,115 @@
+"""Incremental SCD2 history sink: segment-equivalence vs the batch
+operator, idempotent re-delivery, ordered-batch contract, and the
+current-slice invariant."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueduct_core_spark.generator import generate_changes
+from aqueduct_core_spark.operators.scd2 import OutOfOrderBatch, Scd2History
+from aqueduct_core_spark.operators.temporal import scd2_history
+
+
+@pytest.fixture(scope="module")
+def log(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("scd2sink") / "changes")
+    generate_changes(spark, n_convs=50, seed=21).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def _norm(df):
+    return df.select(
+        "conv_id", "turn_idx", "valid_from_lsn", "valid_to_lsn",
+        "end_reason", "is_current", "row_op", "text",
+    )
+
+
+def _assert_same(a, b):
+    assert _norm(a).exceptAll(_norm(b)).count() == 0
+    assert _norm(b).exceptAll(_norm(a)).count() == 0
+
+
+def test_segmented_apply_equals_batch_operator(spark, log, tmp_path):
+    """For an in-order segmentation of the log (including segments that
+    split conversations mid-history), the incrementally-maintained
+    history equals the one-pass batch operator over the full log."""
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    cuts = [0, mx // 4, mx // 2, (3 * mx) // 4, mx + 1]
+
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=8)
+    for i in range(len(cuts) - 1):
+        seg = log.where((F.col("lsn") >= cuts[i]) & (F.col("lsn") < cuts[i + 1]))
+        m = h.apply(seg, epoch=i)
+        assert m["mode"] in ("applied", "empty")
+
+    _assert_same(h.read(), scd2_history(log))
+    assert h.last_lsn() == mx
+
+
+def test_redelivered_epoch_skips_and_state_unchanged(spark, log, tmp_path):
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    half = mx // 2
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=8)
+    h.apply(log.where(F.col("lsn") <= half), epoch=0)
+    before = _norm(h.read()).toPandas()
+
+    m = h.apply(log.where(F.col("lsn") <= half), epoch=0)  # re-delivery
+    assert m["mode"] == "skipped"
+    after = _norm(h.read()).toPandas()
+    assert len(before) == len(after)
+
+    h.apply(log.where(F.col("lsn") > half), epoch=1)
+    _assert_same(h.read(), scd2_history(log))
+
+
+def test_out_of_order_batch_fails_loud(spark, log, tmp_path):
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=4)
+    h.apply(log.where(F.col("lsn") > mx // 2), epoch=0)
+    with pytest.raises(OutOfOrderBatch):
+        h.apply(log.where(F.col("lsn") <= mx // 2), epoch=1)
+
+
+def test_empty_batch_advances_epoch_only(spark, log, tmp_path):
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=4)
+    m = h.apply(log.where(F.lit(False)), epoch=0)
+    assert m["mode"] == "empty"
+    assert h.last_epoch() == 0 and h.last_lsn() == -1
+    assert h.read().count() == 0
+
+
+def test_current_slice_matches_lww_state(spark, log, tmp_path):
+    from aqueduct_core_spark.operators import lww
+    from aqueduct_core_spark.schema import LSN_COLUMN, OP_DELETE
+
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=8)
+    h.apply(log.where(F.col("lsn") <= mx // 3), epoch=0)
+    h.apply(log.where(F.col("lsn") > mx // 3), epoch=1)
+
+    cur = h.read().where(F.col("is_current")).select(
+        "conv_id", "turn_idx", "text", F.col("valid_from_lsn").alias("lsn")
+    )
+    winners, _ = lww.resolve_batch(log, ["role", "text", "tool", "ts"])
+    alive = winners.where(F.col("op") != OP_DELETE).select(
+        "conv_id", "turn_idx", "text", F.col(LSN_COLUMN).alias("lsn")
+    )
+    assert cur.exceptAll(alive).count() == 0
+    assert alive.exceptAll(cur).count() == 0
+
+
+def test_expire_drops_unreferenced_generations(spark, log, tmp_path):
+    import os
+
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=2)
+    h.apply(log.where(F.col("lsn") <= mx // 2), epoch=0)
+    h.apply(log.where(F.col("lsn") > mx // 2), epoch=1)
+    # every bucket was rewritten at epoch 1 (2 buckets, 50 convs) so the
+    # epoch-0 generation is unreferenced
+    removed = h.expire()
+    assert removed == ["data-e0"]
+    _assert_same(h.read(), scd2_history(log))
+    assert not os.path.isdir(str(tmp_path / "h" / "data-e0"))
