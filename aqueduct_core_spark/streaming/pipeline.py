@@ -544,6 +544,7 @@ def _foreach_batch_fn(
     rollup=None,
     audits: dict | None = None,
     maintainers: list | None = None,
+    history=None,
 ):
     def fn(batch_df: DataFrame, batch_id: int):
         if audits:
@@ -568,6 +569,17 @@ def _foreach_batch_fn(
         # same driver turn; skipped epochs no-op for the same reason
         for mt in maintainers or []:
             m[getattr(mt, "name", type(mt).__name__)] = mt.refresh(table)
+        if history is not None:
+            # continuous SCD2 audit history: unlike the state-derived
+            # maintainers above it folds the RAW batch (intra-epoch
+            # versions included); its own epoch guard skips re-delivered
+            # batch ids, so it inherits exactly-once the same way.
+            # REQUIRES an lsn-ordered source (the binlog/WAL-tail shape:
+            # files arrive in offset order) — the LWW merge above is
+            # order-insensitive, interval history is not, and an
+            # out-of-order batch fails the query loudly (OutOfOrderBatch)
+            # rather than corrupting intervals
+            m["scd2_history"] = history.apply(batch_df, epoch=batch_id)
         return m
 
     if record_metrics:
@@ -618,6 +630,7 @@ def start_stream(
     maintainers: list | None = None,
     wire_format: str = "parquet",
     quarantine_dir: str | None = None,
+    history=None,
 ):
     """Continuous tail of a change-log directory via Structured
     Streaming.  Backpressure via ``maxFilesPerTrigger`` (the
@@ -668,7 +681,8 @@ def start_stream(
             )
 
         inner = _foreach_batch_fn(table, cfg, record_metrics, rollup=rollup,
-                                  audits=audits, maintainers=maintainers)
+                                  audits=audits, maintainers=maintainers,
+                                  history=history)
 
         def fn(stamped: DataFrame, batch_id: int):
             ok = stamped.where(F.col(REASON_COLUMN).isNull()).drop(
@@ -696,7 +710,8 @@ def start_stream(
         if dedup_within:
             stream = dedup_redeliveries(stream, dedup_within)
         batch_fn = _foreach_batch_fn(table, cfg, record_metrics, rollup=rollup,
-                                     audits=audits, maintainers=maintainers)
+                                     audits=audits, maintainers=maintainers,
+                                     history=history)
     else:
         raise ValueError(f"unknown wire_format {wire_format!r}")
 
@@ -727,6 +742,7 @@ def run_available_now(
     maintainers: list | None = None,
     wire_format: str = "parquet",
     quarantine_dir: str | None = None,
+    history=None,
 ) -> None:
     """Drain everything currently in the log, then stop (the
     bootstrap / catch-up mode; reference BootstrapType PIPE replay)."""
@@ -745,6 +761,7 @@ def run_available_now(
         maintainers=maintainers,
         wire_format=wire_format,
         quarantine_dir=quarantine_dir,
+        history=history,
     )
     try:
         q.awaitTermination(timeout_s)

@@ -113,3 +113,42 @@ def test_expire_drops_unreferenced_generations(spark, log, tmp_path):
     assert removed == ["data-e0"]
     _assert_same(h.read(), scd2_history(log))
     assert not os.path.isdir(str(tmp_path / "h" / "data-e0"))
+
+
+def test_history_rides_the_streaming_apply_loop(spark, log, tmp_path):
+    """start_stream(history=...): the SCD2 history is maintained per
+    committed epoch; a re-drain with a fresh checkpoint re-delivers
+    every batch id and the history skips idempotently."""
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.streaming.pipeline import run_available_now
+
+    import time
+
+    # the history hook requires an lsn-ordered tail (the binlog/WAL
+    # shape): append contiguous lsn ranges as separate files, oldest
+    # first, so the file source delivers them in order
+    src = str(tmp_path / "src")
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    cuts = [0, mx // 3, (2 * mx) // 3, mx + 1]
+    for i in range(len(cuts) - 1):
+        log.where(
+            (F.col("lsn") >= cuts[i]) & (F.col("lsn") < cuts[i + 1])
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes → deterministic source order
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
+    h = Scd2History.create(spark, str(tmp_path / "hist"), num_buckets=4)
+    cfg = EngineConfig(num_buckets=4, mor_fold_every=10**9)
+    run_available_now(
+        spark, table, src, str(tmp_path / "ck"), cfg,
+        max_files_per_trigger=1, history=h,
+    )
+    _assert_same(h.read(), scd2_history(log))
+    n = h.read().count()
+
+    run_available_now(
+        spark, table, src, str(tmp_path / "ck2"), cfg,
+        max_files_per_trigger=1, history=h,
+    )
+    assert h.read().count() == n
+    _assert_same(h.read(), scd2_history(log))
