@@ -237,6 +237,36 @@ class Scd2History:
             "last_lsn": int(lo_hi["hi"]),
         }
 
+    def prune_closed_before(self, lsn: int, epoch: int) -> dict:
+        """Audit retention: drop CLOSED versions whose interval ended
+        at-or-below ``lsn`` (open versions and recently-closed ones
+        survive — the current state is always reconstructible).  The
+        SCD2 twin of the log compactor's tombstone retention: bounded
+        history instead of unbounded growth.  A full-bucket rewrite
+        committed as a new generation under the same single-writer
+        contract; ``epoch`` must advance so re-delivered prunes no-op.
+        """
+        meta = self._meta()
+        if epoch <= int(meta["epoch"]):
+            return {"epoch": epoch, "mode": "skipped", "pruned": 0}
+        keep = self.read().where(
+            F.col("is_current") | (F.col("valid_to_lsn") > F.lit(int(lsn)))
+        )
+        n_before = self.read().count()
+        n_after = keep.count()
+        n_buckets = int(meta["num_buckets"])
+        out_dir = f"data-e{epoch}"
+        (
+            keep.withColumn(_BUCKET, self._bucket_col())
+            .repartition(n_buckets, F.col(_BUCKET))
+            .write.partitionBy(_BUCKET)
+            .parquet(os.path.join(self.root, out_dir))
+        )
+        meta["bucket_dirs"] = {str(b): out_dir for b in range(n_buckets)}
+        meta["epoch"] = int(epoch)
+        self._write_meta(meta)
+        return {"epoch": epoch, "mode": "pruned", "pruned": n_before - n_after}
+
     def expire(self) -> list[str]:
         """Remove data-e* dirs no bucket references anymore."""
         meta = self._meta()

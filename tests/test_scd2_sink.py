@@ -152,3 +152,25 @@ def test_history_rides_the_streaming_apply_loop(spark, log, tmp_path):
     )
     assert h.read().count() == n
     _assert_same(h.read(), scd2_history(log))
+
+
+def test_prune_closed_before_keeps_reconstructible_state(spark, log, tmp_path):
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=4)
+    h.apply(log.where(F.col("lsn") <= mx // 2), epoch=0)
+    h.apply(log.where(F.col("lsn") > mx // 2), epoch=1)
+
+    cut = mx // 2
+    full = scd2_history(log)
+    m = h.prune_closed_before(cut, epoch=2)
+    assert m["mode"] == "pruned" and m["pruned"] > 0
+    kept = h.read()
+    # exactly the expected survivors: open, or closed after the cut
+    exp = full.where(F.col("is_current") | (F.col("valid_to_lsn") > cut))
+    _assert_same(kept, exp)
+    # current state untouched by retention
+    assert kept.where(F.col("is_current")).count() == full.where(
+        F.col("is_current")
+    ).count()
+    # re-delivered prune no-ops; ingest continues at the next epoch
+    assert h.prune_closed_before(cut, epoch=2)["mode"] == "skipped"
