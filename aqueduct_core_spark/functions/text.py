@@ -387,6 +387,7 @@ def pack_token_stream(
     n_shards: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_text: bool = False,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: lay the corpus out as one
     token stream (documents concatenated in a deterministic total
@@ -418,8 +419,9 @@ def pack_token_stream(
     if budget <= 0 or n_shards <= 0:
         raise ValueError(f"need positive budget/n_shards, got {budget=} {n_shards=}")
     nt = token_count(F.col(text_col))
+    carry = [tokens(F.col(text_col)).alias("_toks")] if with_text else []
     t = (
-        df.select(F.col(id_col), nt.cast("long").alias("n_tokens"))
+        df.select(F.col(id_col), nt.cast("long").alias("n_tokens"), *carry)
         .where(F.col("n_tokens") > 0)
         .withColumn("_shard", F.pmod(F.col(id_col), F.lit(n_shards)).cast("int"))
     )
@@ -441,15 +443,18 @@ def pack_token_stream(
     base_df = df.sparkSession.createDataFrame(bases, "_shard int, _base long")
 
     b = F.lit(int(budget))
+    carry_cols = ["_toks"] if with_text else []
     g = t.join(F.broadcast(base_df), "_shard").select(
         F.col(id_col),
         "n_tokens",
+        *carry_cols,
         (F.col("_base") + F.col("_local_end") - F.col("n_tokens")).alias("_start"),
         (F.col("_base") + F.col("_local_end") - 1).alias("_end"),
     )
     out = g.select(
         F.col(id_col),
         "n_tokens",
+        *carry_cols,
         "_start",
         "_end",
         F.explode(
@@ -458,12 +463,27 @@ def pack_token_stream(
     )
     span_lo = F.greatest(F.col("_start"), F.col("seq_id") * b)
     span_hi = F.least(F.col("_end"), (F.col("seq_id") + 1) * b - 1)
+    text_cols = (
+        [
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_toks"),
+                    (span_lo - F.col("_start") + 1).cast("int"),
+                    (span_hi - span_lo + 1).cast("int"),
+                ),
+            ).alias("span_text")
+        ]
+        if with_text
+        else []
+    )
     return out.select(
         F.col(id_col),
         "n_tokens",
         F.col("seq_id").cast("long").alias("seq_id"),
         (span_lo - F.col("seq_id") * b).cast("int").alias("seq_off"),
         (span_hi - span_lo + 1).cast("int").alias("span_tokens"),
+        *text_cols,
     )
 
 

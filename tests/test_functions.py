@@ -580,3 +580,28 @@ def test_unigram_logprob_orders_typical_above_gibberish(spark):
     assert out[0] > out[100]
     # identical docs → identical scores
     assert out[0] == out[19]
+
+
+def test_pack_token_stream_with_text_emits_exact_spans(spark):
+    from aqueduct_core_spark.functions.text import pack_token_stream
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (4, "f g h")],  # shards 0 and 4 at n_shards=8
+        "doc_id long, text string",
+    )
+    out = pack_token_stream(docs, budget=4, n_shards=8, with_text=True).toPandas()
+    # stream order (shard, doc_id): doc 0 (5 toks) then doc 4 (3 toks)
+    rows = {
+        (int(r.doc_id), int(r.seq_id)): (int(r.seq_off), int(r.span_tokens), r.span_text)
+        for r in out.itertuples()
+    }
+    assert rows[(0, 0)] == (0, 4, "a b c d")
+    assert rows[(0, 1)] == (0, 1, "e")       # doc 0 straddles into seq 1
+    assert rows[(4, 1)] == (1, 3, "f g h")   # doc 4 fills the rest of seq 1
+    # reassembling each sequence's spans in offset order gives the stream
+    seq1 = " ".join(
+        t for _, t in sorted(
+            (rows[k][0], rows[k][2]) for k in rows if k[1] == 1
+        )
+    )
+    assert seq1 == "e f g h"
