@@ -353,8 +353,10 @@ def replay_demux(
 
     Plan + scale shape: trigger ranges are planned ONCE from the bare
     log's footer index (no Spark job), epochs are GLOBAL (epoch *i* =
-    the i-th trigger slice from lsn 0, deterministic across restarts
-    because planning is prefix-stable for an append-only log), and each
+    the i-th trigger slice from lsn 0; footer-index planning is
+    prefix-stable for an append-only log, and resume correctness never
+    depends on it — slices are skipped by each table's committed LSN
+    watermark, which survives any renumbering), and each
     epoch's slice is cached once (``cache_epoch_slices``; bounded by
     the trigger's byte budget) so N route applies read the scan once
     instead of N times.  Exactly-once is PER TABLE: every table commits
@@ -398,9 +400,16 @@ def replay_demux(
 
     metrics: dict = {k: [] for k in tables}
     for i, r in enumerate(ranges):
-        # tables whose committed epoch already covers this slice skip
-        # without planning a job (crash-recovery fast path)
-        todo = sorted(k for k in tables if tables[k].last_committed_epoch() < i)
+        # Skip by LSN WATERMARK, not epoch index: the watermark is
+        # authoritative regardless of trigger numbering, so a resume
+        # after the log grew stays correct even on the scan-based
+        # planning fallback (whose boundaries aren't prefix-stable —
+        # footer-index planning is).  A partially-covered range re-reads
+        # events at-or-below the watermark, which LWW makes a no-op;
+        # skipping unseen events is the failure this guards against.
+        todo = sorted(
+            k for k in tables if tables[k].last_committed_lsn() < r.end_lsn
+        )
         if not todo:
             continue
         batch = changes.where(
@@ -411,10 +420,13 @@ def replay_demux(
             batch = batch.persist()
         try:
             for k in todo:
+                # epoch must exceed the table's committed stamp for the
+                # exactly-once guard; equals the global index i except
+                # after a numbering shift, where it keeps advancing
                 m = apply_batch(
                     tables[k],
                     batch.where(preds[k]),
-                    epoch=i,
+                    epoch=max(i, tables[k].last_committed_epoch() + 1),
                     cfg=cfg,
                     batch_max_lsn=r.end_lsn,
                 )

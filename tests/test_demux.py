@@ -203,3 +203,27 @@ def test_streaming_demux_watermarks_cover_filtered_ranges(spark, log, tmp_path):
     mx = int(log.agg(F.max("lsn")).collect()[0][0])
     for r, t in tables.items():
         assert t.last_committed_lsn() == mx
+
+
+def test_demux_resume_survives_trigger_renumbering(spark, log, tmp_path):
+    """Resume correctness is watermark-based: re-running with DIFFERENT
+    trigger budgets (shifted epoch boundaries) neither re-applies into
+    caught-up replicas nor skips events for a replica joining late."""
+    fine = _cfg()  # max_events_per_trigger=1500
+    coarse = EngineConfig(num_buckets=4, max_events_per_trigger=10**9,
+                          mor_fold_every=10**9)
+    route = F.col("cluster_id") % 2 == 0
+
+    a = ParquetTranscriptTable.create(spark, str(tmp_path / "a"), num_buckets=4)
+    replay_demux({"a": a}, log, {"a": route}, fine)
+    v_a = a.catalog.current_version()
+
+    # same tables, coarser (renumbered) triggers, plus a fresh replica
+    b = ParquetTranscriptTable.create(spark, str(tmp_path / "b"), num_buckets=4)
+    m = replay_demux({"a": a, "b": b}, log, {"a": route, "b": route}, coarse)
+    assert not m["a"]                      # caught up: watermark skip
+    assert a.catalog.current_version() == v_a
+    assert len(m["b"]) >= 1                # newcomer converges
+    assert _state(b).exceptAll(_state(a)).count() == 0
+    assert _state(a).exceptAll(_state(b)).count() == 0
+    assert a.last_committed_lsn() == b.last_committed_lsn()
