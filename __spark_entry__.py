@@ -1066,6 +1066,30 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(idx, qv, k=20)
 
 
+def _q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: one Lloyd iteration of
+    k-means run as DataFrame aggregations (assign → per-cell elementwise
+    mean, map-side combined; the driver collects only n_cells × dim
+    scalars), then the same cell-pruned probe as ``emb_ivf_topk`` over
+    the refined Voronoi diagram.  The oracle replays the identical
+    training step in SQL — shared floor-round-6dp means make the
+    codebooks bit-identical across engines."""
+    from aqueduct_core_spark.functions.dedup import spread_small_input
+    from aqueduct_core_spark.functions.similarity import (
+        ivf_index,
+        ivf_topk,
+        ivf_train,
+    )
+
+    qv = _query_vec(spark, sf_dir)
+    embs = spread_small_input(
+        _embs(spark, sf_dir), spark.sparkContext.defaultParallelism
+    )
+    cents = ivf_train(embs, dim=len(qv), iters=1)
+    idx = ivf_index(embs, dim=len(qv), centroids=cents)
+    return ivf_topk(idx, qv, k=20, centroids=cents)
+
+
 def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH blocking
     (≥1 shared bucket over 8 tables) then exact cosine ≥ 0.4 verify —
@@ -1554,6 +1578,106 @@ ORDER BY sim DESC, a.vec_id LIMIT {kk}
 """
 
 
+def _ivf_trained_oracle(dim: int = 64, n_cells: int = 16, n_probes: int = 4,
+                        kk: int = 20) -> str:
+    """One spherical-k-means iteration replayed in SQL: assign to the
+    inlined init centroids (first-max inner product, as
+    `_ivf_topk_oracle`), recompute per-cell elementwise means,
+    L2-normalize, round each component with the shared
+    floor(x·10⁶+0.5)/10⁶ rule (bit-identical to the engine's
+    `ivf_train` — sequential-fold norms on identical inputs), empty
+    cells fall back to their NORMALIZED init centroid (inlined, computed
+    with the same Python fold), then probe/rerank against the trained
+    codebook (argmax via row_number ORDER BY dot DESC, cell — the same
+    smallest-cell-wins tie rule as array_position(l, array_max(l)))."""
+    import math
+
+    from aqueduct_core_spark.functions.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_cells)
+    lits = [
+        "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents
+    ]
+    vec_dots = ", ".join(f"list_inner_product(v, {c})" for c in lits)
+
+    def _unit(c):
+        n2 = 0.0
+        for x in c:
+            n2 += float(x) * float(x)
+        n = math.sqrt(n2)
+        if n == 0:
+            return [float(x) for x in c]
+        return [
+            math.floor((float(x) / n) * 1_000_000 + 0.5) / 1_000_000 for x in c
+        ]
+
+    init_vals = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i + 1, ", ".join(repr(x) for x in _unit(cents[i]))
+        )
+        for i in range(n_cells)
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+asg0 AS (
+  SELECT vec_id, v, list_position(l, list_max(l)) AS cell
+  FROM (SELECT vec_id, v, [{vec_dots}] AS l FROM s)
+),
+mexp AS (
+  SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM asg0
+),
+mu AS (
+  SELECT cell, pos, avg(x) AS m
+  FROM mexp GROUP BY cell, pos
+),
+traw AS (
+  SELECT cell, list(m ORDER BY pos) AS craw FROM mu GROUP BY cell
+),
+trained AS (
+  SELECT cell,
+         CASE WHEN sqrt(list_inner_product(craw, craw)) = 0 THEN craw
+              ELSE list_transform(craw,
+                x -> floor((x / sqrt(list_inner_product(craw, craw)))
+                     * 1000000 + 0.5) / 1000000)
+         END AS c
+  FROM traw
+),
+init(cell, c) AS (VALUES
+    {init_vals}
+),
+cents AS (
+  SELECT i.cell, COALESCE(t.c, i.c) AS c
+  FROM init i LEFT JOIN trained t ON i.cell = t.cell
+),
+asg1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT s.vec_id, s.v, c.cell,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY list_inner_product(s.v, c.c) DESC, c.cell
+           ) AS rn
+    FROM s, cents c
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT c.cell FROM cents c, q
+  ORDER BY list_inner_product(q.qv, c.c) DESC, c.cell
+  LIMIT {n_probes}
+)
+SELECT a.vec_id,
+  floor((list_inner_product(a.v, q.qv)
+         / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(q.qv, q.qv))))
+        * 1000000 + 0.5) / 1000000 AS sim
+FROM asg1 a JOIN qcells c ON a.cell = c.cell, q
+ORDER BY sim DESC, a.vec_id LIMIT {kk}
+"""
+
+
 def _near_dup_oracle(dim: int = 64, n_planes: int = 6, n_tables: int = 8,
                      threshold: float = 0.4) -> str:
     """All-pairs reformulation of the LSH-blocked near-dup: a pair is a
@@ -1757,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_sketch_topk": _q_sketch_topk,
         "emb_near_dup": _q_near_dup,
         "emb_ivf_topk": _q_ivf_topk,
+        "emb_ivf_trained": _q_ivf_trained,
         "media_real_decode": _q_media_real_decode,
         "media_features": _q_media_features,
         "cdc_routing_groups": _q_routing_groups,
@@ -2498,6 +2623,7 @@ FROM t
         "emb_sketch_topk": _sketch_topk_oracle(),
         "emb_near_dup": _near_dup_oracle(),
         "emb_ivf_topk": _ivf_topk_oracle(),
+        "emb_ivf_trained": _ivf_trained_oracle(),
         "media_features": _media_features_oracle(),
         "media_real_decode": _media_real_decode_oracle(),
         "cdc_routing_groups": oracle(

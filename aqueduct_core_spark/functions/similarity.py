@@ -529,6 +529,79 @@ def ivf_centroids(dim: int, n_cells: int = IVF_CELLS, seed: int = 11) -> list[li
     ).tolist()
 
 
+def ivf_train(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = IVF_CELLS,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> list[list[float]]:
+    """SPHERICAL k-means refinement of the IVF coarse quantizer, run
+    as DataFrame aggregations (k-means in the engine, not the driver).
+
+    Each iteration assigns every vector to its argmax-inner-product
+    centroid (first-max tie — :func:`ivf_assign`'s exact rule) and
+    recomputes each cell's element-wise mean via
+    ``posexplode → (cell, pos) hash aggregate``: the shuffle carries at
+    most ``n_cells × dim`` rows per map partition (map-side combine),
+    and the driver collects ``n_cells × dim`` scalars per iteration —
+    bounded regardless of corpus size.  A cell that loses all members
+    keeps its previous centroid (the standard empty-cluster rule).
+    Every updated centroid is then L2-NORMALIZED — spherical k-means,
+    the right quantizer for cosine retrieval: with unit centroids the
+    dot-product argmax IS the cosine argmax, so a merged-mean centroid
+    can't capture extra cells on norm alone (plain means measurably
+    collapse clusters under inner-product assignment).
+
+    Normalized components are rounded with the shared
+    ``floor(x·10⁶+0.5)/10⁶`` convention
+    (:func:`aqueduct_core_spark.functions.text.round6`) so the trained
+    codebook is exactly reproducible by the SQL oracle and stable
+    across partial-aggregation orders.
+
+    At 100 TB train on a bounded sample (``df.sample(...)`` — a
+    quantizer needs ~1000× n_cells vectors, not the corpus); the
+    returned codebook is then inlined into index build and queries
+    exactly like the untrained :func:`ivf_centroids`.
+    """
+    import math
+
+    cents = ivf_centroids(dim, n_cells, seed)
+    for _ in range(int(iters)):
+        asg = df.select(
+            ivf_assign(F.col(vec_col), cents).alias("cell"),
+            F.posexplode(vec_col).alias("pos", "x"),
+        )
+        rows = (
+            asg.groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+            .collect()
+        )
+        means: dict[int, list[float]] = {}
+        for r in rows:
+            means.setdefault(int(r["cell"]) - 1, [0.0] * dim)[int(r["pos"])] = (
+                float(r["mu"])
+            )
+        nxt: list[list[float]] = []
+        for i in range(n_cells):
+            c = means.get(i, cents[i])
+            # sequential left-fold sum of squares — the same association
+            # order as the oracle's list_inner_product(c, c)
+            n2 = 0.0
+            for x in c:
+                n2 += float(x) * float(x)
+            n = math.sqrt(n2)
+            if n > 0:
+                c = [
+                    math.floor((float(x) / n) * 1_000_000 + 0.5) / 1_000_000
+                    for x in c
+                ]
+            nxt.append(c)
+        cents = nxt
+    return cents
+
+
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """1-based nearest-centroid cell id by inner product (first max
     wins ties) — a pure JVM expression tree, no Python."""
@@ -545,12 +618,16 @@ def ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 11,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Precompute ``(id, vec, cell)`` — the IVF inverted-list table.
     At 100 TB this is written once, clustered/partitioned by ``cell``,
     so a query's probe turns into partition pruning over ~n_probes/
-    n_cells of the data instead of a full scan."""
-    cents = ivf_centroids(dim, n_cells, seed)
+    n_cells of the data instead of a full scan.  ``centroids``: an
+    explicit codebook (e.g. from :func:`ivf_train`) instead of the
+    deterministic untrained one — pass the SAME codebook to
+    :func:`ivf_topk` or the probe targets the wrong Voronoi diagram."""
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_cells, seed)
     return df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -560,12 +637,14 @@ def ivf_index(
 
 def ivf_probe_cells(
     query_vec: list[float], n_cells: int = IVF_CELLS, n_probes: int = 4,
-    seed: int = 11,
+    seed: int = 11, centroids: list[list[float]] | None = None,
 ) -> list[int]:
     """Driver-side: the ``n_probes`` cells nearest the query (by inner
     product, desc, cell-id tiebreak).  Left-fold float arithmetic to
     mirror the engines' sequential inner product."""
-    cents = ivf_centroids(len(query_vec), n_cells, seed)
+    cents = centroids if centroids is not None else ivf_centroids(
+        len(query_vec), n_cells, seed
+    )
     scored = []
     for i, c in enumerate(cents):
         s = 0.0
@@ -582,12 +661,14 @@ def ivf_topk(
     n_cells: int = IVF_CELLS,
     n_probes: int = 4,
     seed: int = 11,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN top-k over a precomputed :func:`ivf_index`: prune to the
     query's ``n_probes`` nearest cells (a literal IN over the cell
     column — partition pruning on a cell-clustered table), exact cosine
-    rerank on the survivors only."""
-    cells = ivf_probe_cells(query_vec, n_cells, n_probes, seed)
+    rerank on the survivors only.  ``centroids`` must match the codebook
+    the index was built with (see :func:`ivf_index`)."""
+    cells = ivf_probe_cells(query_vec, n_cells, n_probes, seed, centroids)
     sim = round6(cosine_sim("vec", list(query_vec), dim=len(query_vec)))
     return (
         index.where(F.col("cell").isin(cells))

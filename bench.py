@@ -285,12 +285,18 @@ def bench_ann_recall(spark, sf_dir: str, k: int = 20) -> dict:
     sketch = {r["vec_id"] for r in qs["emb_sketch_topk"](spark, sf_dir).collect()}
     bucket = {r["vec_id"] for r in qs["emb_lsh_topk"](spark, sf_dir).collect()}
     ivf = {r["vec_id"] for r in qs["emb_ivf_topk"](spark, sf_dir).collect()}
+    trained = {
+        r["vec_id"] for r in qs["emb_ivf_trained"](spark, sf_dir).collect()
+    }
     return {
         "lsh_recall": round(len(exact & sketch) / len(exact), 3),
         "lsh_scanned_fraction": 0.15,
         "lsh_bucket_recall": round(len(exact & bucket) / len(exact), 3),
         # 4 of 16 cells probed → ~25% of an evenly-split corpus scored
         "ivf_recall": round(len(exact & ivf) / len(exact), 3),
+        # same probe budget over the spherical-k-means codebook (one
+        # Lloyd iteration trained in-engine)
+        "ivf_trained_recall": round(len(exact & trained) / len(exact), 3),
     }
 
 
