@@ -127,11 +127,24 @@ class ParquetTranscriptTable:
         root: str,
         num_buckets: int = 32,
         schema: T.StructType = TRANSCRIPTS_INTERNAL_SCHEMA,
+        codec: str = "snappy",
     ) -> "ParquetTranscriptTable":
+        """``codec``: the table's parquet write compression (Iceberg
+        ``write.parquet.compression-codec`` analog) — a per-table
+        property so every writer (epoch deltas, folds, rewrites,
+        rebuckets, repairs) agrees, instead of drifting with session
+        conf.  ``zstd`` trades ~15-25% more write CPU for ~25-35%
+        smaller files on transcript text (measured in BENCH.md) — the
+        right default at 100 TB when storage, not ingest CPU, is the
+        budget; ``snappy`` stays the default here for parity with the
+        round-1/2 numbers."""
         t = cls(spark, root)
         t.catalog.create(
             schema_fields=schema.jsonValue()["fields"],
-            properties={"aqueduct.num-buckets": num_buckets},
+            properties={
+                "aqueduct.num-buckets": num_buckets,
+                "aqueduct.write-codec": str(codec),
+            },
         )
         return t
 
@@ -145,6 +158,14 @@ class ParquetTranscriptTable:
     @property
     def num_buckets(self) -> int:
         return int(self.catalog.current()["summary"]["aqueduct.num-buckets"])
+
+    @property
+    def codec(self) -> str:
+        """Table-level parquet write codec (pre-property tables read
+        back the historical default, snappy)."""
+        return str(
+            self.catalog.current()["summary"].get("aqueduct.write-codec", "snappy")
+        )
 
     def schema(self) -> T.StructType:
         snap = self.catalog.current()
@@ -595,7 +616,8 @@ class ParquetTranscriptTable:
             # required ordering (no second planner-inserted sort).
             df.repartition(num_buckets or self.num_buckets, F.col("conv_id"))
             .sortWithinPartitions(BUCKET_COLUMN, "conv_id", "turn_idx", "ts")
-            .write.partitionBy(BUCKET_COLUMN)
+            .write.option("compression", self.codec)
+            .partitionBy(BUCKET_COLUMN)
             .parquet(stage)
         )
         out: dict[str, list[str]] = {}
@@ -623,7 +645,8 @@ class ParquetTranscriptTable:
             # write_bucket_data (conv_id key ⇒ partition index ==
             # bucket value, collision-free)
             staged_df.repartition(self.num_buckets, F.col("conv_id"))
-            .write.partitionBy(BUCKET_COLUMN, "_isturn")
+            .write.option("compression", self.codec)
+            .partitionBy(BUCKET_COLUMN, "_isturn")
             .parquet(out_dir)
         )
         by_bucket: dict[str, list[str]] = {}
@@ -665,7 +688,9 @@ class ParquetTranscriptTable:
             ]
         )
         pq.write_table(
-            pa.Table.from_pylist([row], schema=arrow_schema), path
+            pa.Table.from_pylist([row], schema=arrow_schema),
+            path,
+            compression=self.codec,
         )
         return rel
 

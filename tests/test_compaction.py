@@ -165,3 +165,43 @@ def test_maintain_policy_loop(spark, tmp_path):
     assert m2["orphans_removed"] == 0 and m2["expired_files_removed"] == 0
     assert t.catalog.current_version() == v
     log.unpersist()
+
+
+def test_table_write_codec_property(spark, tmp_path):
+    """`codec` is a table property: every writer (epoch deltas, folds)
+    honors it, the files really are zstd, and state is byte-equal to a
+    snappy table fed the same log."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_spark.operators.compact import fold_deltas
+
+    pdf = generate_changes_pdf(40, seed=42)
+    df = to_spark(spark, pdf)
+    cfg = EngineConfig(num_buckets=8)
+
+    tz = ParquetTranscriptTable.create(
+        spark, str(tmp_path / "z"), num_buckets=8, codec="zstd"
+    )
+    ts = ParquetTranscriptTable.create(
+        spark, str(tmp_path / "s"), num_buckets=8
+    )
+    assert tz.codec == "zstd" and ts.codec == "snappy"
+    for t in (tz, ts):
+        apply_batch(t, df, epoch=0, cfg=cfg)
+        fold_deltas(t)
+
+    def codecs(root):
+        out = set()
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+                    out.add(md.row_group(0).column(0).compression)
+        return out
+
+    assert codecs(tz.root) == {"ZSTD"}
+    assert "ZSTD" not in codecs(ts.root)
+    assert states_equal(tz.read_internal(), ts.read_internal())
+    assert state_digest(tz.read_internal()) == state_digest(ts.read_internal())
