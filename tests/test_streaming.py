@@ -287,3 +287,110 @@ def test_stream_audits_fail_stop_then_recover(spark, tmp_path, log_dir):
     assert_state_equal(final_state_pdf(table), expected_state_pdf(pdf))
     offs = table.read_offsets().toPandas()
     assert len(offs) == 3  # all three file-triggers committed exactly once
+
+
+def test_full_topology_every_hook_at_once(spark, tmp_path):
+    """The production topology in ONE query: a JSON-envelope wire tail
+    (corrupt lines → quarantine DLQ) drains through the exactly-once
+    merge while the SAME driver turn maintains the SCD2 audit history,
+    the conv-rollup materialization and the near-dup admission index,
+    with per-batch telemetry recording.  Every surface then equals its
+    from-scratch recompute, and a fresh-checkpoint re-drain (crash
+    re-delivery of every batch id) leaves every surface untouched —
+    the hooks compose without stealing each other's exactly-once."""
+    import json
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aqueduct_core_spark.functions.dedup_index import (
+        DedupIndex,
+        DedupIndexMaintainer,
+    )
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.operators.merge import apply_batch
+    from aqueduct_core_spark.operators.rollup import ConvRollup, conv_rollup
+    from aqueduct_core_spark.operators.scd2 import Scd2History
+    from aqueduct_core_spark.operators.temporal import scd2_history
+    from aqueduct_core_spark.sources.envelope import to_envelope_json
+    from aqueduct_core_spark.streaming.feed import FeedCursor
+
+    log = generate_changes(spark, n_convs=30, seed=33)
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+
+    # lsn-ordered envelope tail (the history hook's contract), one file
+    # per contiguous lsn range, distinct mtimes → deterministic order;
+    # one corrupt wire line per file exercises the DLQ alongside
+    src = tmp_path / "wire"
+    src.mkdir()
+    cuts = [0, mx // 3, (2 * mx) // 3, mx + 1]
+    for i in range(len(cuts) - 1):
+        seg = log.where((F.col("lsn") >= cuts[i]) & (F.col("lsn") < cuts[i + 1]))
+        lines = [
+            r["value"]
+            for r in to_envelope_json(seg.orderBy("lsn")).select("value").collect()
+        ]
+        (src / f"seg-{i}.txt").write_text(
+            "\n".join(lines) + f"\n{{corrupt {i}\n"
+        )
+        time.sleep(1.1)
+
+    cfg = EngineConfig(num_buckets=4, mor_fold_every=10**9)
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
+    rollup = ConvRollup.create(spark, str(tmp_path / "r"), num_buckets=4)
+    hist = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=4)
+    ix = DedupIndex.create(spark, str(tmp_path / "ix"), num_parts=4)
+    cur = FeedCursor(table, state_path=str(tmp_path / "cur.json"))
+    qdir = str(tmp_path / "dlq")
+
+    kwargs = dict(
+        max_files_per_trigger=1,
+        wire_format="json-envelope",
+        quarantine_dir=qdir,
+        record_metrics=True,
+        rollup=rollup,
+        history=hist,
+        maintainers=[DedupIndexMaintainer(ix, cur)],
+    )
+    run_available_now(spark, table, str(src), str(tmp_path / "ck"), cfg, **kwargs)
+
+    # merge: state equals a direct batch apply of the clean log
+    ref = ParquetTranscriptTable.create(spark, str(tmp_path / "ref"), num_buckets=4)
+    apply_batch(ref, log, epoch=0, cfg=cfg)
+    assert table.read().orderBy("conv_id", "turn_idx").collect() == \
+        ref.read().orderBy("conv_id", "turn_idx").collect()
+
+    # DLQ holds exactly the corrupt lines
+    dlq = spark.read.parquet(qdir)
+    assert {r["raw"] for r in dlq.collect()} == {f"{{corrupt {i}" for i in range(3)}
+
+    # rollup equals the from-scratch aggregate
+    a, b = rollup.read(), conv_rollup(table.read())
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # SCD2 history equals the one-pass batch operator over the full log
+    cols = ["conv_id", "turn_idx", "valid_from_lsn", "valid_to_lsn",
+            "end_reason", "is_current", "row_op", "text"]
+    ha, hb = hist.read().select(cols), scd2_history(log).select(cols)
+    assert ha.exceptAll(hb).count() == 0 and hb.exceptAll(ha).count() == 0
+    assert hist.last_lsn() == mx
+
+    # dedup index rode every commit
+    assert cur.version == table.catalog.current_version()
+
+    # telemetry recorded one row per committed epoch
+    with open(os.path.join(table.root, "metrics", "batches.jsonl")) as f:
+        metrics = [json.loads(line) for line in f if line.strip()]
+    assert len(metrics) >= 3
+
+    # crash re-delivery: fresh checkpoint re-sends every batch id; the
+    # table version holds and every sidecar no-ops
+    v0 = table.catalog.current_version()
+    r0 = rollup.last_table_version()
+    h0 = hist.read().count()
+    c0 = cur.version
+    run_available_now(spark, table, str(src), str(tmp_path / "ck2"), cfg, **kwargs)
+    assert table.catalog.current_version() == v0
+    assert rollup.last_table_version() == r0
+    assert hist.read().count() == h0 and hist.last_lsn() == mx
+    assert cur.version == c0
