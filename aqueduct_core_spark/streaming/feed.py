@@ -14,8 +14,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
 
@@ -110,3 +111,131 @@ class FeedCursor:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.state_path)
+
+class FeedPublisher:
+    """Exactly-once re-publication of a table's change feed as
+    JSON-envelope wire segments — the reference's central-pipe
+    "serve downstream sites" role (the server side of
+    ``HttpPipeClient.java:36-63``'s tail loop) in file form.  The
+    published directory IS a drainable change log: a downstream site
+    runs ``run_available_now(wire_format="json-envelope")`` over
+    :meth:`wire_glob` and converges to the primary's state through the
+    ordinary exactly-once merge, with no coupling beyond the wire
+    format.
+
+    Commit protocol (rename-is-commit): each :meth:`publish` writes
+    the resolved changes for the version interval ``(from_v, to_v]``
+    as newline-delimited envelopes under ``_pending/<name>/``
+    (invisible to consumers), then atomically renames the directory to
+    ``segments/<name>`` where ``name = <from_v>-<to_v>`` zero-padded.
+    The publisher's resume position is DERIVED from the committed
+    segment names (max ``to_v``, seeded by ``base.json``), so position
+    advances atomically with the data: a crash before the rename
+    leaves overwritable debris in ``_pending``; a crash after it has
+    already published.  ``from_v = position()`` by construction, so
+    intervals chain contiguously — nothing is ever skipped or
+    double-published, and two racing publishers collapse to one winner
+    on the rename (the loser's identical segment name fails the
+    rename and is discarded).
+
+    Bootstrap contract: :meth:`create` stamps the table's CURRENT
+    version as the base.  Create the publisher when the table is
+    created (base = empty) or export that snapshot
+    (``catalog/backup.py``) for the downstream seed — the classic
+    snapshot + tail handoff.  Retention: a fold/compaction inside an
+    unpublished interval makes ``changes_between`` fail loud (never
+    under-publish); size ``mor_fold_every`` to the publish cadence,
+    exactly like any feed consumer.
+    """
+
+    def __init__(self, table: ParquetTranscriptTable, out_dir: str):
+        self.table = table
+        self.out_dir = out_dir
+        if not os.path.exists(self._base_path):
+            raise FileNotFoundError(
+                f"no publisher at {out_dir}; FeedPublisher.create() it"
+            )
+
+    # -- layout ----------------------------------------------------------
+    @property
+    def _base_path(self) -> str:
+        return os.path.join(self.out_dir, "base.json")
+
+    @property
+    def _segments_dir(self) -> str:
+        return os.path.join(self.out_dir, "segments")
+
+    @classmethod
+    def create(
+        cls, table: ParquetTranscriptTable, out_dir: str
+    ) -> "FeedPublisher":
+        os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+        base = table.catalog.current_version()
+        tmp = os.path.join(out_dir, "base.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": base}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(out_dir, "base.json"))
+        return cls(table, out_dir)
+
+    # -- position ---------------------------------------------------------
+    def position(self) -> int:
+        """Last published-to snapshot version — read straight from the
+        committed segment names (no separate cursor file to fall out of
+        sync)."""
+        with open(self._base_path) as f:
+            pos = int(json.load(f)["version"])
+        for name in os.listdir(self._segments_dir):
+            try:
+                _frm, to = name.split("-", 1)
+                pos = max(pos, int(to))
+            except ValueError:
+                continue  # not a segment dir
+        return pos
+
+    def wire_glob(self) -> str:
+        """Stream-source path for downstream drains (new segments are
+        new subdirectories; the file source's per-trigger listing picks
+        them up)."""
+        return os.path.join(self._segments_dir, "*")
+
+    # -- publish ------------------------------------------------------------
+    def publish(self) -> dict:
+        """Publish everything committed since :meth:`position` as one
+        wire segment; no-op when the table hasn't advanced."""
+        from aqueduct_core_spark.sources.envelope import to_envelope_json
+
+        from_v = self.position()
+        to_v = self.table.catalog.current_version()
+        if to_v <= from_v:
+            return {"published": False, "position": from_v}
+        from aqueduct_core_spark.schema import LSN_COLUMN
+
+        feed = self.table.changes_between(from_v, to_v)
+        # feed rows carry table payload only; routing metadata is a
+        # log-level concern the downstream's own dims re-derive
+        wire = to_envelope_json(
+            feed.withColumnRenamed(LSN_COLUMN, "lsn")
+            .withColumn("cluster_id", F.lit(None).cast("long"))
+            .withColumn("location_group", F.lit(None).cast("long"))
+        ).select("value")
+        name = f"{from_v:012d}-{to_v:012d}"
+        pending = os.path.join(self.out_dir, "_pending", name)
+        shutil.rmtree(pending, ignore_errors=True)  # crash debris
+        wire.write.mode("overwrite").text(pending)
+        final = os.path.join(self._segments_dir, name)
+        try:
+            os.rename(pending, final)
+        except OSError:
+            # a racing publisher committed the identical interval first;
+            # single winner, this copy is redundant
+            shutil.rmtree(pending, ignore_errors=True)
+            if not os.path.isdir(final):
+                raise
+        return {
+            "published": True,
+            "segment": name,
+            "from_version": from_v,
+            "to_version": to_v,
+        }

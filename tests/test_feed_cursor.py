@@ -95,3 +95,61 @@ def test_cursor_fold_outruns_retention_then_reset(spark, tmp_path):
     assert v == primary.catalog.current_version()
     assert cur.poll() is None
     log.unpersist()
+
+
+def test_publisher_downstream_site_converges(spark, tmp_path):
+    """FeedPublisher: the published envelope segments ARE a drainable
+    change log — a downstream site drains them with the ordinary
+    json-envelope ingest and converges to the primary's exact state;
+    publishing is exactly-once (idle publish no-ops, crash debris in
+    _pending is invisible and overwritten, position rides the committed
+    segment names)."""
+    import os
+
+    from aqueduct_core_spark.streaming.feed import FeedPublisher
+    from aqueduct_core_spark.streaming.pipeline import run_available_now
+
+    cfg, log, primary = _setup(spark, tmp_path)
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    pub = FeedPublisher.create(primary, str(tmp_path / "pub"))
+
+    # idle publish before anything commits: no-op
+    assert pub.publish()["published"] is False
+
+    # crash debris: a half-written pending segment is invisible
+    debris = tmp_path / "pub" / "_pending" / "000000000000-000000000099"
+    debris.mkdir(parents=True)
+    (debris / "part-junk.txt").write_text("{torn write\n")
+
+    replay(primary, log.where(F.col("lsn") < mx // 2), cfg,
+           start_epoch=0, start_lsn=0)
+    m1 = pub.publish()
+    assert m1["published"] and m1["from_version"] == 0
+    replay(primary, log, cfg)  # the rest of the log
+    m2 = pub.publish()
+    assert m2["published"] and m2["from_version"] == m1["to_version"]
+    assert pub.publish()["published"] is False  # caught up
+    assert pub.position() == primary.catalog.current_version()
+    assert sorted(os.listdir(tmp_path / "pub" / "segments")) == sorted(
+        [m1["segment"], m2["segment"]]
+    )
+
+    # downstream site: plain json-envelope drain over the published glob
+    site = ParquetTranscriptTable.create(
+        spark, str(tmp_path / "site"), num_buckets=4
+    )
+    run_available_now(
+        spark, site, pub.wire_glob(), str(tmp_path / "ck"), cfg,
+        wire_format="json-envelope",
+    )
+    assert states_equal(primary.read_internal(), site.read_internal())
+
+    # retention contract: a fold inside an unpublished interval fails
+    # loud instead of under-publishing
+    nxt = generate_changes(spark, n_convs=10, seed=99).withColumn(
+        "lsn", F.col("lsn") + F.lit(mx + 1)
+    )
+    apply_batch(primary, nxt, epoch=10_000, cfg=cfg)
+    fold_deltas(primary)
+    with pytest.raises(ValueError, match="unfolded"):
+        pub.publish()
