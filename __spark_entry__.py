@@ -1005,6 +1005,23 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs.select("id_a", "id_b"))
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate resolution: connected components over
+    the verified minhash pairs, then keep the HIGHEST-quality member of
+    each cluster (struct-max of (quality, -id) — one hash aggregation,
+    deterministic smallest-id tie-break) instead of the smallest id.
+    The keep-the-clean-copy rule every pretraining pipeline applies
+    after near-dup detection."""
+    from aqueduct_core_spark.functions.dedup import dedup_keep_best, minhash_dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup(
+        docs, threshold=0.3, hash_method="md5",
+        min_input_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return dedup_keep_best(docs, pairs.select("id_a", "id_b"))
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.functions.dedup import simhash_candidates
 
@@ -1460,6 +1477,60 @@ SELECT u AS id, least(u, min(v)) AS rep FROM reach GROUP BY u
 """
 
 
+def _dedup_keep_best_oracle() -> str:
+    """Clusters via the same recursive-CTE reachability as
+    `_dup_clusters_oracle`, members scored with the text-stats quality
+    formula (identical shared rounding), winner via row_number ORDER BY
+    q DESC, id — the same tie rule as the engine's struct-max of
+    (quality, -id)."""
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT id_a AS u, id_b AS v FROM ({_minhash_oracle()}) mh
+  UNION
+  SELECT id_b, id_a FROM ({_minhash_oracle()}) mh
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+clusters AS (
+  SELECT u AS id, least(u, min(v)) AS rep FROM reach GROUP BY u
+),
+tq AS (
+  SELECT doc_id AS id,
+    floor((length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text))
+          * 1000000 + 0.5) / 1000000 AS alpha_ratio,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+    CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) = 0 THEN 0.0
+         ELSE round(
+           len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x IN ({_SW}))) * 1.0
+           / len(string_split_regex(trim(lower(text)), '\\s+')), 6) END AS sw_ratio
+  FROM documents
+),
+q AS (
+  SELECT id,
+    floor((0.5 * alpha_ratio
+        + 0.3 * least(n_tokens / 200.0, 1.0)
+        + 0.2 * (1.0 - least(sw_ratio * 5, 1.0))) * 1000000 + 0.5) / 1000000 AS q
+  FROM tq
+),
+members AS (
+  SELECT c.id, c.rep, q.q FROM clusters c JOIN q USING (id)
+),
+best AS (
+  SELECT rep, id AS keep_id FROM (
+    SELECT rep, id, row_number() OVER (PARTITION BY rep ORDER BY q DESC, id) AS rn
+    FROM members
+  ) WHERE rn = 1
+)
+SELECT m.id, m.rep, b.keep_id, m.id = b.keep_id AS keep
+FROM members m JOIN best b USING (rep)
+"""
+
+
 def _simhash_oracle(k: int = 2, nbits: int = 60, band_bits: int = 15) -> str:
     nb = nbits // band_bits
     mask = (1 << band_bits) - 1
@@ -1875,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": _q_decontaminate,
         "doc_corpus_recipe": _q_corpus_recipe,
         "doc_dup_clusters": _q_dup_clusters,
+        "doc_dedup_keep_best": _q_dedup_keep_best,
         "doc_simhash_candidates": _q_simhash,
         "emb_lsh_topk": _q_lsh_topk,
         "emb_lsh_indexed": _q_lsh_indexed,
@@ -2616,6 +2688,7 @@ FROM t
         "doc_decontaminate": _decontaminate_oracle(),
         "doc_corpus_recipe": _corpus_recipe_oracle(),
         "doc_dup_clusters": _dup_clusters_oracle(),
+        "doc_dedup_keep_best": _dedup_keep_best_oracle(),
         "doc_simhash_candidates": _simhash_oracle(),
         "emb_lsh_topk": _lsh_topk_oracle(),
         # the indexed variant returns the identical result set

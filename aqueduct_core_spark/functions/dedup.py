@@ -600,3 +600,50 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("hits"))
         .where(F.col("hits") >= int(min_hits))
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware duplicate resolution: within each near-dup cluster
+    keep the HIGHEST-quality member, not the smallest id — what a
+    pretraining pipeline actually wants when near-duplicates differ
+    (keep the clean copy, drop the boilerplate-wrapped one).
+
+    Clusters come from :func:`dup_clusters` (connected components over
+    the pairs); each member is scored with
+    :func:`aqueduct_core_spark.functions.text.quality_score` and the
+    winner is the struct-max of ``(quality, -id)`` per cluster —
+    deterministic tie-break to the smallest id, one hash aggregation
+    with map-side combine (never a per-cluster collect).  Returns
+    ``(id, rep, keep_id, keep)`` for every clustered document;
+    singletons never enter ``pairs`` and are implicitly kept.
+    """
+    from aqueduct_core_spark.functions.text import quality_score
+
+    clusters = dup_clusters(pairs)  # (id, rep)
+    q = docs.select(
+        F.col(id_col).alias("id"),
+        quality_score(F.col(text_col)).alias("q"),
+    )
+    members = clusters.join(q, "id")
+    best = (
+        members.groupBy("rep")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("q"), (-F.col("id")).cast("long").alias("nid")
+                )
+            ).alias("b")
+        )
+        .select("rep", (-F.col("b.nid")).cast("long").alias("keep_id"))
+    )
+    return members.join(best, "rep").select(
+        "id",
+        "rep",
+        "keep_id",
+        (F.col("id") == F.col("keep_id")).alias("keep"),
+    )

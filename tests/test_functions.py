@@ -707,3 +707,46 @@ def test_pack_token_stream_with_text_emits_exact_spans(spark):
         )
     )
     assert seq1 == "e f g h"
+
+
+def test_dedup_keep_best(spark):
+    """Keep-best resolution: the highest-quality member of each cluster
+    wins (not the smallest id); ties break to the smallest id;
+    transitive clusters resolve to one keeper."""
+    from aqueduct_core_spark.functions.dedup import dedup_keep_best
+
+    from aqueduct_core_spark.functions.text import quality_score
+
+    docs = spark.createDataFrame(
+        [
+            (0, "!!!! ???? ....,,,, 1234 5678"),  # alpha 0 → bottom quality
+            (1, "the cat sat on the mat and it was happy to be there today"),
+            (2, "the cat sat on the mat and it was happy to be there"),
+            (3, "xxx"),
+            (4, "xxx"),  # exact twin of 3: equal quality, tie -> 3
+        ],
+        ["doc_id", "text"],
+    )
+    # cluster A = {0,1,2} (transitive via 1), cluster B = {3,4}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], ["id_a", "id_b"]
+    )
+    q = {
+        r["doc_id"]: r["q"]
+        for r in docs.select(
+            "doc_id", quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    # the formula's own argmax over cluster A (ties → smallest id)
+    expect_a = min((i for i in (0, 1, 2)), key=lambda i: (-q[i], i))
+    assert q[0] < q[1]  # the junk doc really is the worst
+
+    out = {r["id"]: r for r in dedup_keep_best(docs, pairs).collect()}
+    assert len(out) == 5
+    assert {out[i]["rep"] for i in (0, 1, 2)} == {0}
+    assert all(out[i]["keep_id"] == expect_a for i in (0, 1, 2))
+    assert [out[i]["keep"] for i in (0, 1, 2)].count(True) == 1
+    assert out[expect_a]["keep"] and not out[0]["keep"]
+    # equal-quality twins: smallest id kept
+    assert all(out[i]["keep_id"] == 3 for i in (3, 4))
+    assert out[3]["keep"] and not out[4]["keep"]
