@@ -622,7 +622,21 @@ def dedup_keep_best(
     ``(id, rep, keep_id, keep)`` for every clustered document;
     singletons never enter ``pairs`` and are implicitly kept.
     """
+    from pyspark.sql import types as T
+
     from aqueduct_core_spark.functions.text import quality_score
+
+    # the (quality, -id) struct-max tie-break needs a numeric id; fail
+    # loud rather than mis-ordering (or NULLing) a string id's negation
+    id_type = docs.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"dedup_keep_best requires a numeric {id_col!r} "
+            f"(got {id_type.simpleString()}); map string ids to a "
+            "numeric surrogate first"
+        )
 
     clusters = dup_clusters(pairs)  # (id, rep)
     q = docs.select(

@@ -223,7 +223,8 @@ def apply_batch(
         )
     return _apply_staged(
         table, batch, epoch, cfg, new_fields, payload_cols, added_cols,
-        widened_cols=widened_cols, extra_summary=extra_summary, publish=publish,
+        batch_max_lsn, widened_cols=widened_cols, extra_summary=extra_summary,
+        publish=publish,
     )
 
 
@@ -568,12 +569,19 @@ def _apply_staged(
     new_fields,
     payload_cols: list[str],
     added_cols: list[str],
+    batch_max_hint: int | None = None,
     widened_cols: list[str] | tuple = (),
     extra_summary: dict | None = None,
     publish: bool = True,
 ) -> dict:
     """Bucket-pruned MERGE via a staging buffer — reads and rewrites
-    only the buckets the batch touches; right for sparse batches."""
+    only the buckets the batch touches; right for sparse batches.
+
+    ``batch_max_hint``: the SLICE's max lsn when the caller planned the
+    range (replay/demux) — the committed watermark must cover the whole
+    slice, not just the rows this table's route kept, or a resume
+    re-selects already-covered ranges forever (the mor/inline variants
+    honor the same hint)."""
     spark = table.spark
 
     # ---- single-pass resolution → staging buffer ---------------------
@@ -616,12 +624,11 @@ def _apply_staged(
         batch_max_lsn = max(
             [int(s["any_max_lsn"]) for s in summary.values() if s["any_max_lsn"] is not None]
             + [table.last_committed_lsn()]
+            + [int(batch_max_hint if batch_max_hint is not None else -1)]
         )
 
         if not affected:
-            # empty batch (e.g. a streaming trigger with no rows):
-            # nothing to merge, nothing to commit beyond bookkeeping
-            return {
+            offsets_row = {
                 "epoch": int(epoch),
                 "last_lsn": int(batch_max_lsn),
                 "applied": 0,
@@ -629,8 +636,29 @@ def _apply_staged(
                 "partition_lineage": _lineage_json("batch", {}),
                 "committed_at": _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
                 "state": PIPE_UP_TO_DATE,
-                "added_columns": added_cols,
             }
+            if batch_max_hint is not None:
+                # replay-planned slice with no matching rows for this
+                # table (e.g. a routed demux): the watermark must still
+                # advance past the slice or every resume re-selects it —
+                # commit the bookkeeping only (mor does the same)
+                offsets_rel = table.write_offsets_row(
+                    offsets_row, label=f"epoch-{epoch}"
+                )
+                table.catalog.commit(
+                    table.catalog.current(),
+                    added_offsets_files=[offsets_rel],
+                    summary_updates={
+                        cfg.prop_epoch: int(epoch),
+                        cfg.prop_max_lsn: int(batch_max_lsn),
+                        **(extra_summary or {}),
+                    },
+                    publish=publish,
+                )
+            # streaming idle trigger (no hint): nothing to merge and no
+            # snapshot churn
+            offsets_row["added_columns"] = added_cols
+            return offsets_row
 
         staged = spark.read.parquet(staged_path)
         winners = lww.staged_winners(staged, payload_cols)

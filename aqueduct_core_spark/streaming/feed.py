@@ -21,6 +21,17 @@ from pyspark.sql import DataFrame, functions as F
 from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
 
 
+def _atomic_write_json(path: str, obj: dict) -> None:
+    """Write-fsync-rename JSON — the same durability discipline as the
+    catalog's VERSION pointer; shared by the cursor and the publisher."""
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 class FeedCursor:
     """At-least-once cursor over a table's change feed.
 
@@ -105,12 +116,7 @@ class FeedCursor:
     def _save_state(self) -> None:
         if not self.state_path:
             return
-        tmp = f"{self.state_path}.tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": self.version}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.state_path)
+        _atomic_write_json(self.state_path, {"version": self.version})
 
 class FeedPublisher:
     """Exactly-once re-publication of a table's change feed as
@@ -125,18 +131,21 @@ class FeedPublisher:
 
     Commit protocol (rename-is-commit): each :meth:`publish` writes
     the resolved changes for the version interval ``(from_v, to_v]``
-    as newline-delimited envelopes under ``_pending/<name>/``
-    (invisible to consumers), then atomically renames the directory to
-    ``segments/<name>`` where ``name = <from_v>-<to_v>`` zero-padded.
-    The publisher's resume position is DERIVED from the committed
-    segment names (max ``to_v``, seeded by ``base.json``), so position
-    advances atomically with the data: a crash before the rename
-    leaves overwritable debris in ``_pending``; a crash after it has
-    already published.  ``from_v = position()`` by construction, so
-    intervals chain contiguously — nothing is ever skipped or
-    double-published, and two racing publishers collapse to one winner
-    on the rename (the loser's identical segment name fails the
-    rename and is discarded).
+    as newline-delimited envelopes under a UNIQUE
+    ``_pending/<from_v>.<uuid>/`` staging dir (racers never touch each
+    other's staging; aged debris is swept under the same older-than
+    contract as ``remove_orphan_files``), stamps the published-to
+    version INSIDE it as a ``_to-…`` marker file (underscore prefix —
+    invisible to Spark readers, like ``_SUCCESS``), then atomically
+    renames to ``segments/<from_v>``.  The resume position is DERIVED
+    from the committed segments' markers (seeded by ``base.json``), so
+    position advances atomically with the data: a crash before the
+    rename leaves sweepable debris; a crash after it has already
+    published.  ``from_v = position()`` by construction and the rename
+    target is keyed by the interval START alone, so racing publishers
+    — even ones that read different ``to_v`` — collide on the same
+    target and exactly one wins: intervals chain contiguously, nothing
+    is ever skipped, double-published, or overlapping.
 
     Bootstrap contract: :meth:`create` stamps the table's CURRENT
     version as the base.  Create the publisher when the table is
@@ -169,30 +178,46 @@ class FeedPublisher:
     def create(
         cls, table: ParquetTranscriptTable, out_dir: str
     ) -> "FeedPublisher":
+        """Create a NEW publisher based at the table's current version.
+        Fails loud on an existing publisher (re-basing would silently
+        skip the unpublished interval); re-open one with the plain
+        constructor instead."""
+        base_path = os.path.join(out_dir, "base.json")
+        if os.path.exists(base_path):
+            raise FileExistsError(
+                f"publisher already exists at {out_dir}; open it with "
+                "FeedPublisher(table, out_dir) — re-creating would re-base "
+                "past its unpublished interval"
+            )
         os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
-        base = table.catalog.current_version()
-        tmp = os.path.join(out_dir, "base.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"version": base}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(out_dir, "base.json"))
+        _atomic_write_json(
+            base_path, {"version": table.catalog.current_version()}
+        )
         return cls(table, out_dir)
 
     # -- position ---------------------------------------------------------
     def position(self) -> int:
         """Last published-to snapshot version — read straight from the
-        committed segment names (no separate cursor file to fall out of
-        sync)."""
+        committed segments' ``_to-…`` markers (no separate cursor file
+        to fall out of sync)."""
         with open(self._base_path) as f:
             pos = int(json.load(f)["version"])
         for name in os.listdir(self._segments_dir):
-            try:
-                _frm, to = name.split("-", 1)
-                pos = max(pos, int(to))
-            except ValueError:
-                continue  # not a segment dir
+            pos = max(pos, self._segment_to(name, default=pos))
         return pos
+
+    def _segment_to(self, name: str, default: int) -> int:
+        """A committed segment's published-to version, from the
+        ``_to-…`` marker inside it (underscore prefix = invisible to
+        Spark readers, like ``_SUCCESS``)."""
+        d = os.path.join(self._segments_dir, name)
+        try:
+            for f in os.listdir(d):
+                if f.startswith("_to-"):
+                    return int(f[4:])
+        except (NotADirectoryError, FileNotFoundError, ValueError):
+            pass
+        return default
 
     def wire_glob(self) -> str:
         """Stream-source path for downstream drains (new segments are
@@ -201,16 +226,48 @@ class FeedPublisher:
         return os.path.join(self._segments_dir, "*")
 
     # -- publish ------------------------------------------------------------
+    #: _pending entries older than this are crash debris and swept on
+    #: the next publish (same older-than contract as remove_orphan_files:
+    #: must exceed the longest possible publish attempt)
+    PENDING_TTL_S = 3600.0
+
     def publish(self) -> dict:
         """Publish everything committed since :meth:`position` as one
-        wire segment; no-op when the table hasn't advanced."""
+        wire segment; no-op when the table hasn't advanced.
+
+        Single-winner concurrency: the attempt stages under a UNIQUE
+        ``_pending/<name>.<uuid>/`` dir (racers never touch each
+        other's staging) and commits by renaming to
+        ``segments/<from_v>`` — keyed by the interval START alone, so
+        two racers that read the same position collide on the same
+        rename target no matter what ``to_v`` each saw, and exactly one
+        wins; the loser deletes its copy and reports ``lost_race``.
+        Overlapping segments are therefore impossible by construction.
+        The published-to version rides INSIDE the segment as a ``_to-…``
+        marker written before the rename (atomic with the data)."""
+        import time as _time
+        import uuid as _uuid
+
+        from aqueduct_core_spark.schema import LSN_COLUMN
         from aqueduct_core_spark.sources.envelope import to_envelope_json
+
+        # sweep aged crash debris (never a live racer's staging: unique
+        # names + the TTL contract)
+        pend_root = os.path.join(self.out_dir, "_pending")
+        if os.path.isdir(pend_root):
+            cutoff = _time.time() - self.PENDING_TTL_S
+            for entry in os.listdir(pend_root):
+                p = os.path.join(pend_root, entry)
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except FileNotFoundError:
+                    continue
 
         from_v = self.position()
         to_v = self.table.catalog.current_version()
         if to_v <= from_v:
             return {"published": False, "position": from_v}
-        from aqueduct_core_spark.schema import LSN_COLUMN
 
         feed = self.table.changes_between(from_v, to_v)
         # feed rows carry table payload only; routing metadata is a
@@ -220,19 +277,23 @@ class FeedPublisher:
             .withColumn("cluster_id", F.lit(None).cast("long"))
             .withColumn("location_group", F.lit(None).cast("long"))
         ).select("value")
-        name = f"{from_v:012d}-{to_v:012d}"
-        pending = os.path.join(self.out_dir, "_pending", name)
-        shutil.rmtree(pending, ignore_errors=True)  # crash debris
+        name = f"{from_v:012d}"
+        pending = os.path.join(pend_root, f"{name}.{_uuid.uuid4().hex[:8]}")
         wire.write.mode("overwrite").text(pending)
+        # the marker is part of the staged content: it becomes visible
+        # atomically with the data on the rename below
+        with open(os.path.join(pending, f"_to-{to_v:012d}"), "w"):
+            pass
         final = os.path.join(self._segments_dir, name)
         try:
             os.rename(pending, final)
         except OSError:
-            # a racing publisher committed the identical interval first;
-            # single winner, this copy is redundant
+            # a racing publisher committed this from_v first: single
+            # winner, this attempt's copy is redundant
             shutil.rmtree(pending, ignore_errors=True)
             if not os.path.isdir(final):
                 raise
+            return {"published": False, "lost_race": True, "position": from_v}
         return {
             "published": True,
             "segment": name,

@@ -227,3 +227,34 @@ def test_demux_resume_survives_trigger_renumbering(spark, log, tmp_path):
     assert _state(b).exceptAll(_state(a)).count() == 0
     assert _state(a).exceptAll(_state(b)).count() == 0
     assert a.last_committed_lsn() == b.last_committed_lsn()
+
+
+def test_demux_staged_strategy_resume_noops(spark, log, tmp_path):
+    """Watermark coverage under merge_strategy='staged': the committed
+    lsn stamp must cover the whole SLICE (not just the rows a route
+    kept), so a rerun of a caught-up demux plans zero applies and
+    commits nothing — including for a route that matches nothing."""
+    cfg = EngineConfig(
+        num_buckets=4, max_events_per_trigger=1500, mor_fold_every=10**9,
+        merge_strategy="staged",
+    )
+    tables = {
+        "even": ParquetTranscriptTable.create(
+            spark, str(tmp_path / "e"), num_buckets=4
+        ),
+        "none": ParquetTranscriptTable.create(
+            spark, str(tmp_path / "n"), num_buckets=4
+        ),
+    }
+    routes = {"even": F.col("cluster_id") % 2 == 0, "none": F.lit(False)}
+    replay_demux(tables, log, routes, cfg)
+
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    for t in tables.values():
+        assert t.last_committed_lsn() == mx  # slice-covering watermark
+    versions = {k: t.catalog.current_version() for k, t in tables.items()}
+
+    m = replay_demux(tables, log, routes, cfg)
+    assert not m["even"] and not m["none"]  # no epochs re-applied
+    for k, t in tables.items():
+        assert t.catalog.current_version() == versions[k]

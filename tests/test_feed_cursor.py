@@ -113,11 +113,18 @@ def test_publisher_downstream_site_converges(spark, tmp_path):
     mx = int(log.agg(F.max("lsn")).collect()[0][0])
     pub = FeedPublisher.create(primary, str(tmp_path / "pub"))
 
+    # re-creating an existing publisher would re-base past unpublished
+    # intervals: fail loud, re-open with the constructor instead
+    with pytest.raises(FileExistsError):
+        FeedPublisher.create(primary, str(tmp_path / "pub"))
+    FeedPublisher(primary, str(tmp_path / "pub"))  # re-open is fine
+
     # idle publish before anything commits: no-op
     assert pub.publish()["published"] is False
 
-    # crash debris: a half-written pending segment is invisible
-    debris = tmp_path / "pub" / "_pending" / "000000000000-000000000099"
+    # crash debris: a torn staging attempt is invisible to consumers
+    # and to position() (swept later under the TTL contract)
+    debris = tmp_path / "pub" / "_pending" / "000000000000.deadbeef"
     debris.mkdir(parents=True)
     (debris / "part-junk.txt").write_text("{torn write\n")
 
@@ -126,6 +133,20 @@ def test_publisher_downstream_site_converges(spark, tmp_path):
     m1 = pub.publish()
     assert m1["published"] and m1["from_version"] == 0
     replay(primary, log, cfg)  # the rest of the log
+
+    # single-winner: a racer's rename landed on this from_v an instant
+    # ago (its content not yet visible to our listing) — our rename
+    # fails on the non-empty target, we discard our copy and report the
+    # lost race instead of double-publishing
+    racer = tmp_path / "pub" / "segments" / f"{m1['to_version']:012d}"
+    racer.mkdir()
+    (racer / "part-racer.txt").write_text("")
+    lost = pub.publish()
+    assert lost["published"] is False and lost["lost_race"] is True
+    import shutil as _sh
+
+    _sh.rmtree(racer)
+
     m2 = pub.publish()
     assert m2["published"] and m2["from_version"] == m1["to_version"]
     assert pub.publish()["published"] is False  # caught up
@@ -133,6 +154,7 @@ def test_publisher_downstream_site_converges(spark, tmp_path):
     assert sorted(os.listdir(tmp_path / "pub" / "segments")) == sorted(
         [m1["segment"], m2["segment"]]
     )
+    assert (debris / "part-junk.txt").exists()  # young debris untouched
 
     # downstream site: plain json-envelope drain over the published glob
     site = ParquetTranscriptTable.create(
