@@ -236,6 +236,24 @@ def _q_conv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_text(_q_merged_state(spark, sf_dir))
 
 
+def _q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC → corpus composition in one query: the merged LWW state is
+    assembled into per-conversation transcripts (cdc_conv_text) and the
+    DERIVED corpus runs the identical minhash→LSH→exact-Jaccard
+    pipeline as doc_minhash_pairs — near-duplicate conversations found
+    straight off the engine's own state, the dedup-before-training pass
+    a transcript pipeline actually runs."""
+    from aqueduct_core_spark.functions.dedup import minhash_dedup
+    from aqueduct_core_spark.operators.rollup import conversation_text
+
+    docs = conversation_text(_q_merged_state(spark, sf_dir))
+    return minhash_dedup(
+        docs, text_col="conv_text", id_col="conv_id", threshold=0.5,
+        hash_method="md5",
+        min_input_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
 def _q_state_at_lsn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log time travel: LWW + hierarchical-delete state as of lsn 8000,
     reconstructed from SCD2 validity intervals (no snapshot needed)."""
@@ -1211,12 +1229,12 @@ def _dh(expr: str, seed: int | None = None) -> str:
 
 #: shingle CTEs shared by the minhash/simhash oracles — must mirror
 #: aqueduct_core_spark.functions.dedup.word_shingles exactly
-def _shingle_ctes(k: int) -> str:
+def _shingle_ctes(k: int, source: str = "documents", id_col: str = "doc_id") -> str:
     return f"""
 toks AS (
-  SELECT doc_id AS id,
+  SELECT {id_col} AS id,
          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
-  FROM documents
+  FROM {source}
 ),
 sh AS (
   SELECT id, CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
@@ -1228,8 +1246,13 @@ ex AS (SELECT id, unnest(shingles) AS s FROM sh)
 """
 
 
-def _minhash_oracle(num_hashes: int = 64, bands: int = 16, k: int = 3,
-                    threshold: float = 0.3) -> str:
+def _minhash_body(num_hashes: int = 64, bands: int = 16, k: int = 3,
+                  threshold: float = 0.3, source: str = "documents",
+                  id_col: str = "doc_id") -> str:
+    """The minhash→LSH→verify pipeline as a comma-joinable CTE list +
+    final SELECT (no leading WITH), parameterized over the corpus
+    source so the same pipeline oracles both the documents table and
+    derived corpora (e.g. assembled conversations)."""
     from aqueduct_core_spark.functions.dedup import MINHASH_P, minhash_mixers
 
     rpb = num_hashes // bands
@@ -1253,7 +1276,7 @@ def _minhash_oracle(num_hashes: int = 64, bands: int = 16, k: int = 3,
         for b in range(bands)
     )
     return f"""
-WITH {_shingle_ctes(k)},
+{_shingle_ctes(k, source, id_col)},
 hh AS (SELECT id, {_dh('s')} AS h FROM ex),
 sig AS (
   SELECT id,
@@ -1279,6 +1302,36 @@ ver AS (
 )
 SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
 """
+
+
+def _minhash_oracle(num_hashes: int = 64, bands: int = 16, k: int = 3,
+                    threshold: float = 0.3) -> str:
+    return "WITH " + _minhash_body(num_hashes, bands, k, threshold)
+
+
+def _conv_near_dup_oracle(threshold: float = 0.5) -> str:
+    """CDC → corpus composition: the LWW/hierarchical-delete state is
+    assembled into per-conversation transcripts (the cdc_conv_text
+    view) and THAT derived corpus goes through the identical
+    minhash→LSH→verify pipeline — one oracle spanning the engine's
+    ingest and training-data halves."""
+    from aqueduct_core_spark.sources.events_cdc import CHANGES_CTE_SQL
+
+    docs_cte = """
+convdocs AS (
+  SELECT conv_id, string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS text
+  FROM state GROUP BY conv_id
+)"""
+    return (
+        "WITH "
+        + CHANGES_CTE_SQL
+        + " , "
+        + _STATE_BODY
+        + ", "
+        + docs_cte
+        + ", "
+        + _minhash_body(threshold=threshold, source="convdocs", id_col="conv_id")
+    )
 
 
 def _index_dedup_oracle(num_hashes: int = 64, bands: int = 16, k: int = 3,
@@ -1926,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_demux_routes": _q_demux_routes,
         "cdc_state_at_lsn": _q_state_at_lsn,
         "cdc_conv_text": _q_conv_text,
+        "cdc_conv_near_dup": _q_conv_near_dup,
         "cdc_replica_diff": _q_replica_diff,
         "doc_sample": _q_sample,
         "doc_stratified_sample": _q_stratified_sample,
@@ -2448,6 +2502,7 @@ SELECT conv_id, CAST(count(*) AS INTEGER) AS n_turns,
 FROM state GROUP BY conv_id
 """
         ),
+        "cdc_conv_near_dup": _conv_near_dup_oracle(),
         "cdc_state_at_lsn": oracle(
             """
 turns AS (SELECT * FROM changes WHERE turn_idx IS NOT NULL AND lsn <= 8000),
