@@ -111,6 +111,20 @@ cdc_point_lookup            serving-path point read: driver-side murmur3
                             bucket math prunes the scan to one bucket
 cdc_rollback                snapshot rollback: undo a bad epoch as a new
                             commit; exactly-once watermark reverts too
+doc_subword_tokens          BPE-ish subword token counts + fertility
+doc_quality_filter          Gopher-style repetition/quality gates
+doc_dup_clusters            connected-components duplicate clustering
+                            (recursive-CTE oracle)
+doc_dedup_keep_best         quality-aware cluster resolution: keep the
+                            highest-quality member, smallest-id ties
+emb_ivf_topk                IVF ANN: coarse-quantizer cells, cell-pruned
+                            probe, exact rerank
+emb_ivf_trained             IVF over a TRAINED spherical-k-means codebook
+                            (Lloyd step replayed bit-identically in SQL)
+emb_near_dup                embedding-cosine near-dup pairs (LSH-blocked,
+                            exact-verified, never all-pairs)
+cdc_conv_near_dup           CDC → corpus composition: minhash near-dup
+                            over transcripts assembled from merged state
 ==========================  =================================================
 
 Every query has a DuckDB oracle — zero ``no_oracle`` rows.
