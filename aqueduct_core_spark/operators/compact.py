@@ -177,7 +177,17 @@ def count_by_type(changes: DataFrame) -> DataFrame:
     return changes.groupBy("op").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-def fold_deltas(table: ParquetTranscriptTable) -> dict:
+def _consumer_position(c) -> int:
+    """A feed consumer's acknowledged snapshot version: duck-typed over
+    ``FeedCursor`` (``.version``) and ``FeedPublisher`` (``.position()``)."""
+    if hasattr(c, "position"):
+        return int(c.position())
+    return int(c.version)
+
+
+def fold_deltas(
+    table: ParquetTranscriptTable, consumers: list | None = None
+) -> dict:
     """Fold MOR delta files into the base layout — INCREMENTALLY: only
     buckets that actually hold deltas are read and rewritten; untouched
     buckets' base files are carried forward as-is (Iceberg's
@@ -187,8 +197,24 @@ def fold_deltas(table: ParquetTranscriptTable) -> dict:
     ``mor_fold_every`` epochs; this rewrites only the touched slice,
     so sustained fold cost is proportional to recent write activity.
     One resolved read + one clustered write per fold; the affected
-    buckets' deltas are cleared in the same atomic commit."""
+    buckets' deltas are cleared in the same atomic commit.
+
+    ``consumers``: retention coordination — the table-level change feed
+    (``changes_between``) requires an unfolded interval, so folding
+    while a registered feed consumer (``FeedCursor`` / ``FeedPublisher``)
+    still lags would force it into a full resync.  Pass the consumers
+    that tail this table and the fold BLOCKS (``{"folded": False,
+    "blocked_by": n}``) until they catch up — Kafka's
+    "don't truncate past the slowest consumer group" rule.  A dead
+    consumer blocks folds forever by design: remove it from the list
+    (and ``reset()`` it) to release retention, exactly like deleting a
+    consumer group."""
     snap = table.catalog.current()
+    if consumers:
+        cur = table.catalog.current_version()
+        lagging = [c for c in consumers if _consumer_position(c) < cur]
+        if lagging:
+            return {"folded": False, "blocked_by": len(lagging)}
     delta_buckets = sorted(
         int(b) for b, fl in snap.get("delta_files", {}).items() if fl
     )
@@ -425,6 +451,7 @@ def maintain(
     rewrite_if_files_per_bucket: int = 8,
     keep_snapshots: int = 5,
     orphan_older_than_s: float = 3600,
+    consumers: list | None = None,
 ) -> dict:
     """One-call table maintenance (the policy loop a scheduler runs —
     reference analog: the scheduled compaction + VACUUM tasks,
@@ -446,6 +473,9 @@ def maintain(
     Every step is individually race-safe (pinned commits fail loud with
     ``CommitConflict`` rather than dropping a racing epoch) and no-ops
     below its threshold, so the call is idempotent and safe on a timer.
+    ``consumers``: retention coordination — the fold AND the rewrite
+    (both rewrite feed history) block while any registered feed
+    consumer lags (see :func:`fold_deltas`).
     Note the deliberate lag: a fold's superseded delta files stay on
     disk while any RETAINED snapshot still references them (time travel
     to the pre-fold version keeps working) — the space frees on a later
@@ -455,14 +485,20 @@ def maintain(
     snap = table.catalog.current()
     delta_epochs = int(snap["summary"].get("aqueduct.delta-epochs", 0))
     if delta_epochs >= max(1, int(fold_if_delta_epochs)):
-        out["fold"] = fold_deltas(table)
+        out["fold"] = fold_deltas(table, consumers=consumers)
     else:
         out["fold"] = {"folded": False}
 
+    lagging = bool(consumers) and any(
+        _consumer_position(c) < table.catalog.current_version()
+        for c in consumers
+    )
     snap = table.catalog.current()
     buckets = max(1, len(snap["files"]))
     nfiles = sum(len(fl) for fl in snap["files"].values())
-    if nfiles / buckets > rewrite_if_files_per_bucket:
+    if lagging:
+        out["rewrite"] = {"rewritten": False, "blocked_by_consumers": True}
+    elif nfiles / buckets > rewrite_if_files_per_bucket:
         out["rewrite"] = rewrite_data_files(table)
     else:
         out["rewrite"] = {"rewritten": False, "files_per_bucket": nfiles / buckets}

@@ -175,3 +175,30 @@ def test_publisher_downstream_site_converges(spark, tmp_path):
     fold_deltas(primary)
     with pytest.raises(ValueError, match="unfolded"):
         pub.publish()
+
+
+def test_fold_blocks_on_lagging_consumers(spark, tmp_path):
+    """Retention coordination: fold/rewrite block while a registered
+    feed consumer lags (folding would break its unfolded-interval
+    contract and force a full resync); once the consumer drains, the
+    fold proceeds and the feed stays consumable end-to-end."""
+    from aqueduct_core_spark.operators.compact import fold_deltas, maintain
+
+    cfg, log, primary = _setup(spark, tmp_path)
+    replica = ParquetTranscriptTable.create(spark, str(tmp_path / "r"), num_buckets=4)
+    cur = FeedCursor(primary, state_path=str(tmp_path / "c.json"))
+
+    replay(primary, log, cfg, start_epoch=0, start_lsn=0)
+    assert cur.version < primary.catalog.current_version()  # lagging
+
+    m = fold_deltas(primary, consumers=[cur])
+    assert m == {"folded": False, "blocked_by": 1}
+    mm = maintain(primary, consumers=[cur])
+    assert mm["fold"]["folded"] is False
+    assert mm["rewrite"].get("blocked_by_consumers") is True
+
+    n = _drain(cur, replica, cfg, 0)  # feed still unfolded: consumable
+    assert n >= 1 and states_equal(primary.read_internal(), replica.read_internal())
+
+    m = fold_deltas(primary, consumers=[cur])
+    assert m["folded"] is True  # caught up: retention released
