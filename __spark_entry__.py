@@ -125,6 +125,8 @@ emb_near_dup                embedding-cosine near-dup pairs (LSH-blocked,
                             exact-verified, never all-pairs)
 cdc_conv_near_dup           CDC → corpus composition: minhash near-dup
                             over transcripts assembled from merged state
+cdc_conv_quality            Gopher quality gates over the CDC-derived
+                            conversation corpus (same composition)
 ==========================  =================================================
 
 Every query has a DuckDB oracle — zero ``no_oracle`` rows.
@@ -265,6 +267,26 @@ def _q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, text_col="conv_text", id_col="conv_id", threshold=0.5,
         hash_method="md5",
         min_input_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
+def _q_conv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality gates over the CDC-derived conversation corpus:
+    merged state → assembled transcripts → repetition/length gates —
+    the filter pass a transcript-training pipeline runs on the engine's
+    own output (same composition shape as cdc_conv_near_dup)."""
+    from aqueduct_core_spark.functions.text import gopher_quality_filter
+    from aqueduct_core_spark.operators.rollup import conversation_text
+
+    docs = conversation_text(_q_merged_state(spark, sf_dir)).select(
+        "conv_id", F.col("conv_text").alias("text")
+    )
+    return gopher_quality_filter(
+        docs, bigram_method="array", id_col="conv_id",
+        min_input_partitions=spark.sparkContext.defaultParallelism,
+    ).select(
+        "conv_id", "n_words", "mean_word_len", "dup_word_frac",
+        "top_bigram_frac", "keep",
     )
 
 
@@ -1323,6 +1345,75 @@ def _minhash_oracle(num_hashes: int = 64, bands: int = 16, k: int = 3,
     return "WITH " + _minhash_body(num_hashes, bands, k, threshold)
 
 
+def _gopher_body(source: str = "documents", id_col: str = "doc_id") -> str:
+    """The Gopher repetition/quality gates as a comma-joinable CTE list
+    + final SELECT (no WITH), parameterized over the corpus source —
+    shared by doc_quality_filter and the conversation-corpus variant."""
+    return r"""
+qw AS (
+  SELECT {id} AS _qid, text,
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE string_split_regex(trim(text), '\s+') END AS ws
+  FROM {src}
+),
+qstats AS (
+  SELECT _qid,
+    len(ws) AS n_words,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE floor((CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                     / len(ws)) * 1000000 + 0.5) / 1000000 END AS mean_word_len,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE floor((1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+                    * 1000000 + 0.5) / 1000000 END AS dup_word_frac,
+    ws
+  FROM qw
+),
+qbg AS (
+  SELECT s._qid, s.ws[t.i] || ' ' || s.ws[t.i + 1] AS b
+  FROM qstats s, UNNEST(range(1, len(s.ws))) AS t(i)
+),
+qtop AS (
+  SELECT _qid, max(c) AS mx, sum(c) AS tot
+  FROM (SELECT _qid, b, count(*) AS c FROM qbg GROUP BY _qid, b)
+  GROUP BY _qid
+)
+SELECT s._qid AS {id},
+  CAST(s.n_words AS INTEGER) AS n_words,
+  s.mean_word_len,
+  s.dup_word_frac,
+  COALESCE(floor((CAST(t.mx AS DOUBLE) / t.tot) * 1000000 + 0.5) / 1000000, 0.0)
+    AS top_bigram_frac,
+  (s.n_words >= 25 AND s.n_words <= 100000
+   AND s.mean_word_len >= 3.0 AND s.mean_word_len <= 10.0
+   AND s.dup_word_frac <= 0.60
+   AND COALESCE(floor((CAST(t.mx AS DOUBLE) / t.tot) * 1000000 + 0.5) / 1000000, 0.0)
+       <= 0.05) AS keep
+FROM qstats s LEFT JOIN qtop t USING (_qid)
+""".replace("{src}", source).replace("{id}", id_col)
+
+
+def _conv_quality_oracle() -> str:
+    """Gopher gates over the CDC-derived conversation corpus — same
+    composition shape as `_conv_near_dup_oracle`."""
+    from aqueduct_core_spark.sources.events_cdc import CHANGES_CTE_SQL
+
+    docs_cte = """
+convdocs AS (
+  SELECT conv_id, string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS text
+  FROM state GROUP BY conv_id
+)"""
+    return (
+        "WITH "
+        + CHANGES_CTE_SQL
+        + " , "
+        + _STATE_BODY
+        + ", "
+        + docs_cte
+        + ", "
+        + _gopher_body(source="convdocs", id_col="conv_id")
+    )
+
+
 def _conv_near_dup_oracle(threshold: float = 0.5) -> str:
     """CDC → corpus composition: the LWW/hierarchical-delete state is
     assembled into per-conversation transcripts (the cdc_conv_text
@@ -1994,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_state_at_lsn": _q_state_at_lsn,
         "cdc_conv_text": _q_conv_text,
         "cdc_conv_near_dup": _q_conv_near_dup,
+        "cdc_conv_quality": _q_conv_quality,
         "cdc_replica_diff": _q_replica_diff,
         "doc_sample": _q_sample,
         "doc_stratified_sample": _q_stratified_sample,
@@ -2517,6 +2609,7 @@ FROM state GROUP BY conv_id
 """
         ),
         "cdc_conv_near_dup": _conv_near_dup_oracle(),
+        "cdc_conv_quality": _conv_quality_oracle(),
         "cdc_state_at_lsn": oracle(
             """
 turns AS (SELECT * FROM changes WHERE turn_idx IS NOT NULL AND lsn <= 8000),
@@ -2695,47 +2788,7 @@ FROM g GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50
 """,
         "doc_exact_dedup": exact_dedup,
         "doc_text_stats": text_stats,
-        "doc_quality_filter": r"""
-WITH w AS (
-  SELECT doc_id, text,
-    CASE WHEN length(trim(text)) = 0 THEN []
-         ELSE string_split_regex(trim(text), '\s+') END AS ws
-  FROM documents
-),
-stats AS (
-  SELECT doc_id,
-    len(ws) AS n_words,
-    CASE WHEN len(ws) = 0 THEN 0.0
-         ELSE floor((CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-                     / len(ws)) * 1000000 + 0.5) / 1000000 END AS mean_word_len,
-    CASE WHEN len(ws) = 0 THEN 0.0
-         ELSE floor((1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
-                    * 1000000 + 0.5) / 1000000 END AS dup_word_frac,
-    ws
-  FROM w
-),
-bg AS (
-  SELECT s.doc_id, s.ws[t.i] || ' ' || s.ws[t.i + 1] AS b
-  FROM stats s, UNNEST(range(1, len(s.ws))) AS t(i)
-),
-top AS (
-  SELECT doc_id, max(c) AS mx, sum(c) AS tot
-  FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
-  GROUP BY doc_id
-)
-SELECT s.doc_id,
-  CAST(s.n_words AS INTEGER) AS n_words,
-  s.mean_word_len,
-  s.dup_word_frac,
-  COALESCE(floor((CAST(t.mx AS DOUBLE) / t.tot) * 1000000 + 0.5) / 1000000, 0.0)
-    AS top_bigram_frac,
-  (s.n_words >= 25 AND s.n_words <= 100000
-   AND s.mean_word_len >= 3.0 AND s.mean_word_len <= 10.0
-   AND s.dup_word_frac <= 0.60
-   AND COALESCE(floor((CAST(t.mx AS DOUBLE) / t.tot) * 1000000 + 0.5) / 1000000, 0.0)
-       <= 0.05) AS keep
-FROM stats s LEFT JOIN top t USING (doc_id)
-""",
+        "doc_quality_filter": "WITH " + _gopher_body(),
         "doc_subword_tokens": """
 WITH t AS (
   SELECT doc_id,
