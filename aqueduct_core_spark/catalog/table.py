@@ -485,6 +485,30 @@ class ParquetTranscriptTable:
             snap,
         ).drop(LSN_COLUMN)
 
+    def read_conversations(
+        self, conv_ids: list, columns: list[str] | None = None
+    ) -> DataFrame:
+        """Batch point lookup: the current state of a SET of
+        conversations, scanning only the union of their buckets — the
+        serving-path multi-get (a feature-store / training-example
+        fetch reads thousands of keys, not one).  Buckets dedupe
+        driver-side with the same zero-job :func:`bucket_of` math, so k
+        keys touch ≤ min(k, num_buckets) buckets; the residual
+        ``conv_id IN (...)`` pushes into the Parquet scan.  One plan,
+        one pass — never a per-key loop of k jobs."""
+        keys = list(dict.fromkeys(conv_ids))  # dedupe, keep order
+        if not keys:
+            return self.read(columns=columns).where(F.lit(False))
+        buckets = sorted({bucket_of(k, self.num_buckets) for k in keys})
+        v = self.catalog.current_version()
+        snap = self.catalog.load(v)
+        schema = None if columns is None else self._reduced_schema(snap, columns)
+        return self._map_payload(
+            self.read_internal(buckets=buckets, version=v, schema=schema)
+            .where(F.col("conv_id").isin(keys)),
+            snap,
+        ).drop(LSN_COLUMN)
+
     def read_as_of(self, version: int | str) -> DataFrame:
         """Time travel: public table state at a historical snapshot
         version (``catalog.history()`` lists retained versions) or at a

@@ -102,3 +102,35 @@ def test_read_conversation_prunes_to_one_bucket(spark, lookup_table):
     assert scanned, "no input files resolved"
     for f in scanned:
         assert any(f.endswith(p) for p in allowed), f"file outside bucket {b}: {f}"
+
+
+def test_read_conversations_multi_get(spark, lookup_table):
+    """Batch multi-get: identity vs a full-table IN filter, scan pruned
+    to the union of the keys' buckets, duplicates/empties handled."""
+    state = lookup_table.read()
+    cids = [r["conv_id"] for r in
+            state.select("conv_id").distinct().orderBy("conv_id").limit(3).collect()]
+
+    got = lookup_table.read_conversations(cids + [cids[0]])  # dupe key
+    via_filter = sorted(map(tuple,
+                            state.where(F.col("conv_id").isin(cids)).collect()))
+    assert sorted(map(tuple, got.collect())) == via_filter
+
+    # scan lists only the union of the keys' buckets
+    snap = lookup_table.catalog.current()
+    bs = {bucket_of(c, 8) for c in cids}
+    allowed = set()
+    for b in bs:
+        allowed |= set(snap["files"].get(str(b), []))
+        allowed |= set(snap.get("delta_files", {}).get(str(b), []))
+    n_total = sum(len(v) for v in snap["files"].values()) + sum(
+        len(v) for v in snap.get("delta_files", {}).values()
+    )
+    assert len(allowed) < n_total
+    for f in got.inputFiles():
+        assert any(f.endswith(p) for p in allowed), f
+
+    # column projection + empty key list
+    slim = lookup_table.read_conversations(cids, columns=["text"])
+    assert set(slim.columns) == {"conv_id", "turn_idx", "text"}
+    assert lookup_table.read_conversations([]).count() == 0
