@@ -95,6 +95,7 @@ class Scd2History:
         h._write_meta(
             {
                 "epoch": -1,
+                "prune_epoch": -1,
                 "last_lsn": -1,
                 "num_buckets": num_buckets,
                 "bucket_dirs": {},
@@ -131,7 +132,18 @@ class Scd2History:
         meta = self._meta()
         if epoch <= int(meta["epoch"]):
             return {"epoch": epoch, "mode": "skipped", "buckets_rewritten": 0}
+        # the batch feeds ~5 jobs below (bounds, inner history, fe, ct,
+        # affected-bucket collect + joins); materialize it once
+        was_cached = batch.is_cached
+        if not was_cached:
+            batch = batch.persist()
+        try:
+            return self._apply_inner(batch, epoch, meta)
+        finally:
+            if not was_cached:
+                batch.unpersist()
 
+    def _apply_inner(self, batch: DataFrame, epoch: int, meta: dict) -> dict:
         lo_hi = batch.agg(
             F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
         ).collect()[0]
@@ -163,7 +175,27 @@ class Scd2History:
             .agg(F.min("lsn").alias("_ct_lsn"))
         )
 
-        old = self.read().join(affected_convs, "conv_id", "leftsemi")
+        # a touched conversation's history lives only in its bucket:
+        # read just the affected buckets (O(batch + touched convs)),
+        # never the whole history
+        affected = sorted(
+            r[0]
+            for r in affected_convs.select(self._bucket_col().alias("b"))
+            .distinct()
+            .collect()
+        )
+        kept_paths = [
+            os.path.join(self.root, meta["bucket_dirs"][str(b)], f"{_BUCKET}={b}")
+            for b in affected
+            if str(b) in meta["bucket_dirs"]
+        ]
+        kept_paths = [p for p in kept_paths if os.path.isdir(p)]
+        affected_hist = (
+            self.spark.read.parquet(*kept_paths).select(*_COLS)
+            if kept_paths
+            else self.spark.createDataFrame([], _SCHEMA)
+        )
+        old = affected_hist.join(affected_convs, "conv_id", "leftsemi")
         closed_old = old.where(~F.col("is_current"))
         open_old = (
             old.where(F.col("is_current"))
@@ -198,32 +230,21 @@ class Scd2History:
             inner.select(*_COLS)
         )
 
-        affected = sorted(
-            r[0]
-            for r in affected_convs.select(self._bucket_col().alias("b"))
-            .distinct()
-            .collect()
-        )
-        kept_paths = [
-            os.path.join(self.root, meta["bucket_dirs"][str(b)], f"{_BUCKET}={b}")
-            for b in affected
-            if str(b) in meta["bucket_dirs"]
-        ]
-        kept_paths = [p for p in kept_paths if os.path.isdir(p)]
         out = fresh
         if kept_paths:
-            kept = (
-                self.spark.read.parquet(*kept_paths)
-                .select(*_COLS)
-                .join(affected_convs, "conv_id", "left_anti")
-            )
+            kept = affected_hist.join(affected_convs, "conv_id", "left_anti")
             out = kept.unionByName(fresh)
 
         out_dir = f"data-e{epoch}"
         (
             out.withColumn(_BUCKET, self._bucket_col())
             .repartition(len(affected) or 1, F.col(_BUCKET))
-            .write.partitionBy(_BUCKET)
+            # overwrite: a crash AFTER this write but BEFORE the meta
+            # swap leaves an unreferenced dir of this exact name; the
+            # re-delivered epoch must overwrite it, not crash-loop on
+            # errorIfExists (nothing references a dir until the meta
+            # commit below)
+            .write.mode("overwrite").partitionBy(_BUCKET)
             .parquet(os.path.join(self.root, out_dir))
         )
         meta["bucket_dirs"].update({str(b): out_dir for b in affected})
@@ -244,36 +265,53 @@ class Scd2History:
         SCD2 twin of the log compactor's tombstone retention: bounded
         history instead of unbounded growth.  A full-bucket rewrite
         committed as a new generation under the same single-writer
-        contract; ``epoch`` must advance so re-delivered prunes no-op.
+        contract.
+
+        ``epoch`` guards PRUNE re-delivery only, against the prune's
+        OWN counter (``prune_epoch``): sharing the apply counter would
+        let a prune stamped with a large epoch silently no-op every
+        subsequent streaming apply (their batch ids would all compare
+        "re-delivered") and corrupt the history with a gap.
         """
         meta = self._meta()
-        if epoch <= int(meta["epoch"]):
+        if epoch <= int(meta.get("prune_epoch", -1)):
             return {"epoch": epoch, "mode": "skipped", "pruned": 0}
-        keep = self.read().where(
-            F.col("is_current") | (F.col("valid_to_lsn") > F.lit(int(lsn)))
-        )
-        n_before = self.read().count()
-        n_after = keep.count()
+        full = self.read()
+        keep_pred = F.col("is_current") | (F.col("valid_to_lsn") > F.lit(int(lsn)))
+        # one scan for both counts; the write below re-reads the kept
+        # slice (2 history reads total, down from 3 + a re-evaluation)
+        counts = full.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(keep_pred.cast("long")).alias("k"),
+        ).collect()[0]
+        n_before = int(counts["n"] or 0)
+        n_after = int(counts["k"] or 0)
         n_buckets = int(meta["num_buckets"])
-        out_dir = f"data-e{epoch}"
+        out_dir = f"prune-e{epoch}"  # own namespace: never collides with apply's data-e*
         (
-            keep.withColumn(_BUCKET, self._bucket_col())
+            full.where(keep_pred)
+            .withColumn(_BUCKET, self._bucket_col())
             .repartition(n_buckets, F.col(_BUCKET))
-            .write.partitionBy(_BUCKET)
+            # overwrite crash debris (see apply)
+            .write.mode("overwrite").partitionBy(_BUCKET)
             .parquet(os.path.join(self.root, out_dir))
         )
         meta["bucket_dirs"] = {str(b): out_dir for b in range(n_buckets)}
-        meta["epoch"] = int(epoch)
+        meta["prune_epoch"] = int(epoch)
         self._write_meta(meta)
         return {"epoch": epoch, "mode": "pruned", "pruned": n_before - n_after}
 
     def expire(self) -> list[str]:
-        """Remove data-e* dirs no bucket references anymore."""
+        """Remove data-e*/prune-e* generation dirs no bucket references
+        anymore."""
         meta = self._meta()
         live = set(meta["bucket_dirs"].values())
         removed = []
         for d in os.listdir(self.root):
-            if d.startswith("data-e") and d not in live:
+            if (
+                (d.startswith("data-e") or d.startswith("prune-e"))
+                and d not in live
+            ):
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
                 removed.append(d)
         return removed

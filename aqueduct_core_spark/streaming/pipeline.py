@@ -42,7 +42,7 @@ def _lsn_file_index(changes: DataFrame) -> list[tuple[str, int, int, int | None,
     """Driver-side ``(path, min_lsn, max_lsn, rows, bytes)`` per input
     file, from parquet footer statistics — the manifest a lake table
     would hand us for free.  ``rows``/``bytes`` (footer-exact row count
-    and compressed byte size) feed manifest-based trigger planning
+    and compressed on-disk byte size) feed manifest-based trigger planning
     (:func:`aqueduct_core_spark.operators.batching.plan_triggers_from_files`);
     they are None when the footer lacks lsn stats (pruning disabled for
     that file, budgeting disabled for the index).
@@ -71,9 +71,13 @@ def _lsn_file_index(changes: DataFrame) -> list[tuple[str, int, int, int | None,
             nbytes = 0
             for g in range(md.num_row_groups):
                 rg = md.row_group(g)
-                nbytes += rg.total_byte_size
                 for i in range(md.num_columns):
                     c = rg.column(i)
+                    # COMPRESSED chunk size: the byte-budget semantics
+                    # are storage/wire bytes (batching.py) — row-group
+                    # total_byte_size is the UNcompressed size and would
+                    # cut triggers 3-5× too small on zstd/snappy logs
+                    nbytes += c.total_compressed_size
                     if c.path_in_schema == "lsn" and c.statistics is not None \
                             and c.statistics.has_min_max:
                         lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
@@ -92,7 +96,7 @@ def _epoch_batch(
     changes: DataFrame,
     start_lsn: int,
     end_lsn: int,
-    file_index: list[tuple[str, int, int]] | None,
+    file_index: list[tuple[str, int, int, int | None, int | None]] | None,
 ) -> DataFrame:
     """Plan-stable epoch slice: ``lsn BETWEEN lo AND hi`` expressed as a
     broadcast join against a 1-row bounds relation instead of literal
@@ -615,15 +619,24 @@ def dedup_redeliveries(stream: DataFrame, within: str) -> DataFrame:
     ``dropDuplicatesWithinWatermark`` — state for an lsn is evicted
     once the watermark passes its event time + ``within``, so state
     size is bounded by the re-delivery horizon, not the stream length.
-    Conversation-level events with NULL ``ts`` use the trigger time as
-    their event time (the reference stamps these with the server clock
-    anyway, SQLiteQueries.java:52)."""
-    return (
-        stream.withColumn("_evt", F.coalesce(F.col("ts"), F.current_timestamp()))
+    NULL-``ts`` rows (conversation-level tombstones) BYPASS the
+    stateful dedup and pass straight through: coalescing them to the
+    trigger wall-clock — the obvious move — would jump the stream
+    watermark to ``now − within`` during a historical catch-up, after
+    which every genuinely-old event is dropped as late (silent data
+    loss, the opposite of an optimization).  The merge is idempotent
+    against the rare re-delivered tombstone anyway, so passing them
+    through costs only their merge work; the watermark is driven purely
+    by real event times, safe for any log whose ``ts`` is monotone-ish
+    with lsn (the engine's documented ordering contract)."""
+    timed = (
+        stream.where(F.col("ts").isNotNull())
+        .withColumn("_evt", F.col("ts"))
         .withWatermark("_evt", within)
         .dropDuplicatesWithinWatermark(["lsn"])
         .drop("_evt")
     )
+    return timed.unionByName(stream.where(F.col("ts").isNull()))
 
 
 def start_stream(
@@ -679,18 +692,19 @@ def start_stream(
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = parse_envelopes(reader.text(changes_dir))
         if dedup_within:
-            # dead letters carry NULL lsn; key them by the raw line so
-            # re-delivered corrupt lines dedup too instead of colliding
-            # on a shared NULL
-            stream = (
-                stream.withColumn(
-                    "_dk", F.coalesce(F.col("lsn").cast("string"), F.col("_raw"))
-                )
-                .withColumn("_evt", F.coalesce(F.col("ts"), F.current_timestamp()))
+            # NULL-ts rows (dead letters, conv tombstones) bypass the
+            # stateful dedup — see dedup_redeliveries for why coalescing
+            # them to wall-clock would poison the watermark during a
+            # catch-up (the quarantine reader dedupes re-delivered dead
+            # letters on (epoch, raw) anyway)
+            timed = (
+                stream.where(F.col("ts").isNotNull())
+                .withColumn("_evt", F.col("ts"))
                 .withWatermark("_evt", dedup_within)
-                .dropDuplicatesWithinWatermark(["_dk"])
-                .drop("_dk", "_evt")
+                .dropDuplicatesWithinWatermark(["lsn"])
+                .drop("_evt")
             )
+            stream = timed.unionByName(stream.where(F.col("ts").isNull()))
 
         inner = _foreach_batch_fn(table, cfg, record_metrics, rollup=rollup,
                                   audits=audits, maintainers=maintainers,

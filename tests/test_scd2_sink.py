@@ -174,3 +174,51 @@ def test_prune_closed_before_keeps_reconstructible_state(spark, log, tmp_path):
     ).count()
     # re-delivered prune no-ops; ingest continues at the next epoch
     assert h.prune_closed_before(cut, epoch=2)["mode"] == "skipped"
+
+
+def test_apply_overwrites_crash_debris(spark, log, tmp_path):
+    """A crash between the data write and the meta swap leaves an
+    unreferenced data-e{epoch} dir; the re-delivered epoch must
+    overwrite it, not crash-loop on errorIfExists."""
+    import os
+
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=4)
+    # simulate the torn write of epoch 0
+    debris = tmp_path / "h" / "data-e0"
+    (debris / "_BUCKET=0").mkdir(parents=True)
+    (debris / "_BUCKET=0" / "junk.parquet").write_bytes(b"torn")
+
+    m = h.apply(log.where(F.col("lsn") <= mx // 2), epoch=0)
+    assert m["mode"] == "applied"
+    _assert_same(
+        h.read(), scd2_history(log.where(F.col("lsn") <= mx // 2))
+    )
+
+
+def test_prune_epoch_counter_is_independent_of_apply(spark, log, tmp_path):
+    """A prune stamped with a huge epoch must NOT make subsequent
+    streaming applies look re-delivered: the prune guard has its own
+    counter, and history after prune + later applies still matches the
+    batch operator on the surviving intervals."""
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    half = mx // 2
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=4)
+    h.apply(log.where(F.col("lsn") <= half), epoch=0)
+
+    pm = h.prune_closed_before(0, epoch=10_000)  # drops nothing (lsn 0)
+    assert pm["mode"] == "pruned" and pm["pruned"] == 0
+    # re-delivered prune no-ops
+    assert h.prune_closed_before(0, epoch=10_000)["mode"] == "skipped"
+
+    # the NEXT streaming batch id (1) must still apply
+    m = h.apply(log.where(F.col("lsn") > half), epoch=1)
+    assert m["mode"] == "applied"
+    _assert_same(h.read(), scd2_history(log))
+    assert h.last_lsn() == mx
+    # generations from both namespaces expire once unreferenced
+    h.prune_closed_before(0, epoch=10_001)
+    gone = h.expire()
+    assert any(d.startswith("data-e") for d in gone)
+    assert any(d.startswith("prune-e") for d in gone)
+    _assert_same(h.read(), scd2_history(log))

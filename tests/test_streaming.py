@@ -394,3 +394,55 @@ def test_full_topology_every_hook_at_once(spark, tmp_path):
     assert rollup.last_table_version() == r0
     assert hist.read().count() == h0 and hist.last_lsn() == mx
     assert cur.version == c0
+
+
+def test_dedup_null_ts_does_not_poison_watermark(spark, tmp_path):
+    """Catch-up safety: a NULL-ts conversation tombstone in an early
+    trigger must NOT drag the stream watermark to wall-clock — the old
+    coalesce(ts, now()) formulation then silently dropped every
+    subsequent historical-ts event as late.  NULL-ts rows bypass the
+    stateful dedup; timed rows in later triggers survive."""
+    import time
+
+    import pandas as pd
+
+    from aqueduct_core_spark.schema import CHANGES_SCHEMA
+    from aqueduct_core_spark.streaming.pipeline import dedup_redeliveries
+
+    def row(lsn, conv, turn, op, ts):
+        return dict(lsn=lsn, op=op, conv_id=conv, turn_idx=turn,
+                    role="user", text=f"t{lsn}", tool=None,
+                    ts=pd.Timestamp(ts) if ts else None,
+                    event_size=100, cluster_id=0, location_group=None)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # trigger 1: two 2024-era turns + a NULL-ts conv tombstone
+    f0 = [row(1, "c0", 0, "I", "2024-01-01 10:00:00"),
+          row(2, "c0", 1, "I", "2024-01-01 10:01:00"),
+          row(3, "c9", None, "D", None)]
+    # trigger 2: MORE 2024-era turns (historical catch-up continues)
+    f1 = [row(4, "c1", 0, "I", "2024-01-01 10:02:00"),
+          row(5, "c1", 1, "I", "2024-01-01 10:03:00")]
+    for i, rows in enumerate([f0, f1]):
+        spark.createDataFrame(pd.DataFrame(rows), CHANGES_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes → deterministic trigger order
+
+    stream = (
+        spark.readStream.schema(CHANGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_redeliveries(stream, "10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_wm_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["lsn"] for r in spark.sql("SELECT lsn FROM dedup_wm_sink").collect()}
+    assert got == {1, 2, 3, 4, 5}  # nothing dropped, tombstone included
