@@ -176,7 +176,12 @@ class ConvRollup:
         (
             out.withColumn(_BUCKET, self._bucket_col())
             .repartition(len(affected) or 1, F.col(_BUCKET))
-            .write.partitionBy(_BUCKET)
+            # overwrite: a crash between this write and the meta swap
+            # leaves an unreferenced dir of this exact name — the
+            # re-delivered refresh must overwrite it, not crash-loop on
+            # errorIfExists (nothing references a dir until the meta
+            # commit below)
+            .write.mode("overwrite").partitionBy(_BUCKET)
             .parquet(os.path.join(self.root, out_dir))
         )
         meta["bucket_dirs"].update({str(b): out_dir for b in affected})
