@@ -32,9 +32,26 @@ from aqueduct_core_spark.operators.merge import apply_batch
 from aqueduct_core_spark.schema import CHANGES_SCHEMA
 
 
+class IncompleteBootstrap(RuntimeError):
+    """The table is mid-way through a chunked snapshot bootstrap
+    (:func:`bootstrap_chunked`): its lsn watermark only covers the
+    chunks committed so far, so tailing the log from it would skip
+    events for every conversation in the chunks not yet applied.
+    Finish (or restart) the bootstrap before tailing."""
+
+
 def resume_lsn(table: ParquetTranscriptTable) -> int:
     """Start-inclusive resume: next read begins at last_lsn + 1
-    (offset-inclusive semantics proven by StorageSpec.groovy:107-123)."""
+    (offset-inclusive semantics proven by StorageSpec.groovy:107-123).
+    Fails loud while a chunked bootstrap is incomplete — the watermark
+    is not yet authoritative for the whole key space."""
+    if bootstrap_incomplete(table):
+        s = table.catalog.current()["summary"]
+        raise IncompleteBootstrap(
+            f"chunked bootstrap incomplete: next chunk "
+            f"{s.get(_BOOT_NEXT_KEY)} of {s.get(_BOOT_CHUNKS_KEY)} — "
+            "run bootstrap_chunked(...) to completion before tailing"
+        )
     return table.last_committed_lsn() + 1
 
 
@@ -904,11 +921,24 @@ def bootstrap_from_state(
     X - δ" converges to the same state as a full replay — no
     coordination between the snapshotter and the log reader needed.
     """
+    cfg = cfg or EngineConfig()
+    as_events = _state_as_events(state)
+    if as_of_lsn is None:
+        as_of_lsn = _state_max_lsn(as_events)
+    from aqueduct_core_spark.operators.merge import apply_batch
+
+    m = apply_batch(table, as_events, epoch=0, cfg=cfg, batch_max_lsn=as_of_lsn)
+    m["bootstrap_as_of_lsn"] = int(as_of_lsn)
+    return m
+
+
+def _state_as_events(state: DataFrame) -> DataFrame:
+    """State-snapshot rows (``read_internal`` shape, ``_lsn`` or ``lsn``)
+    as ``'I'`` change events at their original lsn."""
     from aqueduct_core_spark.schema import CHANGES_SCHEMA, LSN_COLUMN
 
-    cfg = cfg or EngineConfig()
     lsn_col = LSN_COLUMN if LSN_COLUMN in state.columns else "lsn"
-    as_events = state.select(
+    return state.select(
         F.col(lsn_col).cast("long").alias("lsn"),
         F.lit("I").alias("op"),
         *[
@@ -919,11 +949,126 @@ def bootstrap_from_state(
             if f.name not in ("lsn", "op")
         ],
     )
-    if as_of_lsn is None:
-        row = as_events.agg(F.max("lsn").alias("m")).collect()[0]
-        as_of_lsn = int(row["m"]) if row["m"] is not None else -1
+
+
+def _state_max_lsn(as_events: DataFrame) -> int:
+    row = as_events.agg(F.max("lsn").alias("m")).collect()[0]
+    return int(row["m"]) if row["m"] is not None else -1
+
+
+# chunked-bootstrap progress keys: committed atomically with each
+# chunk's epoch, so a crash anywhere leaves an exact resume point
+_BOOT_CHUNKS_KEY = "aqueduct.bootstrap-chunks"
+_BOOT_NEXT_KEY = "aqueduct.bootstrap-next-chunk"
+_BOOT_AS_OF_KEY = "aqueduct.bootstrap-as-of-lsn"
+
+
+def bootstrap_incomplete(table: ParquetTranscriptTable) -> bool:
+    """True while a :func:`bootstrap_chunked` run has committed some but
+    not all of its chunks (manifest-only check, zero Spark jobs)."""
+    s = table.catalog.current()["summary"]
+    n = int(s.get(_BOOT_CHUNKS_KEY, -1))
+    nxt = int(s.get(_BOOT_NEXT_KEY, -1))
+    return n > 0 and 0 <= nxt < n
+
+
+def bootstrap_chunked(
+    table: ParquetTranscriptTable,
+    state: DataFrame,
+    cfg: EngineConfig | None = None,
+    n_chunks: int = 8,
+    as_of_lsn: int | None = None,
+    max_chunks: int | None = None,
+) -> dict:
+    """Resumable CHUNKED snapshot bootstrap — the DBLog / Debezium
+    incremental-snapshot shape (Andreakis & Papapanagiotou, "DBLog: A
+    Watermark Based Change-Data-Capture Framework", 2019): the initial
+    load is split into deterministic key-hash chunks, each applied and
+    committed as its own epoch, so a crash loses at most one chunk of
+    work and a multi-day 100 TB initial load survives restarts.  The
+    one-shot :func:`bootstrap_from_state` is the n_chunks=1 projection.
+
+    Each chunk's commit atomically records the NEXT chunk index
+    (``aqueduct.bootstrap-next-chunk``), the pinned chunk count and the
+    pinned ``as_of_lsn`` — calling this again on a half-bootstrapped
+    table resumes exactly where the last commit left off (pass the SAME
+    consistent snapshot; chunk membership is ``pmod(hash(conv_id),
+    n_chunks)``, content-deterministic across sessions).  A mismatched
+    ``n_chunks`` on resume fails loud.  While incomplete,
+    :func:`resume_lsn` raises :class:`IncompleteBootstrap` — the lsn
+    watermark covers only the applied chunks' rows, not the key space —
+    and the log tail may instead be interleaved BETWEEN chunk calls
+    with explicit ``replay(..., start_lsn=, end_lsn=)`` slices (DBLog's
+    snapshot/log interleaving): LWW-by-lsn makes application order
+    irrelevant, and tail contiguity from ≤ as_of+1 re-delivers any
+    tombstone whose victims the snapshot already excluded.  The final
+    chunk stamps the watermark at ``as_of_lsn`` exactly, so the
+    subsequent tail starts at ``as_of_lsn + 1`` like the one-shot path.
+
+    ``max_chunks`` bounds how many chunks THIS call applies (the
+    interleaving / pacing hook); default: run to completion.  Empty
+    chunks still commit (progress must advance through them).  Returns
+    ``{chunks_applied, next_chunk, complete, as_of_lsn, metrics}``.
+    """
     from aqueduct_core_spark.operators.merge import apply_batch
 
-    m = apply_batch(table, as_events, epoch=0, cfg=cfg, batch_max_lsn=as_of_lsn)
-    m["bootstrap_as_of_lsn"] = int(as_of_lsn)
-    return m
+    cfg = cfg or EngineConfig()
+    if n_chunks < 1:
+        raise ValueError("n_chunks must be >= 1")
+    s = table.catalog.current()["summary"]
+    committed_n = int(s.get(_BOOT_CHUNKS_KEY, -1))
+    as_events = _state_as_events(state)
+    if committed_n > 0:
+        nxt = int(s.get(_BOOT_NEXT_KEY, -1))
+        if not (0 <= nxt < committed_n):
+            return {
+                "chunks_applied": 0,
+                "next_chunk": committed_n,
+                "complete": True,
+                "as_of_lsn": int(s.get(_BOOT_AS_OF_KEY, -1)),
+                "metrics": [],
+            }
+        if int(n_chunks) != committed_n:
+            raise ValueError(
+                f"bootstrap was started with n_chunks={committed_n}; "
+                f"resume asked for {n_chunks} — chunk membership would "
+                "shift and rows would be skipped or doubled"
+            )
+        as_of = int(s[_BOOT_AS_OF_KEY])
+        next_chunk = nxt
+    else:
+        as_of = _state_max_lsn(as_events) if as_of_lsn is None else int(as_of_lsn)
+        next_chunk = 0
+
+    chunk_col = F.pmod(F.hash(F.col("conv_id")), F.lit(int(n_chunks)))
+    end = n_chunks if max_chunks is None else min(n_chunks, next_chunk + int(max_chunks))
+    metrics = []
+    for i in range(next_chunk, end):
+        last = i == n_chunks - 1
+        # intermediate hint = current watermark: forces a commit even
+        # for an empty chunk (progress key must advance) without
+        # claiming log coverage the bootstrap doesn't have yet; the
+        # LAST chunk stamps the snapshot's as_of exactly
+        hint = as_of if last else table.last_committed_lsn()
+        m = apply_batch(
+            table,
+            as_events.where(chunk_col == F.lit(i)),
+            epoch=table.last_committed_epoch() + 1,
+            cfg=cfg,
+            batch_max_lsn=hint,
+            extra_summary={
+                _BOOT_CHUNKS_KEY: int(n_chunks),
+                _BOOT_NEXT_KEY: int(i + 1),
+                _BOOT_AS_OF_KEY: int(as_of),
+            },
+        )
+        m["bootstrap_chunk"] = i
+        metrics.append(m)
+    done = end >= n_chunks
+    return {
+        "chunks_applied": end - next_chunk,
+        "next_chunk": end,
+        "complete": done,
+        "as_of_lsn": int(as_of),
+        "metrics": metrics,
+    }
