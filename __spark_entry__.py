@@ -100,6 +100,8 @@ doc_stratified_sample       per-language sampling rates, one projection
 doc_top_bigrams             corpus top-k n-gram heavy hitters
 doc_ngram_jaccard           exact n-gram Jaccard near-dup (inverted
                             shingle index, df-capped blocking)
+doc_span_dedup              span-level exact-substring dedup (Lee et al.
+                            ExactSubstr as k-gram windows + islands)
 doc_index_dedup             incremental admission-control dedup: a
                             persisted LSH signature index over history,
                             incoming batch checked + Jaccard-verified
@@ -1011,6 +1013,18 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. 2021 ExactSubstr,
+    k-gram form): per-doc maximal duplicate token intervals — repeated
+    passages doc-level dedup can't see.  md5-60 variant for the oracle;
+    xxhash64 is the production default (equivalence pytest-pinned)."""
+    from aqueduct_core_spark.functions.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _docs(spark, sf_dir), k=8, hash_method="md5"
+    ).select("doc_id", "n_spans", "dup_tokens")
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: training docs (doc_id % 20 != 0)
     sharing any distinct 5-word shingle with the benchmark slice
@@ -1518,6 +1532,53 @@ ver AS (
   JOIN sh sb ON sb.id = c.id_b
 )
 SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
+"""
+
+
+def _span_dedup_oracle(k: int = 8) -> str:
+    """Mirror of dedup.duplicate_spans: positional k-gram md5-60
+    hashes, first-(doc_id,pos) occurrence is canonical, later
+    occurrences merge into maximal spans via gaps-and-islands.  DuckDB
+    list slicing is 1-based inclusive, hence ``t[i : i+k-1]``; the
+    lag-NULL first row yields CASE 0 exactly like Spark's
+    when().otherwise(0)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+gl AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {k} + 1),
+           i -> struct_pack(pos := i - 1,
+                h := {_dh(f"array_to_string(list_slice(t, i, i + {k} - 1), ' ')")})))
+           AS u
+  FROM toks WHERE len(t) >= {k}
+),
+grams AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM gl),
+marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+flags AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {k - 1}
+         THEN 1 ELSE 0 END AS nf
+  FROM marked WHERE rn > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flags
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {k} AS e
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id, count(*) AS n_spans, sum(e - s)::BIGINT AS dup_tokens
+FROM spans GROUP BY doc_id
 """
 
 
@@ -2102,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_join": _q_knn_join,
         "doc_minhash_pairs": _q_minhash_pairs,
         "doc_ngram_jaccard": _q_ngram_jaccard,
+        "doc_span_dedup": _q_span_dedup,
         "doc_index_dedup": _q_index_dedup,
         "doc_decontaminate": _q_decontaminate,
         "doc_corpus_recipe": _q_corpus_recipe,
@@ -2806,6 +2868,7 @@ FROM t
         "emb_knn_join": knn_join,
         "doc_minhash_pairs": _minhash_oracle(),
         "doc_ngram_jaccard": _ngram_jaccard_oracle(),
+        "doc_span_dedup": _span_dedup_oracle(),
         "doc_index_dedup": _index_dedup_oracle(),
         "doc_decontaminate": _decontaminate_oracle(),
         "doc_corpus_recipe": _corpus_recipe_oracle(),

@@ -317,6 +317,158 @@ def ngram_jaccard_dedup(
     return ngram_jaccard(df, pairs, text_col, id_col, shingle_k, threshold)
 
 
+# ---------------------------------------------------------------------------
+# span-level exact-substring dedup (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr
+# operator, expressed as a k-gram pipeline instead of a suffix array)
+# ---------------------------------------------------------------------------
+
+def _norm_tokens(col: Column) -> Column:
+    """Whitespace-normalized lowercase token array — the shared
+    tokenization of the shingle family (:func:`word_shingles`)."""
+    return F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_method: str = "xxhash64",
+    max_occ: int | None = None,
+) -> DataFrame:
+    """Span-level exact-duplicate detection: token intervals of each
+    document whose every k-token window also occurs EARLIER in the
+    corpus (earlier = smaller ``(doc_id, pos)``), i.e. the repeated
+    passages ExactSubstr dedup removes while keeping one canonical
+    copy.  Doc-level dedup (minhash/simhash/Jaccard) misses these:
+    two long documents sharing one boilerplate paragraph are nowhere
+    near Jaccard-similar, yet the paragraph is verbatim training-data
+    repetition.
+
+    Mechanism (suffix-array-free, all JVM expressions):
+
+    1. every position's k-token window hashes once
+       (``posexplode`` + one string hash — n rows per n-token doc,
+       same fan-out as the minhash explode);
+    2. ONE window over the hash (``row_number`` by ``(doc_id, pos)``)
+       marks every occurrence after the first — the canonical copy is
+       the smallest ``(doc_id, pos)``, deterministic under replay;
+    3. gaps-and-islands over each document's duplicate positions
+       merges overlapping k-windows into maximal spans
+       (``pos > lag(pos) + k - 1`` starts a new island).
+
+    A span ``[s, e)`` is token-index based over the normalized
+    tokenization; ``dup_tokens`` is the exact token count the spans
+    cover.  Docs shorter than ``k`` tokens have no windows and never
+    appear.  ``max_occ`` drops hashes occurring more than that many
+    times — the skew valve for degenerate boilerplate (a gram in 10⁶
+    docs lands its whole occurrence list in one window partition; the
+    cap bounds it, mirroring ``ngram_jaccard_dedup``'s df cap).
+    ``hash_method="md5"`` is the oracle-expressible variant
+    (:func:`hash64`); xxhash64 is the production default.
+
+    Returns one row per document that HAS duplicate spans:
+    ``(id_col, spans: array<struct<s:int, e:int>>, n_spans,
+    dup_tokens)``.
+    """
+    from pyspark.sql import Window
+
+    toks = _norm_tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = (
+        df.where(n >= k)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("_id", "pos", hash64(F.col("gram"), method=hash_method).alias("h"))
+    )
+    wh = Window.partitionBy("h").orderBy("_id", "pos")
+    occ = Window.partitionBy("h")
+    marked = grams.select(
+        "_id",
+        "pos",
+        F.row_number().over(wh).alias("_rn"),
+        F.count(F.lit(1)).over(occ).alias("_occ"),
+    ).where(F.col("_rn") > 1)
+    if max_occ is not None:
+        marked = marked.where(F.col("_occ") <= max_occ)
+
+    wd = Window.partitionBy("_id").orderBy("pos")
+    islands = (
+        marked.withColumn(
+            "_new",
+            F.when(
+                F.col("pos") > F.lag("pos").over(wd) + (k - 1), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_island", F.sum("_new").over(wd))
+        .groupBy("_id", "_island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k).alias("e"))
+    )
+    return (
+        islands.groupBy("_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct(F.col("s"), F.col("e")))).alias("spans"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame | None = None,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_method: str = "xxhash64",
+    max_occ: int | None = None,
+) -> DataFrame:
+    """Remove each document's duplicate spans (keeping the corpus'
+    canonical copy untouched): tokens covered by any
+    :func:`duplicate_spans` interval are dropped and the remainder
+    re-joined.  ``spans`` defaults to computing them from ``df``; pass
+    a precomputed frame to reuse one detection across consumers.
+    Output: input columns with ``text_col`` replaced by the cleaned
+    text (normalized tokenization — the same canonical form every
+    downstream dedup/quality op consumes) plus ``dup_tokens``.
+    """
+    if spans is None:
+        spans = duplicate_spans(df, k, text_col, id_col, hash_method, max_occ)
+    toks = _norm_tokens(F.col(text_col))
+    joined = df.join(
+        spans.select(
+            F.col(id_col), F.col("spans").alias("_spans"), F.col("dup_tokens")
+        ),
+        id_col,
+        "left",
+    )
+    sp = F.coalesce(F.col("_spans"), F.array().cast("array<struct<s:int,e:int>>"))
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda x: ~F.exists(
+            sp, lambda s: (x["i"] >= s["s"]) & (x["i"] < s["e"])
+        ),
+    )
+    return joined.select(
+        *[
+            F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias(c)
+            if c == text_col
+            else F.col(c)
+            for c in df.columns
+        ],
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+    )
+
+
 def spread_small_input(df: DataFrame, min_partitions: int | None) -> DataFrame:
     """Round-robin the input across ``min_partitions`` when its scan has
     fewer splits — the map side of shingle/hash pipelines is the

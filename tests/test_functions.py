@@ -750,3 +750,78 @@ def test_dedup_keep_best(spark):
     # equal-quality twins: smallest id kept
     assert all(out[i]["keep_id"] == 3 for i in (3, 4))
     assert out[3]["keep"] and not out[4]["keep"]
+
+
+def test_duplicate_spans_cross_doc_and_strip(spark):
+    """Span-level exact-substring dedup: the shared paragraph is kept
+    at its first-(doc_id,pos) occurrence and removed everywhere else;
+    merged intervals are maximal; non-dup docs pass through clean."""
+    from aqueduct_core_spark.functions.dedup import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    para = "the quick brown fox jumps over the lazy dog again and again tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {para} delta epsilon zeta eta theta iota"),
+            (2, f"one two three four five six {para} seven eight nine ten"),
+            (3, "totally unique content with no repeats whatsoever in this doc"),
+            (4, f"{para} first copy then filler words and then {para} once more"),
+        ],
+        ["doc_id", "text"],
+    )
+    for method in ("xxhash64", "md5"):
+        sp = {
+            r["doc_id"]: r
+            for r in duplicate_spans(docs, k=5, hash_method=method).collect()
+        }
+        # doc 1 owns the canonical copy (smallest (doc_id, pos)) — clean
+        assert set(sp) == {2, 4}
+        # para = 13 tokens at positions 6..18 of doc 2
+        assert [(s["s"], s["e"]) for s in sp[2]["spans"]] == [(6, 19)]
+        assert sp[2]["dup_tokens"] == 13
+        # doc 4: BOTH copies are duplicates of doc 1's canonical
+        assert sp[4]["n_spans"] == 2 and sp[4]["dup_tokens"] == 26
+
+    out = {
+        r["doc_id"]: r
+        for r in strip_duplicate_spans(docs, k=5).collect()
+    }
+    assert out[1]["text"].count("quick brown fox") == 1  # canonical kept
+    assert "quick" not in out[2]["text"]
+    assert out[2]["text"].startswith("one two three four five six seven")
+    assert out[3]["dup_tokens"] == 0 and "unique" in out[3]["text"]
+    assert out[4]["text"] == "first copy then filler words and then once more"
+
+
+def test_duplicate_spans_within_doc_keeps_first(spark):
+    """A within-doc repeat keeps the FIRST occurrence as canonical."""
+    from aqueduct_core_spark.functions.dedup import duplicate_spans
+
+    rep = "lorem ipsum dolor sit amet consectetur"
+    docs = spark.createDataFrame(
+        [(7, f"{rep} middle filler words go here {rep}")], ["doc_id", "text"]
+    )
+    sp = duplicate_spans(docs, k=6).collect()
+    assert len(sp) == 1
+    # second copy starts at token 11 (6 rep + 5 filler), 6 tokens long
+    assert [(s["s"], s["e"]) for s in sp[0]["spans"]] == [(11, 17)]
+
+
+def test_duplicate_spans_max_occ_skew_valve(spark):
+    """Degenerate boilerplate occurring everywhere is excluded by the
+    occurrence cap (the window-skew valve), while rare dups survive."""
+    from aqueduct_core_spark.functions.dedup import duplicate_spans
+
+    boiler = "all rights reserved by the site owner"
+    rare = "genuinely rare duplicated sentence appears twice only"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} tail{i}") for i in range(10)]
+        + [(100, f"{rare} uniqueA tailA"), (101, f"{rare} uniqueB tailB")],
+        ["doc_id", "text"],
+    )
+    capped = duplicate_spans(docs, k=7, max_occ=5).collect()
+    assert {r["doc_id"] for r in capped} == {101}
+    uncapped = duplicate_spans(docs, k=7).collect()
+    assert {r["doc_id"] for r in uncapped} == set(range(1, 10)) | {101}
