@@ -45,6 +45,7 @@ HEADLINE = [
     "doc_minhash_pairs",
     "doc_simhash_candidates",
     "doc_decontaminate",
+    "doc_span_dedup",
     "emb_cosine_topk",
     "emb_knn_join",
     "emb_sketch_topk",
