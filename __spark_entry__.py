@@ -1021,7 +1021,8 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.functions.dedup import duplicate_spans
 
     return duplicate_spans(
-        _docs(spark, sf_dir), k=8, hash_method="md5"
+        _docs(spark, sf_dir), k=8, hash_method="md5",
+        min_input_partitions=spark.sparkContext.defaultParallelism,
     ).select("doc_id", "n_spans", "dup_tokens")
 
 

@@ -336,6 +336,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     hash_method: str = "xxhash64",
     max_occ: int | None = None,
+    min_input_partitions: int | None = None,
 ) -> DataFrame:
     """Span-level exact-duplicate detection: token intervals of each
     document whose every k-token window also occurs EARLIER in the
@@ -374,6 +375,7 @@ def duplicate_spans(
     """
     from pyspark.sql import Window
 
+    df = spread_small_input(df, min_input_partitions)
     toks = _norm_tokens(F.col(text_col))
     n = F.size(toks)
     grams = (
