@@ -92,6 +92,12 @@ cdc_state_at_lsn            log time travel: point-in-time state at any
                             lsn from SCD2 validity intervals
 cdc_conv_text               transcript assembly: merged state rendered as
                             ordered role/text lines per conversation
+conv_sft_examples           SFT (context, target) extraction: each
+                            target-role turn paired with its rendered
+                            transcript prefix (one window shuffle)
+cdc_preference_pairs        (rejected, chosen) preference pairs mined
+                            from the CDC update history — superseded
+                            versions of a current key vs its final text
 cdc_replica_diff            anti-entropy key diff: primary vs a replica
                             with lost + bit-rotted events (hash compare
                             engine-side, column compare oracle-side)
@@ -252,6 +258,26 @@ def _q_conv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.operators.rollup import conversation_text
 
     return conversation_text(_q_merged_state(spark, sf_dir))
+
+
+def _q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT (context, target) extraction over the merged state: every
+    'purchase'-role turn becomes a target with the rendered transcript
+    prefix as its context — one window shuffle, prefix rendered once."""
+    from aqueduct_core_spark.functions.examples import sft_examples
+
+    return sft_examples(
+        _q_merged_state(spark, sf_dir), target_role="purchase"
+    )
+
+
+def _q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rejected, chosen) preference pairs mined from the CDC update
+    history: superseded versions of a still-current key pair with its
+    final version — the dataset shape only the change log can produce."""
+    from aqueduct_core_spark.functions.examples import preference_pairs
+
+    return preference_pairs(load_changes(spark, sf_dir))
 
 
 def _q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2146,6 +2172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_demux_routes": _q_demux_routes,
         "cdc_state_at_lsn": _q_state_at_lsn,
         "cdc_conv_text": _q_conv_text,
+        "conv_sft_examples": _q_sft_examples,
+        "cdc_preference_pairs": _q_preference_pairs,
         "cdc_conv_near_dup": _q_conv_near_dup,
         "cdc_conv_quality": _q_conv_quality,
         "cdc_replica_diff": _q_replica_diff,
@@ -2669,6 +2697,64 @@ FROM turns t ASOF LEFT JOIN cd
 SELECT conv_id, CAST(count(*) AS INTEGER) AS n_turns,
        string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS conv_text
 FROM state GROUP BY conv_id
+"""
+        ),
+        "conv_sft_examples": oracle(
+            _STATE_BODY
+            + """,
+ctx AS (
+  SELECT conv_id, turn_idx, role, text,
+         count(*) OVER win AS n_context_turns,
+         string_agg(role || ': ' || text, chr(10)) OVER win AS context
+  FROM state
+  WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id, turn_idx, n_context_turns, context, text AS target
+FROM ctx WHERE role = 'purchase' AND n_context_turns >= 1
+"""
+        ),
+        "cdc_preference_pairs": oracle(
+            """
+turns AS (SELECT * FROM changes WHERE turn_idx IS NOT NULL),
+seq AS (
+  SELECT conv_id, turn_idx, lsn, op, role, text,
+         lead(lsn) OVER w AS turn_to, lead(op) OVER w AS next_op
+  FROM turns WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY lsn)
+),
+vers AS (SELECT * FROM seq WHERE op IN ('I','U')),
+tomb AS (SELECT conv_id, lsn FROM changes WHERE turn_idx IS NULL AND op = 'D'),
+cc AS (
+  SELECT v.conv_id, v.turn_idx, v.lsn, min(t.lsn) AS conv_close
+  FROM vers v LEFT JOIN tomb t ON v.conv_id = t.conv_id AND t.lsn >= v.lsn
+  GROUP BY 1, 2, 3
+),
+hist AS (
+  SELECT v.conv_id, v.turn_idx, v.lsn AS valid_from_lsn,
+         CASE WHEN cc.conv_close IS NOT NULL
+                   AND (v.turn_to IS NULL OR cc.conv_close < v.turn_to)
+              THEN 'conv_delete'
+              WHEN v.next_op = 'D' THEN 'delete'
+              WHEN v.turn_to IS NOT NULL THEN 'update' END AS end_reason,
+         least(v.turn_to, cc.conv_close) IS NULL AS is_current,
+         v.role, v.text
+  FROM vers v JOIN cc USING (conv_id, turn_idx, lsn)
+),
+r AS (
+  SELECT conv_id, turn_idx, valid_from_lsn, end_reason, role, text,
+         row_number() OVER w AS rn,
+         first_value(valid_from_lsn) OVER w AS chosen_lsn,
+         first_value(role) OVER w AS chosen_role,
+         first_value(text) OVER w AS chosen_text,
+         first_value(is_current) OVER w AS latest_current,
+         count(*) OVER (PARTITION BY conv_id, turn_idx) AS n_versions
+  FROM hist
+  WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY valid_from_lsn DESC)
+)
+SELECT conv_id, turn_idx, valid_from_lsn AS rejected_lsn,
+       role AS rejected_role, text AS rejected_text,
+       chosen_lsn, chosen_role, chosen_text, n_versions
+FROM r WHERE rn > 1 AND latest_current AND end_reason = 'update'
 """
         ),
         "cdc_conv_near_dup": _conv_near_dup_oracle(),

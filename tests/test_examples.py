@@ -1,0 +1,127 @@
+"""Training-example extraction: SFT (context, target) pairs from the
+merged state and (rejected, chosen) preference pairs from the CDC
+update history (functions/examples.py)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from aqueduct_core_spark.functions.examples import preference_pairs, sft_examples
+
+TS = dt.datetime(2026, 1, 1, 10, 0)
+
+STATE_SCHEMA = "conv_id string, turn_idx int, role string, text string"
+LOG_SCHEMA = (
+    "lsn long, op string, conv_id string, turn_idx int, "
+    "role string, text string, tool string, ts timestamp"
+)
+
+
+# ---------------------------------------------------------------------------
+# sft_examples
+# ---------------------------------------------------------------------------
+
+def test_sft_examples_context_prefix(spark):
+    state = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hi"),
+            ("c1", 1, "assistant", "hello"),
+            ("c1", 2, "user", "how?"),
+            ("c1", 3, "assistant", "like this"),
+            ("c2", 0, "assistant", "orphan"),  # no context -> dropped
+        ],
+        STATE_SCHEMA,
+    )
+    got = {
+        (r.conv_id, r.turn_idx): (r.n_context_turns, r.context, r.target)
+        for r in sft_examples(state, target_role="assistant").collect()
+    }
+    assert got == {
+        ("c1", 1): (1, "user: hi", "hello"),
+        ("c1", 3): (3, "user: hi\nassistant: hello\nuser: how?", "like this"),
+    }
+
+
+def test_sft_examples_min_context_and_sep(spark):
+    state = spark.createDataFrame(
+        [("c1", 0, "user", "a"), ("c1", 1, "assistant", "b"),
+         ("c1", 2, "user", "c"), ("c1", 3, "assistant", "d")],
+        STATE_SCHEMA,
+    )
+    out = sft_examples(state, target_role="assistant", sep=" | ",
+                       min_context_turns=2).collect()
+    assert len(out) == 1
+    assert out[0].context == "user: a | assistant: b | user: c"
+    assert out[0].target == "d"
+
+
+def test_sft_examples_unordered_input_renders_in_turn_order(spark):
+    state = spark.createDataFrame(
+        [("c1", 2, "assistant", "late"), ("c1", 0, "user", "first"),
+         ("c1", 1, "user", "second")],
+        STATE_SCHEMA,
+    ).repartition(3)
+    out = sft_examples(state, target_role="assistant").collect()
+    assert out[0].context == "user: first\nuser: second"
+
+
+# ---------------------------------------------------------------------------
+# preference_pairs
+# ---------------------------------------------------------------------------
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, LOG_SCHEMA)
+
+
+def test_preference_pairs_superseded_versions(spark):
+    log = _log(spark, [
+        (1, "I", "c1", 0, "assistant", "v1", None, TS),
+        (2, "U", "c1", 0, "assistant", "v2", None, TS),
+        (3, "U", "c1", 0, "assistant", "v3", None, TS),
+        (4, "I", "c1", 1, "user", "only-version", None, TS),
+    ])
+    got = sorted(
+        (r.rejected_lsn, r.rejected_text, r.chosen_lsn, r.chosen_text, r.n_versions)
+        for r in preference_pairs(log).collect()
+    )
+    # both superseded versions pair with the FINAL text, not the next one
+    assert got == [(1, "v1", 3, "v3", 3), (2, "v2", 3, "v3", 3)]
+
+
+def test_preference_pairs_skip_deleted_keys(spark):
+    log = _log(spark, [
+        # key overwritten then turn-deleted: latest version not current
+        (1, "I", "c1", 0, "assistant", "a1", None, TS),
+        (2, "U", "c1", 0, "assistant", "a2", None, TS),
+        (3, "D", "c1", 0, None, None, None, TS),
+        # version ended by delete (not update) never becomes "rejected"
+        (4, "I", "c1", 1, "assistant", "b1", None, TS),
+        (5, "D", "c1", 1, None, None, None, TS),
+        (6, "I", "c1", 1, "assistant", "b2", None, TS),
+    ])
+    got = preference_pairs(log).collect()
+    assert got == []  # no 'update'-closed version under a current latest
+
+
+def test_preference_pairs_conv_tombstone_kills_pairs(spark):
+    log = _log(spark, [
+        (1, "I", "c1", 0, "assistant", "v1", None, TS),
+        (2, "U", "c1", 0, "assistant", "v2", None, TS),
+        (3, "D", "c1", None, None, None, None, TS),  # conversation delete
+        (10, "I", "c2", 0, "assistant", "w1", None, TS),
+        (11, "U", "c2", 0, "assistant", "w2", None, TS),
+    ])
+    got = [(r.conv_id, r.rejected_text, r.chosen_text)
+           for r in preference_pairs(log).collect()]
+    assert got == [("c2", "w1", "w2")]
+
+
+def test_preference_pairs_role_columns(spark):
+    log = _log(spark, [
+        (1, "I", "c1", 0, "user", "draft", None, TS),
+        (2, "U", "c1", 0, "assistant", "final", "search", TS),
+    ])
+    r = preference_pairs(log).collect()[0]
+    assert (r.rejected_role, r.chosen_role) == ("user", "assistant")
+    # pairs are plan-only until an action: no UDF, single window lineage
+    assert "pythonUDF" not in preference_pairs(log)._jdf.queryExecution().toString()
