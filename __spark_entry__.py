@@ -129,6 +129,9 @@ emb_ivf_topk                IVF ANN: coarse-quantizer cells, cell-pruned
                             probe, exact rerank
 emb_ivf_trained             IVF over a TRAINED spherical-k-means codebook
                             (Lloyd step replayed bit-identically in SQL)
+emb_semantic_dedup          SemDeDup-style semantic dedup: IVF-cell
+                            clustering bounds the quadratic cost, then
+                            within-cell smaller-id cosine neighbors drop
 emb_near_dup                embedding-cosine near-dup pairs (LSH-blocked,
                             exact-verified, never all-pairs)
 cdc_conv_near_dup           CDC → corpus composition: minhash near-dup
@@ -1215,6 +1218,18 @@ def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: IVF-cell clustering bounds the
+    quadratic cost, then within each cell any vector with a smaller-id
+    neighbor at cosine ≥ 0.4 is dropped (dup_of = that neighbor)."""
+    from aqueduct_core_spark.functions.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _embs(spark, sf_dir), dim=64, threshold=0.4,
+        min_input_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
 def _q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode check: WAV payloads are genuine RIFF/PCM bytes
     (stdlib-built square waves), parsed back by the mapInPandas decoder;
@@ -1853,6 +1868,38 @@ FROM flt ORDER BY sim DESC, vec_id LIMIT {kk}
 """
 
 
+def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 16,
+                           threshold: float = 0.4) -> str:
+    """Same centroid literals and first-max assignment as
+    `_ivf_topk_oracle`; within-cell smaller-id neighbor at rounded
+    cosine >= threshold marks a drop (dup_of = min such neighbor)."""
+    from aqueduct_core_spark.functions.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_cells)
+    lits = ["[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents]
+    vec_dots = ", ".join(f"list_inner_product(v, {c})" for c in lits)
+    return f"""
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+asg AS (
+  SELECT vec_id, v, list_position(l, list_max(l)) AS cell
+  FROM (SELECT vec_id, v, [{vec_dots}] AS l FROM s)
+),
+dup AS (
+  SELECT a.vec_id AS vec_id, min(b.vec_id) AS dup_of
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id > b.vec_id
+  WHERE floor((list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))))
+              * 1000000 + 0.5) / 1000000 >= {threshold}
+  GROUP BY a.vec_id
+)
+SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell, d.dup_of,
+       d.dup_of IS NULL AS keep
+FROM asg a LEFT JOIN dup d USING (vec_id)
+"""
+
+
 def _ivf_topk_oracle(dim: int = 64, n_cells: int = 16, n_probes: int = 4,
                      kk: int = 20) -> str:
     """Centroid literals inlined (similarity.ivf_centroids, rounded to
@@ -2203,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_indexed": _q_lsh_indexed,
         "emb_sketch_topk": _q_sketch_topk,
         "emb_near_dup": _q_near_dup,
+        "emb_semantic_dedup": _q_semantic_dedup,
         "emb_ivf_topk": _q_ivf_topk,
         "emb_ivf_trained": _q_ivf_trained,
         "media_real_decode": _q_media_real_decode,
@@ -2967,6 +3015,7 @@ FROM t
         "emb_lsh_indexed": _lsh_topk_oracle(),
         "emb_sketch_topk": _sketch_topk_oracle(),
         "emb_near_dup": _near_dup_oracle(),
+        "emb_semantic_dedup": _semantic_dedup_oracle(),
         "emb_ivf_topk": _ivf_topk_oracle(),
         "emb_ivf_trained": _ivf_trained_oracle(),
         "media_features": _media_features_oracle(),

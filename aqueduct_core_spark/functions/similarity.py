@@ -602,9 +602,19 @@ def ivf_train(
     return cents
 
 
-def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+def ivf_assign(vec: Column | str, centroids: list[list[float]]) -> Column:
     """1-based nearest-centroid cell id by inner product (first max
-    wins ties) — a pure JVM expression tree, no Python."""
+    wins ties) — a pure JVM expression tree, no Python.
+
+    Deliberately the higher-order-function dot (Column operand, no
+    ``dim``), same reasoning as :func:`lsh_bucket`: the assignment
+    inlines every centroid dot TWICE (``array_position(dots,
+    array_max(dots))``), so the unrolled form is a 2 × n_cells × dim
+    ≈ 2048-term expression — measured "Code grows beyond 64 KB"
+    codegen failure at (16 cells × 64 dims), after which the whole
+    stage interprets the giant trees (the worst of both).  The
+    ``aggregate(zip_with(...))`` tree is CodegenFallback but compact:
+    0.36 s/pass on the sf0.1 embeddings at local[32]."""
     dots = F.array(
         *[_dot(vec, list(c), dim=len(c)) for c in centroids]
     )
@@ -763,4 +773,77 @@ def near_dup_pairs(
         .withColumn("sim", sim)
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.75,
+    n_cells: int = IVF_CELLS,
+    centroids: list[list[float]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+    persist_assign: bool = True,
+    min_input_partitions: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with the IVF coarse
+    quantizer, then inside each cluster drop every vector that has a
+    SMALLER-ID member with cosine >= ``threshold``.  Returns one row
+    per input vector: ``(id, cell, dup_of, keep)`` where ``dup_of`` is
+    the smallest such neighbor (NULL -> ``keep`` = true).
+
+    The clustering exists to bound the quadratic cost — exactly the
+    published design: the within-cell self-join touches ``sum(|cell|²)``
+    pairs instead of ``n²``, and at 100 TB ``n_cells`` scales with the
+    corpus (SemDeDup used 110k clusters for LAION) so per-cell
+    membership stays bounded.  Pass a TRAINED codebook
+    (:func:`ivf_train`) for balanced cells; a pathologically hot cell
+    has the same remedy as the LSH giant bucket
+    (``functions.dedup.lsh_candidate_pairs``'s cap) — split it by
+    training more centroids.
+
+    Keep-rule semantics: "drop if any smaller-id in-cell neighbor is
+    above threshold" is the same greedy deterministic convention as
+    :func:`aqueduct_core_spark.functions.dedup.minhash_dedup`; chains
+    (A~B, B~C, C!~A) drop both B and C with ``dup_of`` pointing one hop
+    back — use :func:`aqueduct_core_spark.functions.dedup.dup_clusters`
+    downstream when full transitive clusters are needed.
+
+    ``persist_assign`` caches the (id, vec, cell) projection so the
+    self-join's two scans don't each recompute the ``n_cells`` dot
+    products per vector (same rationale as ``near_dup_pairs``'s blocking
+    cache).  At 100 TB you would write the assignment once, clustered by
+    ``cell`` (:func:`ivf_index`), and run the join off that table.
+    """
+    from aqueduct_core_spark.functions.dedup import spread_small_input
+
+    df = spread_small_input(df, min_input_partitions)
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_cells, seed)
+    asg = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        ivf_assign(F.col(vec_col), cents).alias("cell"),
+    )
+    if persist_assign:
+        asg = asg.persist()
+        asg.count()
+    sim = round6(cosine_sim("a.vec", "b.vec", dim=dim))
+    dup = (
+        asg.alias("a")
+        .join(
+            asg.alias("b"),
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") > F.col("b.id")),
+        )
+        .where(sim >= threshold)
+        .groupBy(F.col("a.id").alias("id"))
+        .agg(F.min(F.col("b.id")).alias("dup_of"))
+    )
+    return asg.join(dup, "id", "left").select(
+        F.col("id").alias(id_col),
+        "cell",
+        "dup_of",
+        F.col("dup_of").isNull().alias("keep"),
     )

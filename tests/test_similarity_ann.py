@@ -93,3 +93,61 @@ def test_index_param_stamp_validates(spark, embs):
         lsh_topk_indexed(idx, q, n_planes=6, n_tables=8)
     # matching params pass
     lsh_topk_indexed(idx, q, k=5, n_planes=6, n_tables=4).collect()
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup-style cluster-then-prune)
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_drops_within_cell(spark):
+    from aqueduct_core_spark.functions.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [10.0, 0.1]),    # cell 1
+        (2, [5.0, 0.05]),    # cell 1, same direction as 1 -> dup_of 1
+        (3, [1.0, 1.2]),     # cell 2
+        (4, [0.1, 9.0]),     # cell 2, cos(3,4) ~ 0.78 < 0.95 -> kept
+        (5, [0.1, 9.05]),    # cell 2, cos(4,5) ~ 1 -> dup_of 4
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.cell, r.dup_of, r.keep)
+        for r in semantic_dedup(
+            df, dim=2, threshold=0.95, centroids=cents, persist_assign=False
+        ).collect()
+    }
+    assert out[1] == (1, None, True)
+    assert out[2] == (1, 1, False)
+    assert out[3] == (2, None, True)
+    assert out[4] == (2, None, True)
+    assert out[5] == (2, 4, False)
+
+
+def test_semantic_dedup_cell_blocking_is_the_approximation(spark):
+    """Near-identical vectors straddling a Voronoi boundary are NOT
+    compared — the published SemDeDup trade: quadratic cost is bounded
+    by clustering, at the price of missing cross-cell duplicates."""
+    from aqueduct_core_spark.functions.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(1, [1.0, 0.99]), (2, [0.99, 1.0])]  # cos ~ 0.99995
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, dim=2, threshold=0.9, centroids=cents, persist_assign=False
+    ).collect()
+    assert all(r.keep for r in out)
+    assert {r.cell for r in out} == {1, 2}
+
+
+def test_semantic_dedup_dup_of_is_smallest_neighbor(spark):
+    from aqueduct_core_spark.functions.similarity import semantic_dedup
+
+    # three copies of one direction: 7 pairs with both 1 and 3
+    rows = [(1, [4.0, 0.0]), (3, [5.0, 0.0]), (7, [6.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.dup_of for r in semantic_dedup(
+        df, dim=2, threshold=0.99, centroids=[[1.0, 0.0], [0.0, 1.0]],
+        persist_assign=False,
+    ).collect()}
+    assert out == {1: None, 3: 1, 7: 1}
