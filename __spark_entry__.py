@@ -103,6 +103,9 @@ cdc_replica_diff            anti-entropy key diff: primary vs a replica
                             engine-side, column compare oracle-side)
 doc_sample                  deterministic hash-bucket corpus sampling
 doc_stratified_sample       per-language sampling rates, one projection
+doc_token_budget_mix        per-language TOKEN budget mixing: bounded
+                            bucket histogram picks cutoffs, selection
+                            stays a pure projection (no global sort)
 doc_top_bigrams             corpus top-k n-gram heavy hitters
 doc_ngram_jaccard           exact n-gram Jaccard near-dup (inverted
                             shingle index, df-capped blocking)
@@ -965,6 +968,27 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate_pct=20,
         seed=42,
     ).select("doc_id", "lang", "sample_bucket")
+
+
+def _q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing under per-language TOKEN budgets at hash-bucket
+    granularity: the bounded (lang × 100)-row histogram picks each
+    language's bucket cutoff, selection stays a pure projection+filter
+    (no per-stratum global sort).  Unlisted languages are dropped."""
+    from aqueduct_core_spark.functions.sampling import token_budget_mix
+    from aqueduct_core_spark.functions.text import token_count
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", token_count(F.col("text")).cast("int").alias("n_tokens")
+    )
+    kept, _ = token_budget_mix(
+        docs,
+        budgets={"en": 20_000, "fr": 5_000, "zh": 100_000_000},
+        stratum_col="lang",
+        token_col="n_tokens",
+        seed=42,
+    )
+    return kept.select("doc_id", "lang", "n_tokens", "sample_bucket")
 
 
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2226,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replica_diff": _q_replica_diff,
         "doc_sample": _q_sample,
         "doc_stratified_sample": _q_stratified_sample,
+        "doc_token_budget_mix": _q_token_budget_mix,
         "doc_top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "doc_pii_redact": _q_pii_redact,
@@ -2969,6 +2994,32 @@ WITH b AS (
 SELECT doc_id, lang, sample_bucket FROM b
 WHERE sample_bucket < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 100
                                 WHEN 'fr' THEN 50 ELSE 20 END
+""",
+        "doc_token_budget_mix": f"""
+WITH d AS (
+  SELECT doc_id, lang,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+    CAST(({_dh('CAST(doc_id AS VARCHAR)', 42)} % 100) AS INTEGER) AS sample_bucket
+  FROM documents
+),
+hist AS (
+  SELECT lang, sample_bucket AS b, sum(n_tokens) AS t FROM d GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, b, sum(t) OVER (PARTITION BY lang ORDER BY b) AS ct FROM hist
+),
+bud AS (
+  SELECT * FROM (VALUES ('en', 20000), ('fr', 5000), ('zh', 100000000))
+  AS v(lang, budget)
+),
+cut AS (
+  SELECT bud.lang,
+         coalesce(max(CASE WHEN cum.ct <= bud.budget THEN cum.b + 1 END), 0) AS cut
+  FROM bud LEFT JOIN cum ON bud.lang = cum.lang GROUP BY bud.lang
+)
+SELECT d.doc_id, d.lang, d.n_tokens, d.sample_bucket
+FROM d JOIN cut ON d.lang = cut.lang AND d.sample_bucket < cut.cut
 """,
         "doc_top_bigrams": r"""
 WITH toks AS (

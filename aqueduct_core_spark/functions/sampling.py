@@ -74,3 +74,67 @@ def stratified_hash_sample(
     return df.withColumn("sample_bucket", b.cast("int")).where(
         F.col("sample_bucket") < rate
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str,
+    token_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    method: str = "md5",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Corpus mixing under per-stratum TOKEN budgets (the knob a
+    training run actually sets: "20 B tokens of code, 5 B of French"),
+    at hash-bucket granularity.
+
+    Per stratum, buckets 0..99 are admitted in order while their
+    cumulative ``token_col`` total stays within the stratum's budget;
+    a document is kept iff ``sample_bucket < cutoff[stratum]``.
+    Strata absent from ``budgets`` are dropped (a mixing recipe is
+    explicit).  Granularity is ~1% of the stratum's tokens — the same
+    trade :func:`hash_sample` already makes — in exchange for the
+    same scale properties:
+
+    - selection stays a pure projection + filter (reshard-stable,
+      reproducible, engine-independent md5 arithmetic);
+    - the only aggregation is the (stratum × 100)-row bucket histogram
+      — the driver collect is bounded by ``n_strata × SAMPLE_BUCKETS``
+      regardless of corpus size (same boundedness argument as
+      ``operators/batching.choose_block_bits``);
+    - no per-stratum global sort: an exact doc-level greedy cut would
+      need a total order within each stratum (a 100 TB sort); bucket
+      granularity removes it.
+
+    Returns ``(kept_df, cutoffs)`` — the kept rows (with
+    ``sample_bucket``) and the per-stratum bucket cutoffs actually
+    applied, for the run manifest.
+    """
+    b = sample_bucket(F.col(key_col).cast("string"), seed=seed, method=method)
+    wb = df.withColumn("sample_bucket", b.cast("int"))
+    hist = {
+        (r["s"], r["b"]): r["t"]
+        for r in wb.groupBy(
+            F.col(stratum_col).alias("s"), F.col("sample_bucket").alias("b")
+        )
+        .agg(F.sum(F.col(token_col)).alias("t"))
+        .collect()  # bounded: n_strata × SAMPLE_BUCKETS rows
+    }
+    cutoffs: dict[str, int] = {}
+    for stratum, budget in budgets.items():
+        total = 0
+        cut = 0
+        for i in range(SAMPLE_BUCKETS):
+            t = hist.get((stratum, i), 0) or 0
+            if total + t > int(budget):
+                break
+            total += t
+            cut = i + 1
+        cutoffs[stratum] = cut
+    cut_expr = F.lit(0)
+    for stratum, cut in sorted(cutoffs.items()):
+        cut_expr = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(cut))
+        ).otherwise(cut_expr)
+    return wb.where(F.col("sample_bucket") < cut_expr), cutoffs

@@ -474,3 +474,69 @@ def test_state_at_lsn_matches_prefix_state(spark):
     )
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# token_budget_mix
+# ---------------------------------------------------------------------------
+
+def test_token_budget_mix_respects_budgets(spark):
+    from aqueduct_core_spark.functions.sampling import token_budget_mix
+
+    rows = [(f"d{i:03d}", "en" if i % 2 == 0 else "fr", 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, n_tokens int")
+    kept, cuts = token_budget_mix(
+        df, {"en": 300, "fr": 10_000}, stratum_col="lang", token_col="n_tokens"
+    )
+    agg = {r.lang: r.tok for r in
+           kept.groupBy("lang").agg(__import__("pyspark.sql.functions",
+               fromlist=["sum"]).sum("n_tokens").alias("tok")).collect()}
+    # en capped at <= 300 tokens; fr budget exceeds the corpus -> all kept
+    assert agg.get("en", 0) <= 300
+    assert agg["fr"] == 100 * 10
+    assert cuts["fr"] == 100  # every bucket admitted
+
+
+def test_token_budget_mix_drops_unlisted_strata_and_is_stable(spark):
+    from aqueduct_core_spark.functions.sampling import token_budget_mix
+
+    rows = [(f"d{i:03d}", ["en", "fr", "de"][i % 3], 5) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, n_tokens int")
+    kept, _ = token_budget_mix(
+        df, {"en": 50}, stratum_col="lang", token_col="n_tokens"
+    )
+    assert kept.where("lang != 'en'").count() == 0
+    # reshard-stable: same kept set at different parallelism
+    kept2, _ = token_budget_mix(
+        df.repartition(7), {"en": 50}, stratum_col="lang", token_col="n_tokens"
+    )
+    assert (sorted(r.doc_id for r in kept.collect())
+            == sorted(r.doc_id for r in kept2.collect()))
+
+
+def test_token_budget_mix_greedy_prefix_cut(spark):
+    from aqueduct_core_spark.functions.sampling import (
+        SAMPLE_BUCKETS, sample_bucket, token_budget_mix,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(f"k{i}", "en", 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, n_tokens int")
+    kept, cuts = token_budget_mix(
+        df, {"en": 500}, stratum_col="lang", token_col="n_tokens"
+    )
+    cut = cuts["en"]
+    # cumulative tokens of buckets < cut fit the budget; adding the
+    # next nonempty bucket would overflow it
+    per_bucket = {
+        r.b: r.t for r in df.select(
+            sample_bucket(F.col("doc_id")).cast("int").alias("b"), "n_tokens"
+        ).groupBy("b").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    under = sum(t for b, t in per_bucket.items() if b < cut)
+    assert under <= 500
+    nxt = next((per_bucket[b] for b in range(cut, SAMPLE_BUCKETS)
+                if per_bucket.get(b)), None)
+    if nxt is not None:
+        assert under + nxt > 500
+    assert kept.count() * 7 == under
