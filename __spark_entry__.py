@@ -106,6 +106,9 @@ doc_stratified_sample       per-language sampling rates, one projection
 doc_token_budget_mix        per-language TOKEN budget mixing: bounded
                             bucket histogram picks cutoffs, selection
                             stays a pure projection (no global sort)
+doc_dsir_scores             DSIR importance log-weights vs the English
+                            subset: two hashed-bigram multinomials
+                            (broadcast 1024-row models), mean log-ratio
 doc_top_bigrams             corpus top-k n-gram heavy hitters
 doc_ngram_jaccard           exact n-gram Jaccard near-dup (inverted
                             shingle index, df-capped blocking)
@@ -989,6 +992,17 @@ def _q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
     )
     return kept.select("doc_id", "lang", "n_tokens", "sample_bucket")
+
+
+def _q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights of the whole corpus against the
+    English subset as the target: two hashed-bigram multinomials
+    (bounded 1024-row models, broadcast), mean smoothed log-ratio per
+    document — the paper's data-selection signal as one query."""
+    from aqueduct_core_spark.functions.importance import dsir_scores
+
+    docs = _docs(spark, sf_dir)
+    return dsir_scores(docs, docs.where(F.col("lang") == "en"))
 
 
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2251,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": _q_sample,
         "doc_stratified_sample": _q_stratified_sample,
         "doc_token_budget_mix": _q_token_budget_mix,
+        "doc_dsir_scores": _q_dsir_scores,
         "doc_top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "doc_pii_redact": _q_pii_redact,
@@ -3020,6 +3035,36 @@ cut AS (
 )
 SELECT d.doc_id, d.lang, d.n_tokens, d.sample_bucket
 FROM d JOIN cut ON d.lang = cut.lang AND d.sample_bucket < cut.cut
+""",
+        "doc_dsir_scores": f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+rb AS (
+  SELECT doc_id, lang,
+         CAST(({_dh('bg', 9)} % 1024) AS INTEGER) AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bg
+    FROM toks WHERE len(t) >= 2
+  )
+),
+tbb AS (SELECT b FROM rb WHERE lang = 'en'),
+rc AS (SELECT b, count(*) AS cr FROM rb GROUP BY b),
+tc AS (SELECT b, count(*) AS ct FROM tbb GROUP BY b),
+nr AS (SELECT count(*) AS n FROM rb),
+nt AS (SELECT count(*) AS n FROM tbb),
+lp AS (
+  SELECT rb.doc_id,
+    (ln(coalesce(tc.ct, 0) + 1) - ln(nt.n + 1024))
+    - (ln(coalesce(rc.cr, 0) + 1) - ln(nr.n + 1024)) AS l
+  FROM rb LEFT JOIN tc USING (b) LEFT JOIN rc USING (b), nr, nt
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+  floor(avg(l) * 1000000 + 0.5) / 1000000 AS dsir_logratio
+FROM lp GROUP BY doc_id
 """,
         "doc_top_bigrams": r"""
 WITH toks AS (
