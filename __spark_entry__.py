@@ -1002,7 +1002,11 @@ def _q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.functions.importance import dsir_scores
 
     docs = _docs(spark, sf_dir)
-    return dsir_scores(docs, docs.where(F.col("lang") == "en"))
+    return dsir_scores(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        min_input_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:

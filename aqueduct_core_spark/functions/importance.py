@@ -66,9 +66,13 @@ def dsir_scores(
     text_col: str = "text",
     seed: int = 9,
     method: str = "md5",
+    min_input_partitions: int | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance log-weights of the RAW corpus
-    against a TARGET corpus.
+    against a TARGET corpus.  ``min_input_partitions`` spreads a
+    small/single-split input across cores before the bigram explode
+    (the dominant map cost), as in
+    :func:`aqueduct_core_spark.functions.dedup.spread_small_input`.
 
     Both corpora reduce to hashed-bigram multinomials with add-one
     smoothing over ``n_buckets`` buckets; each raw document scores
@@ -88,12 +92,29 @@ def dsir_scores(
     :func:`aqueduct_core_spark.functions.sampling.token_budget_mix` to
     hit a token budget within the selected set.
     """
+    from aqueduct_core_spark.functions.dedup import spread_small_input
+
+    raw = spread_small_input(raw, min_input_partitions)
+    target = spread_small_input(target, min_input_partitions)
     rb = bigram_feature_buckets(raw, n_buckets, id_col, text_col, seed, method)
     tb = bigram_feature_buckets(target, n_buckets, id_col, text_col, seed, method)
-    n_raw = rb.count()
-    n_tgt = tb.count()
-    rc = rb.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
-    tc = tb.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    # the two multinomials are ≤n_buckets rows each — collect them and
+    # re-emit as local relations, so each corpus is featurized exactly
+    # once for its model (+ once more for raw-side scoring) and the
+    # scoring join broadcasts literal rows instead of recomputing the
+    # model lineage (same bounded-collect argument as
+    # sampling.token_budget_mix's histogram).
+    spark = raw.sparkSession
+    rc_rows = rb.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr")).collect()
+    tc_rows = tb.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct")).collect()
+    n_raw = sum(r["_cr"] for r in rc_rows)
+    n_tgt = sum(r["_ct"] for r in tc_rows)
+    rc = spark.createDataFrame(
+        [(r["_b"], r["_cr"]) for r in rc_rows] or [], "_b int, _cr long"
+    )
+    tc = spark.createDataFrame(
+        [(r["_b"], r["_ct"]) for r in tc_rows] or [], "_b int, _ct long"
+    )
     ln_tgt = F.log(F.lit(float(n_tgt) + float(n_buckets)))
     ln_raw = F.log(F.lit(float(n_raw) + float(n_buckets)))
     lp = (

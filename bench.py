@@ -46,11 +46,14 @@ HEADLINE = [
     "doc_simhash_candidates",
     "doc_decontaminate",
     "doc_span_dedup",
+    "doc_dsir_scores",
     "emb_cosine_topk",
     "emb_knn_join",
     "emb_sketch_topk",
     "emb_ivf_topk",
     "emb_near_dup",
+    "emb_semantic_dedup",
+    "cdc_preference_pairs",
 ]
 
 
