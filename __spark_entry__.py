@@ -109,6 +109,9 @@ doc_token_budget_mix        per-language TOKEN budget mixing: bounded
 doc_dsir_scores             DSIR importance log-weights vs the English
                             subset: two hashed-bigram multinomials
                             (broadcast 1024-row models), mean log-ratio
+doc_dsir_select             Gumbel-top-k resampling over the DSIR
+                            weights — deterministic seeded noise, the
+                            draw replays bit-identically in the oracle
 doc_top_bigrams             corpus top-k n-gram heavy hitters
 doc_ngram_jaccard           exact n-gram Jaccard near-dup (inverted
                             shingle index, df-capped blocking)
@@ -1007,6 +1010,17 @@ def _q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("lang") == "en"),
         min_input_partitions=spark.sparkContext.defaultParallelism,
     )
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's selection step: Gumbel-top-k resampling over the
+    importance weights — k docs sampled without replacement with
+    probability ∝ exp(score/temperature), the noise derived
+    deterministically from the seeded hash so the draw replays
+    bit-identically in the oracle."""
+    from aqueduct_core_spark.functions.importance import gumbel_topk_select
+
+    return gumbel_topk_select(_q_dsir_scores(spark, sf_dir), k=100)
 
 
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2270,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": _q_stratified_sample,
         "doc_token_budget_mix": _q_token_budget_mix,
         "doc_dsir_scores": _q_dsir_scores,
+        "doc_dsir_select": _q_dsir_select,
         "doc_top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "doc_pii_redact": _q_pii_redact,
@@ -3069,6 +3084,48 @@ lp AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
   floor(avg(l) * 1000000 + 0.5) / 1000000 AS dsir_logratio
 FROM lp GROUP BY doc_id
+""",
+        "doc_dsir_select": f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+rb AS (
+  SELECT doc_id, lang,
+         CAST(({_dh('bg', 9)} % 1024) AS INTEGER) AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bg
+    FROM toks WHERE len(t) >= 2
+  )
+),
+tbb AS (SELECT b FROM rb WHERE lang = 'en'),
+rc AS (SELECT b, count(*) AS cr FROM rb GROUP BY b),
+tc AS (SELECT b, count(*) AS ct FROM tbb GROUP BY b),
+nr AS (SELECT count(*) AS n FROM rb),
+nt AS (SELECT count(*) AS n FROM tbb),
+lp AS (
+  SELECT rb.doc_id,
+    (ln(coalesce(tc.ct, 0) + 1) - ln(nt.n + 1024))
+    - (ln(coalesce(rc.cr, 0) + 1) - ln(nr.n + 1024)) AS l
+  FROM rb LEFT JOIN tc USING (b) LEFT JOIN rc USING (b), nr, nt
+),
+sc AS (
+  SELECT doc_id,
+    floor(avg(l) * 1000000 + 0.5) / 1000000 AS dsir_logratio
+  FROM lp GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, dsir_logratio,
+    floor((dsir_logratio / 1.0
+           - ln(-ln((CAST({_dh('CAST(doc_id AS VARCHAR)', 17)} AS DOUBLE) + 0.5)
+                    / 1152921504606846976.0)))
+          * 1000000 + 0.5) / 1000000 AS sel_key
+  FROM sc
+)
+SELECT doc_id, dsir_logratio, sel_key
+FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 100
 """,
         "doc_top_bigrams": r"""
 WITH toks AS (

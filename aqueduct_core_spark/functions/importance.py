@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 from aqueduct_core_spark.functions.dedup import hash64
 from aqueduct_core_spark.functions.text import round6, tokens
 
-__all__ = ["bigram_feature_buckets", "dsir_scores"]
+__all__ = ["bigram_feature_buckets", "dsir_scores", "gumbel_topk_select"]
 
 
 def bigram_feature_buckets(
@@ -132,4 +132,48 @@ def dsir_scores(
     return lp.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_feats"),
         round6(F.avg("_l")).alias("dsir_logratio"),
+    )
+
+
+def gumbel_topk_select(
+    scores: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+    score_col: str = "dsir_logratio",
+    seed: int = 17,
+    method: str = "md5",
+) -> DataFrame:
+    """DSIR's selection step: sample ``k`` documents WITHOUT replacement
+    with probability ∝ exp(score / temperature), via the Gumbel-top-k
+    trick — add independent Gumbel(0,1) noise to each scaled score and
+    take the top k (equivalent to sequential sampling without
+    replacement; Vieira 2014).  The noise is DETERMINISTIC: uniform u
+    from the engine's seeded hash primitive (md5-60-bit →
+    ``u = (h + 0.5) / 2⁶⁰`` ∈ (0,1), so ``g = −ln(−ln u)`` is finite),
+    which makes the draw reproducible across runs/partitionings/engines
+    and lets the SQL oracle replay the exact selection.
+
+    ``temperature`` → 0 approaches deterministic top-k by score;
+    large values approach a uniform sample.  Returns the selected rows
+    as ``(id, score, sel_key)`` with the tie-broken top-k plan shape
+    (``TakeOrderedAndProject`` — per-partition heap + driver merge,
+    never a global sort).
+    """
+    if k <= 0:
+        raise ValueError(f"need positive k, got {k=}")
+    if temperature <= 0:
+        raise ValueError(f"need positive temperature, got {temperature=}")
+    h = hash64(F.col(id_col).cast("string"), seed=seed, method=method)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**60))
+    g = -F.log(-F.log(u))
+    key = F.col(score_col).cast("double") / F.lit(float(temperature)) + g
+    return (
+        scores.select(
+            F.col(id_col),
+            F.col(score_col),
+            round6(key).alias("sel_key"),
+        )
+        .orderBy(F.col("sel_key").desc(), F.col(id_col))
+        .limit(int(k))
     )

@@ -61,3 +61,31 @@ def test_dsir_docs_without_features_absent(spark):
     raw = spark.createDataFrame([("r1", "a b"), ("r2", "solo"), ("r3", "")], SCHEMA)
     ids = {r.doc_id for r in dsir_scores(raw, target).collect()}
     assert ids == {"r1"}
+
+
+def test_gumbel_topk_deterministic_and_temperature_limits(spark):
+    from aqueduct_core_spark.functions.importance import gumbel_topk_select
+
+    rows = [(f"d{i:03d}", float(i) / 10.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, dsir_logratio double")
+    a = gumbel_topk_select(df, k=10).collect()
+    b = gumbel_topk_select(df.repartition(7), k=10).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]  # reproducible draw
+    assert len(a) == 10
+    # near-zero temperature -> deterministic top-k by score
+    cold = gumbel_topk_select(df, k=5, temperature=1e-9).collect()
+    assert [r.doc_id for r in cold] == ["d049", "d048", "d047", "d046", "d045"]
+    # different seeds -> different draws (overwhelmingly)
+    c = gumbel_topk_select(df, k=10, seed=18).collect()
+    assert [r.doc_id for r in a] != [r.doc_id for r in c]
+
+
+def test_gumbel_topk_validates_args(spark):
+    import pytest
+    from aqueduct_core_spark.functions.importance import gumbel_topk_select
+
+    df = spark.createDataFrame([("d", 0.1)], "doc_id string, dsir_logratio double")
+    with pytest.raises(ValueError):
+        gumbel_topk_select(df, k=0)
+    with pytest.raises(ValueError):
+        gumbel_topk_select(df, k=1, temperature=0.0)
