@@ -317,3 +317,78 @@ def test_pack_token_stream_one_shuffle_broadcast_bases(spark):
     assert "BroadcastHashJoin" in plan
     for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop"):
         assert bad not in plan
+
+
+def test_sft_examples_single_shuffle(spark):
+    from aqueduct_core_spark.functions.examples import sft_examples
+
+    state = spark.createDataFrame(
+        [("c1", 0, "user", "hi"), ("c1", 1, "assistant", "yo")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = _plan(sft_examples(state, target_role="assistant"))
+    # one window exchange on conv_id renders every prefix; no join
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_preference_pairs_no_self_join(spark, log_path):
+    from aqueduct_core_spark.functions.examples import preference_pairs
+
+    plan = _plan(preference_pairs(spark.read.parquet(log_path)))
+    # chosen side attaches via first() over the ranking window, so the
+    # only join is scd2's broadcast of the conv-tombstone stream
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_budget_selection_is_projection_only(spark):
+    from aqueduct_core_spark.functions.sampling import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "en", 3) for i in range(50)],
+        "doc_id string, lang string, n_tokens int",
+    )
+    kept, _ = token_budget_mix(df, {"en": 60}, "lang", "n_tokens")
+    plan = _plan(kept)
+    # the histogram job is separate; the SELECTION plan itself never
+    # shuffles or joins — pure projection + filter
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_dsir_scoring_broadcasts_models(spark):
+    from aqueduct_core_spark.functions.importance import dsir_scores
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "a b c d e") for i in range(20)], "doc_id string, text string"
+    )
+    plan = _plan(dsir_scores(docs, docs.limit(5), n_buckets=64))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gumbel_select_is_take_ordered(spark):
+    from aqueduct_core_spark.functions.importance import gumbel_topk_select
+
+    scores = spark.createDataFrame(
+        [(f"d{i}", 0.1 * i) for i in range(30)], "doc_id string, dsir_logratio double"
+    )
+    plan = _plan(gumbel_topk_select(scores, k=5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_dedup_joins_within_cell_only(spark):
+    from aqueduct_core_spark.functions.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(
+        df, dim=2, centroids=[[1.0, 0.0], [0.0, 1.0]], persist_assign=False
+    )
+    plan = _plan(out)
+    # the pair join keys on the cell column — bounded fan-out, never a
+    # cartesian over the corpus
+    assert "CartesianProduct" not in plan
+    assert "cell" in plan
