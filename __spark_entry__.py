@@ -98,6 +98,9 @@ conv_sft_examples           SFT (context, target) extraction: each
 cdc_preference_pairs        (rejected, chosen) preference pairs mined
                             from the CDC update history — superseded
                             versions of a current key vs its final text
+cdc_pref_pairs_inc          the SAME pairs maintained INCREMENTALLY
+                            (PreferencePairsView over the Scd2History
+                            sink: dirty-bucket refresh, O(touched keys))
 cdc_replica_diff            anti-entropy key diff: primary vs a replica
                             with lost + bit-rotted events (hash compare
                             engine-side, column compare oracle-side)
@@ -290,6 +293,27 @@ def _q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.functions.examples import preference_pairs
 
     return preference_pairs(load_changes(spark, sf_dir))
+
+
+def _q_pref_pairs_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME preference pairs maintained INCREMENTALLY: the log
+    applies to an Scd2History sink in two ordered epochs and a
+    PreferencePairsView refreshes after each — dirty-bucket recompute
+    only; the result must equal the batch operator (the oracle is the
+    cdc_preference_pairs SQL verbatim)."""
+    from aqueduct_core_spark.functions.examples import PreferencePairsView
+    from aqueduct_core_spark.operators.scd2 import Scd2History
+
+    changes = load_changes(spark, sf_dir)
+    split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
+    root = tempfile.mkdtemp(prefix="aqueduct_pref_view_")
+    h = Scd2History.create(spark, f"{root}/hist", num_buckets=16)
+    v = PreferencePairsView.create(spark, f"{root}/pairs")
+    h.apply(changes.where(F.col("lsn") < split), epoch=0)
+    v.refresh(h)
+    h.apply(changes.where(F.col("lsn") >= split), epoch=1)
+    v.refresh(h)
+    return v.read()
 
 
 def _q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2277,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_conv_text": _q_conv_text,
         "conv_sft_examples": _q_sft_examples,
         "cdc_preference_pairs": _q_preference_pairs,
+        "cdc_pref_pairs_inc": _q_pref_pairs_inc,
         "cdc_conv_near_dup": _q_conv_near_dup,
         "cdc_conv_quality": _q_conv_quality,
         "cdc_replica_diff": _q_replica_diff,
@@ -2470,7 +2495,7 @@ r AS (
 SELECT probe_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
 """
 
-    return {
+    out = {
         "cdc_merged_state": state_sql,
         "cdc_apply_full": apply_full,
         "cdc_lww_latest": lww_latest,
@@ -3228,3 +3253,7 @@ FROM changes GROUP BY 1, 2
 """
         ),
     }
+    # the incremental view must equal the batch operator bit-for-bit —
+    # same oracle, different engine path (dirty-bucket refresh)
+    out["cdc_pref_pairs_inc"] = out["cdc_preference_pairs"]
+    return out

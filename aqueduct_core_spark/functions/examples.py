@@ -34,9 +34,17 @@ keeping-history semantics; SQLiteQueries.java:51-55 compaction is what
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import json
+import os
 
-__all__ = ["sft_examples", "preference_pairs"]
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+__all__ = [
+    "sft_examples",
+    "preference_pairs",
+    "pairs_from_history",
+    "PreferencePairsView",
+]
 
 
 def sft_examples(
@@ -114,7 +122,16 @@ def preference_pairs(
     """
     from aqueduct_core_spark.operators.temporal import scd2_history
 
-    hist = scd2_history(changes, payload_cols)
+    return pairs_from_history(scd2_history(changes, payload_cols))
+
+
+def pairs_from_history(hist: DataFrame) -> DataFrame:
+    """The pairing stage alone: (rejected, chosen) pairs from an SCD2
+    history frame (batch-computed or the :class:`~aqueduct_core_spark.
+    operators.scd2.Scd2History` sink's table).  Pure per-(conv_id,
+    turn_idx) logic — all of a key's versions live in one history
+    bucket, which is what makes the incremental view's bucket-local
+    recompute exact."""
     wd = Window.partitionBy("conv_id", "turn_idx").orderBy(
         F.col("valid_from_lsn").desc()
     )
@@ -148,3 +165,136 @@ def preference_pairs(
         "chosen_text",
         "n_versions",
     )
+
+
+_PAIRS_SCHEMA = (
+    "conv_id string, turn_idx int, rejected_lsn long, rejected_role string, "
+    "rejected_text string, chosen_lsn long, chosen_role string, "
+    "chosen_text string, n_versions long"
+)
+_PAIRS_COLS = [c.split()[0] for c in _PAIRS_SCHEMA.split(", ")]
+_VBUCKET = "_pbucket"
+
+
+class PreferencePairsView:
+    """Incrementally-maintained preference-pair table — the training
+    dataset that stays fresh as the change log advances.
+
+    A materialized view over an
+    :class:`aqueduct_core_spark.operators.scd2.Scd2History` sink:
+    ``refresh(history)`` recomputes pairs ONLY for the history buckets
+    rewritten since the view's last refresh, so refresh cost is
+    O(touched conversations' history), never O(corpus) — the
+    :class:`~aqueduct_core_spark.operators.rollup.ConvRollup`
+    dirty-group pattern applied to training-example extraction.
+
+    Dirtiness needs no extra bookkeeping: the history's meta maps each
+    bucket to the data dir that last rewrote it, and the view stores
+    the mapping it refreshed from — a bucket is dirty iff the entries
+    differ.  Bucket-local recompute is exact because the pairing is a
+    pure per-(conv_id, turn_idx) function and a key's versions never
+    span buckets (:func:`pairs_from_history`).
+
+    Crash safety mirrors the sink it rides: pair data lands in a dir
+    named deterministically by the history epoch (a crash between the
+    write and the meta swap leaves debris the re-refresh overwrites),
+    and the meta swap is atomic.  Re-delivered/no-op epochs make the
+    refresh a no-op (the mapping diff is empty).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "meta.json")
+
+    def _meta(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+
+    @classmethod
+    def create(cls, spark: SparkSession, root: str) -> "PreferencePairsView":
+        os.makedirs(root, exist_ok=True)
+        v = cls(spark, root)
+        v._write_meta(
+            {"epoch": -1, "num_buckets": None, "hist_dirs": {}, "bucket_dirs": {}}
+        )
+        return v
+
+    def read(self) -> DataFrame:
+        meta = self._meta()
+        paths = [
+            os.path.join(self.root, d, f"{_VBUCKET}={b}")
+            for b, d in meta["bucket_dirs"].items()
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return self.spark.createDataFrame([], _PAIRS_SCHEMA)
+        return self.spark.read.parquet(*paths).select(*_PAIRS_COLS)
+
+    def refresh(self, history) -> dict:
+        """Bring the view up to date with the history sink.  Returns
+        ``{mode, buckets_refreshed, epoch}``."""
+        from aqueduct_core_spark.operators.scd2 import _BUCKET, _COLS
+
+        hmeta = history._meta()
+        meta = self._meta()
+        if meta["num_buckets"] is None:
+            meta["num_buckets"] = int(hmeta["num_buckets"])
+        elif int(meta["num_buckets"]) != int(hmeta["num_buckets"]):
+            raise ValueError(
+                f"history bucket count changed: view has "
+                f"{meta['num_buckets']}, history has {hmeta['num_buckets']}"
+            )
+        dirty = sorted(
+            (b for b, d in hmeta["bucket_dirs"].items()
+             if meta["hist_dirs"].get(b) != d),
+            key=int,
+        )
+        if not dirty:
+            return {"mode": "noop", "buckets_refreshed": 0, "epoch": meta["epoch"]}
+        paths = [
+            os.path.join(history.root, hmeta["bucket_dirs"][b], f"{_BUCKET}={b}")
+            for b in dirty
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        hist_df = (
+            self.spark.read.parquet(*paths).select(*_COLS)
+            if paths
+            else self.spark.createDataFrame(
+                [], "conv_id string, turn_idx int, valid_from_lsn long, "
+                    "valid_to_lsn long, end_reason string, is_current boolean, "
+                    "row_op string, role string, text string, tool string, "
+                    "ts timestamp"
+            )
+        )
+        pairs = pairs_from_history(hist_df).select(*_PAIRS_COLS)
+        out_dir = f"data-he{int(hmeta['epoch'])}"
+        bucket_col = F.pmod(F.hash(F.col("conv_id")), F.lit(int(meta["num_buckets"])))
+        (
+            pairs.withColumn(_VBUCKET, bucket_col)
+            # overwrite: crash debris at this deterministic name must
+            # not crash-loop the re-refresh (nothing references the dir
+            # until the meta swap below)
+            .repartition(len(dirty), F.col(_VBUCKET))
+            .write.mode("overwrite")
+            .partitionBy(_VBUCKET)
+            .parquet(os.path.join(self.root, out_dir))
+        )
+        meta["bucket_dirs"].update({b: out_dir for b in dirty})
+        meta["hist_dirs"].update({b: hmeta["bucket_dirs"][b] for b in dirty})
+        meta["epoch"] = int(hmeta["epoch"])
+        self._write_meta(meta)
+        return {
+            "mode": "refreshed",
+            "buckets_refreshed": len(dirty),
+            "epoch": int(hmeta["epoch"]),
+        }

@@ -125,3 +125,104 @@ def test_preference_pairs_role_columns(spark):
     assert (r.rejected_role, r.chosen_role) == ("user", "assistant")
     # pairs are plan-only until an action: no UDF, single window lineage
     assert "pythonUDF" not in preference_pairs(log)._jdf.queryExecution().toString()
+
+
+# ---------------------------------------------------------------------------
+# PreferencePairsView (incremental materialized view over Scd2History)
+# ---------------------------------------------------------------------------
+
+def _pp_norm(df):
+    return df.select(
+        "conv_id", "turn_idx", "rejected_lsn", "rejected_text",
+        "chosen_lsn", "chosen_text", "n_versions",
+    )
+
+
+def _pp_same(a, b):
+    assert _pp_norm(a).exceptAll(_pp_norm(b)).count() == 0
+    assert _pp_norm(b).exceptAll(_pp_norm(a)).count() == 0
+
+
+def test_pairs_view_segmented_equals_batch(spark, tmp_path):
+    from aqueduct_core_spark.functions.examples import (
+        PreferencePairsView, preference_pairs,
+    )
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.operators.scd2 import Scd2History
+
+    log = generate_changes(spark, n_convs=40, seed=5)
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    cuts = [0, mx // 3, (2 * mx) // 3, mx + 1]
+
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=8)
+    v = PreferencePairsView.create(spark, str(tmp_path / "v"))
+    for i in range(len(cuts) - 1):
+        seg = log.where((F.col("lsn") >= cuts[i]) & (F.col("lsn") < cuts[i + 1]))
+        h.apply(seg, epoch=i)
+        m = v.refresh(h)
+        assert m["mode"] == "refreshed"
+        # mid-log the view must equal the batch pairs over the prefix
+        prefix = log.where(F.col("lsn") < cuts[i + 1])
+        _pp_same(v.read(), preference_pairs(prefix))
+
+    _pp_same(v.read(), preference_pairs(log))
+    assert preference_pairs(log).count() > 0  # the gate is non-vacuous
+
+
+def test_pairs_view_refresh_noops_when_history_unchanged(spark, tmp_path):
+    from aqueduct_core_spark.functions.examples import PreferencePairsView
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.operators.scd2 import Scd2History
+
+    log = generate_changes(spark, n_convs=10, seed=6)
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=4)
+    v = PreferencePairsView.create(spark, str(tmp_path / "v"))
+    h.apply(log, epoch=0)
+    assert v.refresh(h)["mode"] == "refreshed"
+    assert v.refresh(h)["mode"] == "noop"
+    # re-delivered sink epoch -> no bucket rewrites -> still a no-op
+    h.apply(log, epoch=0)
+    assert v.refresh(h)["mode"] == "noop"
+
+
+def test_pairs_view_skipped_refresh_still_converges(spark, tmp_path):
+    """Refreshing only at the END of several epochs converges to the
+    same table — the mapping diff accumulates dirtiness."""
+    from aqueduct_core_spark.functions.examples import (
+        PreferencePairsView, preference_pairs,
+    )
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.operators.scd2 import Scd2History
+
+    log = generate_changes(spark, n_convs=30, seed=7)
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=8)
+    v = PreferencePairsView.create(spark, str(tmp_path / "v"))
+    h.apply(log.where(F.col("lsn") <= mx // 2), epoch=0)
+    h.apply(log.where(F.col("lsn") > mx // 2), epoch=1)  # no refresh between
+    v.refresh(h)
+    _pp_same(v.read(), preference_pairs(log))
+
+
+def test_pairs_view_crash_debris_overwritten(spark, tmp_path):
+    """A crash between the pair write and the meta swap leaves a dir at
+    the deterministic name; the re-refresh overwrites it."""
+    import os
+
+    from aqueduct_core_spark.functions.examples import (
+        PreferencePairsView, preference_pairs,
+    )
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.operators.scd2 import Scd2History
+
+    log = generate_changes(spark, n_convs=10, seed=8)
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=4)
+    v = PreferencePairsView.create(spark, str(tmp_path / "v"))
+    h.apply(log, epoch=0)
+    # simulate the crash: debris at the dir the next refresh will use
+    debris = os.path.join(str(tmp_path / "v"), f"data-he{h.last_epoch()}")
+    os.makedirs(os.path.join(debris, "_pbucket=0"), exist_ok=True)
+    with open(os.path.join(debris, "garbage"), "w") as f:
+        f.write("crash leftovers")
+    v.refresh(h)
+    _pp_same(v.read(), preference_pairs(log))
