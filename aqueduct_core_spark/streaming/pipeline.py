@@ -578,6 +578,7 @@ def _foreach_batch_fn(
     audits: dict | None = None,
     maintainers: list | None = None,
     history=None,
+    history_views: list | None = None,
 ):
     def fn(batch_df: DataFrame, batch_id: int):
         if audits:
@@ -613,6 +614,13 @@ def _foreach_batch_fn(
             # out-of-order batch fails the query loudly (OutOfOrderBatch)
             # rather than corrupting intervals
             m["scd2_history"] = history.apply(batch_df, epoch=batch_id)
+            # views derived from the history (e.g. functions.examples.
+            # PreferencePairsView) refresh on the same driver turn; a
+            # skipped/re-delivered epoch leaves the history's bucket
+            # mapping unchanged, so the refresh no-ops — exactly-once
+            # for free, same induction as the rollup above
+            for hv in history_views or []:
+                m[getattr(hv, "name", type(hv).__name__)] = hv.refresh(history)
         return m
 
     if record_metrics:
@@ -673,6 +681,7 @@ def start_stream(
     wire_format: str = "parquet",
     quarantine_dir: str | None = None,
     history=None,
+    history_views: list | None = None,
 ):
     """Continuous tail of a change-log directory via Structured
     Streaming.  Backpressure via ``maxFilesPerTrigger`` (the
@@ -725,7 +734,8 @@ def start_stream(
 
         inner = _foreach_batch_fn(table, cfg, record_metrics, rollup=rollup,
                                   audits=audits, maintainers=maintainers,
-                                  history=history)
+                                  history=history,
+                                  history_views=history_views)
 
         def fn(stamped: DataFrame, batch_id: int):
             ok = stamped.where(F.col(REASON_COLUMN).isNull()).drop(
@@ -754,7 +764,8 @@ def start_stream(
             stream = dedup_redeliveries(stream, dedup_within)
         batch_fn = _foreach_batch_fn(table, cfg, record_metrics, rollup=rollup,
                                      audits=audits, maintainers=maintainers,
-                                     history=history)
+                                     history=history,
+                                     history_views=history_views)
     else:
         raise ValueError(f"unknown wire_format {wire_format!r}")
 
@@ -786,6 +797,7 @@ def run_available_now(
     wire_format: str = "parquet",
     quarantine_dir: str | None = None,
     history=None,
+    history_views: list | None = None,
 ) -> None:
     """Drain everything currently in the log, then stop (the
     bootstrap / catch-up mode; reference BootstrapType PIPE replay)."""
@@ -805,6 +817,7 @@ def run_available_now(
         wire_format=wire_format,
         quarantine_dir=quarantine_dir,
         history=history,
+        history_views=history_views,
     )
     try:
         q.awaitTermination(timeout_s)

@@ -226,3 +226,44 @@ def test_pairs_view_crash_debris_overwritten(spark, tmp_path):
         f.write("crash leftovers")
     v.refresh(h)
     _pp_same(v.read(), preference_pairs(log))
+
+
+def test_pairs_view_rides_streaming_loop(spark, tmp_path):
+    """start_stream(history=..., history_views=[view]) keeps the pair
+    dataset fresh per micro-batch; a re-delivered run (fresh checkpoint)
+    no-ops both sidecars."""
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.functions.examples import (
+        PreferencePairsView, preference_pairs,
+    )
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.operators.scd2 import Scd2History
+    from aqueduct_core_spark.streaming.pipeline import run_available_now
+
+    log = generate_changes(spark, n_convs=30, seed=9)
+    # lsn-ordered files (the binlog-tail contract the history requires)
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    for i, (lo, hi) in enumerate([(0, mx // 2), (mx // 2, mx + 1)]):
+        (log.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+            .coalesce(1).write.parquet(str(tmp_path / "changes" / f"seg-{i}")))
+    src = str(tmp_path / "changes" / "seg-*")
+
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=4)
+    v = PreferencePairsView.create(spark, str(tmp_path / "v"))
+    cfg = EngineConfig(num_buckets=4)
+    run_available_now(
+        spark, table, src, str(tmp_path / "ck"), cfg,
+        max_files_per_trigger=1, history=h, history_views=[v],
+    )
+    _pp_same(v.read(), preference_pairs(log))
+
+    # re-delivery with a fresh checkpoint: everything no-ops
+    e0, p0 = h.last_epoch(), v._meta()["epoch"]
+    run_available_now(
+        spark, table, src, str(tmp_path / "ck2"), cfg,
+        max_files_per_trigger=1, history=h, history_views=[v],
+    )
+    assert (h.last_epoch(), v._meta()["epoch"]) == (e0, p0)
+    _pp_same(v.read(), preference_pairs(log))
