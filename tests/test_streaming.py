@@ -307,6 +307,10 @@ def test_full_topology_every_hook_at_once(spark, tmp_path):
         DedupIndex,
         DedupIndexMaintainer,
     )
+    from aqueduct_core_spark.functions.examples import (
+        PreferencePairsView,
+        preference_pairs,
+    )
     from aqueduct_core_spark.generator import generate_changes
     from aqueduct_core_spark.operators.merge import apply_batch
     from aqueduct_core_spark.operators.rollup import ConvRollup, conv_rollup
@@ -340,6 +344,7 @@ def test_full_topology_every_hook_at_once(spark, tmp_path):
     rollup = ConvRollup.create(spark, str(tmp_path / "r"), num_buckets=4)
     hist = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=4)
     ix = DedupIndex.create(spark, str(tmp_path / "ix"), num_parts=4)
+    pv = PreferencePairsView.create(spark, str(tmp_path / "pv"))
     cur = FeedCursor(table, state_path=str(tmp_path / "cur.json"))
     qdir = str(tmp_path / "dlq")
 
@@ -350,6 +355,7 @@ def test_full_topology_every_hook_at_once(spark, tmp_path):
         record_metrics=True,
         rollup=rollup,
         history=hist,
+        history_views=[pv],
         maintainers=[DedupIndexMaintainer(ix, cur)],
     )
     run_available_now(spark, table, str(src), str(tmp_path / "ck"), cfg, **kwargs)
@@ -375,6 +381,12 @@ def test_full_topology_every_hook_at_once(spark, tmp_path):
     assert ha.exceptAll(hb).count() == 0 and hb.exceptAll(ha).count() == 0
     assert hist.last_lsn() == mx
 
+    # the preference-pair view followed the history per batch
+    pa, pb = pv.read(), preference_pairs(log)
+    sel = ["conv_id", "turn_idx", "rejected_lsn", "chosen_lsn", "n_versions"]
+    assert pa.select(sel).exceptAll(pb.select(sel)).count() == 0
+    assert pb.select(sel).exceptAll(pa.select(sel)).count() == 0
+
     # dedup index rode every commit
     assert cur.version == table.catalog.current_version()
 
@@ -388,11 +400,13 @@ def test_full_topology_every_hook_at_once(spark, tmp_path):
     v0 = table.catalog.current_version()
     r0 = rollup.last_table_version()
     h0 = hist.read().count()
+    p0 = pv._meta()["epoch"]
     c0 = cur.version
     run_available_now(spark, table, str(src), str(tmp_path / "ck2"), cfg, **kwargs)
     assert table.catalog.current_version() == v0
     assert rollup.last_table_version() == r0
     assert hist.read().count() == h0 and hist.last_lsn() == mx
+    assert pv._meta()["epoch"] == p0
     assert cur.version == c0
 
 
