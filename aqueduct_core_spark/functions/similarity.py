@@ -787,6 +787,7 @@ def semantic_dedup(
     seed: int = 11,
     persist_assign: bool = True,
     min_input_partitions: int | None = None,
+    max_cell: int = 0,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings with the IVF coarse
@@ -812,6 +813,19 @@ def semantic_dedup(
     back — use :func:`aqueduct_core_spark.functions.dedup.dup_clusters`
     downstream when full transitive clusters are needed.
 
+    **Giant-cell cap** (``max_cell``, 0 = unlimited): a degenerate
+    corpus (10⁶ near-identical embeddings) lands one Voronoi cell whose
+    self-join would be quadratic.  Cells whose membership exceeds the
+    cap switch to STAR pairing — every member is cosine-checked against
+    the cell's min-id representative only — bounding that cell's work
+    to O(|cell|) while the canonical dedup outcome (everyone similar to
+    the rep drops with ``dup_of`` = rep) is preserved exactly on
+    identical-vector pileups.  The trade, identical to
+    ``functions.dedup.lsh_candidate_pairs``'s ``max_bucket``: inside an
+    over-cap cell, two vectors similar to each other but NOT to the rep
+    are missed.  A trained codebook (:func:`ivf_train`) is the
+    preventive fix; the cap is the guarantee.
+
     ``persist_assign`` caches the (id, vec, cell) projection so the
     self-join's two scans don't each recompute the ``n_cells`` dot
     products per vector (same rationale as ``near_dup_pairs``'s blocking
@@ -830,17 +844,38 @@ def semantic_dedup(
     if persist_assign:
         asg = asg.persist()
         asg.count()
+    small = asg
+    gdup = None
+    if max_cell:
+        # per-cell stats are <= n_cells rows: broadcast, never a shuffle
+        stats = asg.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("_n"), F.min("id").alias("_rep")
+        )
+        tagged = asg.join(F.broadcast(stats), "cell")
+        small = tagged.where(F.col("_n") <= max_cell).drop("_n", "_rep")
+        reps = asg.select(
+            F.col("id").alias("_rep"), F.col("vec").alias("_repvec")
+        )
+        gsim = round6(cosine_sim("vec", "_repvec", dim=dim))
+        gdup = (
+            tagged.where((F.col("_n") > max_cell) & (F.col("id") != F.col("_rep")))
+            .join(reps, "_rep")
+            .where(gsim >= threshold)
+            .select("id", F.col("_rep").alias("dup_of"))
+        )
     sim = round6(cosine_sim("a.vec", "b.vec", dim=dim))
     dup = (
-        asg.alias("a")
+        small.alias("a")
         .join(
-            asg.alias("b"),
+            small.alias("b"),
             (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") > F.col("b.id")),
         )
         .where(sim >= threshold)
         .groupBy(F.col("a.id").alias("id"))
         .agg(F.min(F.col("b.id")).alias("dup_of"))
     )
+    if gdup is not None:
+        dup = dup.unionByName(gdup)
     return asg.join(dup, "id", "left").select(
         F.col("id").alias(id_col),
         "cell",

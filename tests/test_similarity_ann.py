@@ -151,3 +151,38 @@ def test_semantic_dedup_dup_of_is_smallest_neighbor(spark):
         persist_assign=False,
     ).collect()}
     assert out == {1: None, 3: 1, 7: 1}
+
+
+def test_semantic_dedup_giant_cell_cap_star_pairing(spark):
+    """A degenerate pileup (many identical vectors in one cell) with
+    max_cell set completes via star pairing: every copy drops with
+    dup_of = the cell's min id, and work is O(|cell|), not |cell|²."""
+    from aqueduct_core_spark.functions.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(i, [7.0, 0.0]) for i in range(1, 2001)]      # degenerate cell 1
+    rows += [(9001, [0.0, 3.0]), (9002, [0.0, 3.0])]       # small cell 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, dim=2, threshold=0.99, centroids=cents,
+        persist_assign=False, max_cell=100,
+    )
+    got = {r.vec_id: (r.dup_of, r.keep) for r in out.collect()}
+    assert got[1] == (None, True)
+    assert all(got[i] == (1, False) for i in range(2, 2001))
+    # the under-cap cell still runs the full pairwise check
+    assert got[9001] == (None, True) and got[9002] == (9001, False)
+
+
+def test_semantic_dedup_cap_matches_uncapped_on_small_cells(spark):
+    from aqueduct_core_spark.functions.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(1, [10.0, 0.1]), (2, [5.0, 0.05]), (3, [1.0, 1.2]),
+            (4, [0.1, 9.0]), (5, [0.1, 9.05])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = semantic_dedup(df, dim=2, threshold=0.95, centroids=cents,
+                       persist_assign=False).collect()
+    b = semantic_dedup(df, dim=2, threshold=0.95, centroids=cents,
+                       persist_assign=False, max_cell=100).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
