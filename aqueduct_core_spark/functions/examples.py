@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 __all__ = [
     "sft_examples",
+    "sft_examples_view",
     "preference_pairs",
     "pairs_from_history",
     "PreferencePairsView",
@@ -298,3 +299,42 @@ class PreferencePairsView:
             "buckets_refreshed": len(dirty),
             "epoch": int(hmeta["epoch"]),
         }
+
+
+_SFT_SCHEMA = (
+    "conv_id string, turn_idx int, n_context_turns bigint, "
+    "context string, target string"
+)
+
+
+def sft_examples_view(
+    spark: SparkSession,
+    root: str,
+    target_role: str,
+    sep: str = "\n",
+    min_context_turns: int = 1,
+    num_buckets: int = 32,
+    create: bool = True,
+):
+    """Incrementally-maintained SFT example table: a
+    :class:`aqueduct_core_spark.operators.rollup.ConvView` whose
+    transform is :func:`sft_examples` — legal because the extraction is
+    conversation-local (the prefix window partitions by ``conv_id``),
+    so dirty-conversation recompute is exact.  ``refresh(table)``
+    matches the streaming loop's ``maintainers`` hook: pass the view in
+    ``start_stream(maintainers=[view])`` and the SFT dataset follows
+    the table per micro-batch, exactly-once by the table-version guard.
+    ``create=False`` reopens an existing view."""
+    from aqueduct_core_spark.operators.rollup import ConvView
+
+    def _tf(state: DataFrame) -> DataFrame:
+        return sft_examples(
+            state.select("conv_id", "turn_idx", "role", "text"),
+            target_role=target_role,
+            sep=sep,
+            min_context_turns=min_context_turns,
+        )
+
+    if create:
+        return ConvView.create(spark, root, _tf, _SFT_SCHEMA, num_buckets)
+    return ConvView(spark, root, _tf, _SFT_SCHEMA)

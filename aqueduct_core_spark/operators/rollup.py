@@ -61,14 +61,47 @@ def conv_rollup(state: DataFrame) -> DataFrame:
     )
 
 
-class ConvRollup:
-    """Bucket-partitioned materialization of :func:`conv_rollup`,
-    refreshed incrementally from a :class:`ParquetTranscriptTable`'s
-    change feed."""
+_ROLLUP_SCHEMA = (
+    "conv_id string, turns bigint, chars bigint, "
+    "first_ts timestamp, last_ts timestamp"
+)
 
-    def __init__(self, spark: SparkSession, root: str):
+
+class ConvView:
+    """Bucket-partitioned materialization of ANY conversation-local
+    transform of the merged state, refreshed incrementally from a
+    :class:`ParquetTranscriptTable`'s change feed.
+
+    ``transform(state) -> DataFrame`` must be CONVERSATION-LOCAL: the
+    output rows carrying ``conv_id = c`` may depend only on c's own
+    state rows (aggregations, windows or projections partitioned by
+    ``conv_id``).  That is what makes the dirty-conversation recompute
+    exact — a refresh re-runs the transform over just the conversations
+    the change feed touched and splices the result into the untouched
+    buckets.  Instances: :class:`ConvRollup` (per-conv aggregate),
+    :func:`aqueduct_core_spark.functions.examples.sft_examples_view`
+    (SFT example extraction).  ``refresh(table)`` matches the streaming
+    loop's generic ``maintainers`` hook, so any ConvView can ride the
+    apply loop per micro-batch.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, transform, schema: str):
         self.spark = spark
         self.root = root
+        self._transform = transform
+        self._schema = schema
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, root: str, transform, schema: str,
+        num_buckets: int = 32,
+    ) -> "ConvView":
+        os.makedirs(root, exist_ok=True)
+        v = cls(spark, root, transform, schema)
+        v._write_meta(
+            {"table_version": -1, "num_buckets": num_buckets, "bucket_dirs": {}}
+        )
+        return v
 
     # -- meta ------------------------------------------------------------
     @property
@@ -85,17 +118,6 @@ class ConvRollup:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path)
 
-    @classmethod
-    def create(
-        cls, spark: SparkSession, root: str, num_buckets: int = 32
-    ) -> "ConvRollup":
-        os.makedirs(root, exist_ok=True)
-        r = cls(spark, root)
-        r._write_meta(
-            {"table_version": -1, "num_buckets": num_buckets, "bucket_dirs": {}}
-        )
-        return r
-
     # -- read ------------------------------------------------------------
     def last_table_version(self) -> int:
         return int(self._meta()["table_version"])
@@ -110,11 +132,9 @@ class ConvRollup:
         ]
         paths = [p for p in paths if os.path.isdir(p)]
         if not paths:
-            return self.spark.createDataFrame(
-                [], "conv_id string, turns bigint, chars bigint, "
-                    "first_ts timestamp, last_ts timestamp"
-            )
-        return self.spark.read.parquet(*paths)
+            return self.spark.createDataFrame([], self._schema)
+        cols = [c.split()[0] for c in self._schema.split(", ")]
+        return self.spark.read.parquet(*paths).select(*cols)
 
     # -- refresh ----------------------------------------------------------
     def _bucket_col(self):
@@ -147,7 +167,7 @@ class ConvRollup:
 
         state = table.read()
         if dirty is not None:
-            fresh = conv_rollup(state.join(dirty, "conv_id", "leftsemi"))
+            fresh = self._transform(state.join(dirty, "conv_id", "leftsemi"))
             affected = sorted(
                 r[0]
                 for r in dirty.select(
@@ -168,7 +188,7 @@ class ConvRollup:
             else:
                 out = fresh
         else:
-            fresh = conv_rollup(state)
+            fresh = self._transform(state)
             affected = list(range(int(meta["num_buckets"])))
             out = fresh
 
@@ -205,6 +225,25 @@ class ConvRollup:
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
                 removed.append(d)
         return removed
+
+
+class ConvRollup(ConvView):
+    """The original per-conversation aggregate materialization —
+    :class:`ConvView` instantiated with :func:`conv_rollup`."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        super().__init__(spark, root, conv_rollup, _ROLLUP_SCHEMA)
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, root: str, num_buckets: int = 32
+    ) -> "ConvRollup":
+        os.makedirs(root, exist_ok=True)
+        r = cls(spark, root)
+        r._write_meta(
+            {"table_version": -1, "num_buckets": num_buckets, "bucket_dirs": {}}
+        )
+        return r
 
 
 def conversation_text(state: DataFrame, sep: str = "\n") -> DataFrame:

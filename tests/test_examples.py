@@ -267,3 +267,60 @@ def test_pairs_view_rides_streaming_loop(spark, tmp_path):
     )
     assert (h.last_epoch(), v._meta()["epoch"]) == (e0, p0)
     _pp_same(v.read(), preference_pairs(log))
+
+
+# ---------------------------------------------------------------------------
+# sft_examples_view (incremental ConvView instance)
+# ---------------------------------------------------------------------------
+
+def test_sft_view_incremental_equals_batch(spark, tmp_path):
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.functions.examples import (
+        sft_examples, sft_examples_view,
+    )
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.operators.merge import apply_batch
+
+    log = generate_changes(spark, n_convs=25, seed=13)
+    role = log.where(F.col("role").isNotNull()).select("role").first()[0]
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+
+    cfg = EngineConfig(num_buckets=4, mor_fold_every=10**9)
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
+    view = sft_examples_view(spark, str(tmp_path / "sft"), target_role=role,
+                             num_buckets=4)
+    for i, (lo, hi) in enumerate([(0, mx // 2), (mx // 2, mx + 1)]):
+        apply_batch(table, log.where((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+                    epoch=i, cfg=cfg)
+        m = view.refresh(table)
+        assert m["mode"] in ("incremental", "full")
+        state = table.read().select("conv_id", "turn_idx", "role", "text")
+        a, b = view.read(), sft_examples(state, target_role=role)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert view.refresh(table)["mode"] == "noop"
+
+
+def test_sft_view_rides_streaming_maintainers(spark, tmp_path):
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.functions.examples import (
+        sft_examples, sft_examples_view,
+    )
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.streaming.pipeline import run_available_now
+
+    log = generate_changes(spark, n_convs=20, seed=14)
+    role = log.where(F.col("role").isNotNull()).select("role").first()[0]
+    log.coalesce(2).write.parquet(str(tmp_path / "changes"))
+
+    cfg = EngineConfig(num_buckets=4)
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
+    view = sft_examples_view(spark, str(tmp_path / "sft"), target_role=role,
+                             num_buckets=4)
+    run_available_now(spark, table, str(tmp_path / "changes"),
+                      str(tmp_path / "ck"), cfg,
+                      max_files_per_trigger=1, maintainers=[view])
+    state = table.read().select("conv_id", "turn_idx", "role", "text")
+    a, b = view.read(), sft_examples(state, target_role=role)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
