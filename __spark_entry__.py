@@ -17,6 +17,8 @@ Query → SURVEY.md §2 operator map:
 cdc_merged_state            J1+J2/A2/W2 LWW resolution + hierarchical deletes
 cdc_apply_full              end-to-end engine replay: batching (W1/O2),
                             MERGE (J7), schema evolution, exactly-once commit
+cdc_erasure                 GDPR key erasure: atomic bucket-pruned rewrite
+                            dropping whole conversations from table + deltas
 cdc_lww_latest              A2 per-key argmax (tombstone winners included)
 cdc_page                    F1+F2+F3+F4+O1+O2 poll page
 cdc_byte_page               W1 running-size byte-budget cut
@@ -245,6 +247,42 @@ def _q_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
            start_epoch=0, start_lsn=0, lsn_bounds=(0, split - 1))
     replay(table, changes.where(F.col("lsn") >= split), cfg,
            lsn_bounds=(split, hi + 1))
+    return table.read_internal().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        F.col(LSN_COLUMN).alias("lsn"),
+    )
+
+
+def _q_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR key erasure on the live engine path: replay the full log
+    into a snapshot-committed table, then ``erase_conversations`` of
+    every conversation whose md5 starts with 'a' (~1/16 of keys,
+    deterministic and oracle-expressible) — one atomic, bucket-pruned
+    commit that also clears the touched buckets' MOR deltas.  Returns
+    the surviving state; the oracle proves both that the keys are gone
+    AND that every other conversation survived bit-identically."""
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.operators.erase import erase_conversations
+    from aqueduct_core_spark.schema import LSN_COLUMN
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    changes = load_changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="aqueduct_erasure_")
+    table = ParquetTranscriptTable.create(spark, root, num_buckets=16)
+    cfg = EngineConfig(
+        num_buckets=16,
+        max_events_per_trigger=300_000,
+        max_bytes_per_trigger=96 * 1024 * 1024,
+    )
+    replay(table, changes, cfg)
+    keys = [
+        r[0]
+        for r in changes.select("conv_id").distinct()
+        .where(F.substring(F.md5(F.col("conv_id")), 1, 1) == "a")
+        .collect()
+    ]
+    erase_conversations(table, keys)
     return table.read_internal().select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         F.col(LSN_COLUMN).alias("lsn"),
@@ -2270,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_merged_state": _q_merged_state,
         "cdc_apply_full": _q_apply_full,
+        "cdc_erasure": _q_erasure,
         "cdc_lww_latest": _q_lww_latest,
         "cdc_point_lookup": _q_point_lookup,
         "cdc_rollback": _q_rollback,
@@ -2497,6 +2536,13 @@ SELECT probe_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
 
     out = {
         "cdc_merged_state": state_sql,
+        "cdc_erasure": oracle(
+            _STATE_BODY
+            + """
+SELECT conv_id, turn_idx, role, text, tool, ts, lsn FROM state
+WHERE substr(md5(conv_id), 1, 1) <> 'a'
+"""
+        ),
         "cdc_apply_full": apply_full,
         "cdc_lww_latest": lww_latest,
         "cdc_rollback": oracle(

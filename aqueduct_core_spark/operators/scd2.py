@@ -301,15 +301,85 @@ class Scd2History:
         self._write_meta(meta)
         return {"epoch": epoch, "mode": "pruned", "pruned": n_before - n_after}
 
+    def erase(self, conv_ids: list[str]) -> dict:
+        """Key erasure (GDPR): drop EVERY interval of the given
+        conversations — open and closed — from the history.  The SCD2
+        sink is precisely where superseded text survives by design, so
+        a compliance erasure that stops at the transcript table leaves
+        the payload alive here; see
+        :mod:`aqueduct_core_spark.operators.erase`.
+
+        Bucket-granular like ``apply``'s dirty-bucket rewrites: only
+        the buckets that can hold the keys are read and rewritten (one
+        generation dir + atomic meta swap); idempotent — re-running is
+        a no-op rewrite — so no epoch counter is needed.  Crash debris
+        is swept by :meth:`expire`.
+        """
+        import uuid as _uuid
+
+        from aqueduct_core_spark.catalog.table import bucket_of
+
+        if not conv_ids:
+            raise ValueError("erase: empty key list")
+        meta = self._meta()
+        n_buckets = int(meta["num_buckets"])
+        touched = sorted({bucket_of(c, n_buckets) for c in conv_ids})
+        paths = [
+            os.path.join(self.root, meta["bucket_dirs"][str(b)], f"{_BUCKET}={b}")
+            for b in touched
+            if str(b) in meta["bucket_dirs"]
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return {"mode": "noop", "erased": 0, "buckets_rewritten": 0}
+        keys = self.spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
+        before = self.spark.read.parquet(*paths)
+        kept = before.select(*_COLS).join(F.broadcast(keys), "conv_id", "left_anti")
+        n_before = before.count()
+        n_after = kept.count()
+        out_dir = f"erase-{_uuid.uuid4().hex[:8]}"
+        (
+            kept.withColumn(_BUCKET, self._bucket_col())
+            .repartition(len(touched), F.col(_BUCKET))
+            .write.mode("overwrite").partitionBy(_BUCKET)
+            .parquet(os.path.join(self.root, out_dir))
+        )
+        for b in touched:
+            meta["bucket_dirs"][str(b)] = out_dir
+        self._write_meta(meta)
+        # compliance sweep: a superseded generation dir may still be
+        # live for OTHER buckets, so expire() won't remove it — but the
+        # touched buckets' subdirs inside it are dead for reads the
+        # moment the meta swap lands (reads resolve via bucket_dirs
+        # only) and still hold the erased text.  Delete them physically.
+        # Idempotent: a crash here just leaves debris the next erase or
+        # expire() sweep removes.
+        for d in os.listdir(self.root):
+            if not (d.startswith("data-e") or d.startswith("prune-e")
+                    or d.startswith("erase-")):
+                continue
+            if d == out_dir:
+                continue
+            for b in touched:
+                shutil.rmtree(
+                    os.path.join(self.root, d, f"{_BUCKET}={b}"),
+                    ignore_errors=True,
+                )
+        return {
+            "mode": "erased",
+            "erased": n_before - n_after,
+            "buckets_rewritten": len(touched),
+        }
+
     def expire(self) -> list[str]:
-        """Remove data-e*/prune-e* generation dirs no bucket references
-        anymore."""
+        """Remove data-e*/prune-e*/erase-* generation dirs no bucket
+        references anymore."""
         meta = self._meta()
         live = set(meta["bucket_dirs"].values())
         removed = []
         for d in os.listdir(self.root):
             if (
-                (d.startswith("data-e") or d.startswith("prune-e"))
+                (d.startswith("data-e") or d.startswith("prune-e") or d.startswith("erase-"))
                 and d not in live
             ):
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)

@@ -1,0 +1,179 @@
+"""Key erasure across every engine-owned storage surface.
+
+The reference keeps deletion tombstones on purpose (late consumers must
+converge — SQLiteQueries.java:54-55); GDPR erasure is the opposite
+contract: the payload must stop existing — in the table's live files,
+in the change log it would be replayed from, and in the SCD2 history
+that keeps superseded text by design.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+from aqueduct_core_spark.config import EngineConfig
+from aqueduct_core_spark.generator import generate_changes
+from aqueduct_core_spark.operators.erase import erase_conversations, erase_from_log
+from aqueduct_core_spark.streaming.pipeline import replay
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def applied_table(spark, tmp_path):
+    root = str(tmp_path / "transcripts")
+    table = ParquetTranscriptTable.create(spark, root, num_buckets=8)
+    log = generate_changes(spark, n_convs=120, seed=31)
+    replay(table, log, EngineConfig(num_buckets=8))
+    return table, log
+
+
+def _pick_keys(table, n=3):
+    """Deterministic erasure targets that are alive in the final state."""
+    return [
+        r[0]
+        for r in table.read()
+        .select("conv_id")
+        .distinct()
+        .orderBy("conv_id")
+        .limit(n)
+        .collect()
+    ]
+
+
+def test_erase_removes_keys_and_preserves_everything_else(spark, applied_table):
+    table, _ = applied_table
+    keys = _pick_keys(table)
+    before = table.read()
+    others_before = _rows(before.join(
+        spark.createDataFrame([(k,) for k in keys], "conv_id string"),
+        "conv_id", "left_anti"))
+    wm_epoch, wm_lsn = table.last_committed_epoch(), table.last_committed_lsn()
+
+    report = erase_conversations(table, keys)
+    assert report["keys"] == len(keys)
+
+    after = table.read()
+    assert after.where(F.col("conv_id").isin(keys)).count() == 0
+    assert _rows(after) == others_before  # untouched convs bit-identical
+    # point lookup path agrees
+    assert table.read_conversation(keys[0]).count() == 0
+    # exactly-once watermark untouched: erasure rewrites history,
+    # it does not ban the future
+    assert table.last_committed_epoch() == wm_epoch
+    assert table.last_committed_lsn() == wm_lsn
+
+
+def test_erase_purge_physically_removes_text(spark, applied_table):
+    table, _ = applied_table
+    keys = _pick_keys(table, n=2)
+    marker = keys[0].encode()
+
+    def files_with_marker():
+        hits = []
+        for dirpath, _, files in os.walk(table.root):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    if marker in f.read():
+                        hits.append(os.path.join(dirpath, fn))
+        return hits
+
+    assert files_with_marker()  # present before
+    erase_conversations(table, keys, purge=True)
+    # purge expired old snapshots + swept their files: the key's bytes
+    # are gone from disk, not just from the current manifest
+    assert files_with_marker() == []
+    # and the table still reads fine
+    assert table.read().count() > 0
+
+
+def test_erase_conflicts_with_racing_epoch(spark, applied_table):
+    """The erase commit is pinned to the snapshot it read — a writer
+    landing mid-erase must surface as CommitConflict, never be
+    silently dropped by the bucket replace."""
+    from aqueduct_core_spark.catalog.snapshot import CommitConflict
+
+    table, log = applied_table
+    keys = _pick_keys(table)
+    snap = table.catalog.current()
+    # another writer lands first
+    replay(table, generate_changes(spark, n_convs=10, seed=77)
+           .withColumn("lsn", F.col("lsn") + F.lit(10_000_000)),
+           EngineConfig(num_buckets=8))
+    kept = (
+        table.read_internal()
+        .join(F.broadcast(spark.createDataFrame([(k,) for k in keys], "conv_id string")),
+              "conv_id", "left_anti")
+    )
+    from aqueduct_core_spark.catalog.table import BUCKET_COLUMN, bucket_expr
+    files = table.write_bucket_data(
+        kept.withColumn(BUCKET_COLUMN, bucket_expr(table.num_buckets)), label="erase")
+    with pytest.raises(CommitConflict):
+        table.catalog.commit(snap, replaced_buckets=files)
+
+
+def test_erase_from_log_prevents_resurrection(spark, tmp_path):
+    log = generate_changes(spark, n_convs=80, seed=13)
+    log_dir = str(tmp_path / "log")
+    log.repartition(6, "lsn").write.parquet(log_dir)
+
+    keys = [r[0] for r in spark.read.parquet(log_dir)
+            .select("conv_id").distinct().orderBy("conv_id").limit(3).collect()]
+    n_key_rows = spark.read.parquet(log_dir).where(F.col("conv_id").isin(keys)).count()
+    others_before = _rows(
+        spark.read.parquet(log_dir).where(~F.col("conv_id").isin(keys)))
+
+    report = erase_from_log(spark, log_dir, keys)
+    assert report["rows_erased"] == n_key_rows
+    assert report["files_rewritten"] + report["files_removed"] >= 1
+
+    cleaned = spark.read.parquet(log_dir)
+    assert cleaned.where(F.col("conv_id").isin(keys)).count() == 0
+    assert _rows(cleaned) == others_before  # other rows byte-identical
+
+    # bootstrap from the cleaned log: the keys stay gone
+    root = str(tmp_path / "t2")
+    table = ParquetTranscriptTable.create(spark, root, num_buckets=8)
+    replay(table, cleaned, EngineConfig(num_buckets=8))
+    assert table.read().where(F.col("conv_id").isin(keys)).count() == 0
+
+    # idempotent: rerun no-ops
+    again = erase_from_log(spark, log_dir, keys)
+    assert again == {"files_rewritten": 0, "files_removed": 0, "rows_erased": 0}
+
+
+def test_erase_scd2_history(spark, tmp_path):
+    from aqueduct_core_spark.operators.scd2 import Scd2History
+
+    log = generate_changes(spark, n_convs=60, seed=19)
+    split = int(log.agg(F.max("lsn")).collect()[0][0]) // 2
+    h = Scd2History.create(spark, str(tmp_path / "hist"), num_buckets=8)
+    h.apply(log.where(F.col("lsn") < split), epoch=0)
+    h.apply(log.where(F.col("lsn") >= split), epoch=1)
+
+    keys = [r[0] for r in h.read().select("conv_id").distinct()
+            .orderBy("conv_id").limit(2).collect()]
+    others = _rows(h.read().where(~F.col("conv_id").isin(keys)))
+    n_key = h.read().where(F.col("conv_id").isin(keys)).count()
+    assert n_key > 0
+
+    report = h.erase(keys)
+    assert report["mode"] == "erased"
+    assert report["erased"] == n_key
+    assert h.read().where(F.col("conv_id").isin(keys)).count() == 0
+    assert _rows(h.read().where(~F.col("conv_id").isin(keys))) == others
+
+    # old generation dirs (still holding the text) sweep away
+    h.expire()
+    marker = keys[0].encode()
+    for dirpath, _, files in os.walk(str(tmp_path / "hist")):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    assert marker not in f.read()
