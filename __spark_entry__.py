@@ -19,6 +19,8 @@ cdc_apply_full              end-to-end engine replay: batching (W1/O2),
                             MERGE (J7), schema evolution, exactly-once commit
 cdc_erasure                 GDPR key erasure: atomic bucket-pruned rewrite
                             dropping whole conversations from table + deltas
+cdc_version_diff            row-level semantic diff between two snapshot
+                            versions (manifest-pruned, hash-only shuffle)
 cdc_lww_latest              A2 per-key argmax (tombstone winners included)
 cdc_page                    F1+F2+F3+F4+O1+O2 poll page
 cdc_byte_page               W1 running-size byte-budget cut
@@ -287,6 +289,35 @@ def _q_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         F.col(LSN_COLUMN).alias("lsn"),
     )
+
+
+def _q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level semantic diff between two snapshot versions: replay
+    the log's first half, pin that version, replay the rest, then
+    ``version_diff(v_mid → current)`` — added/removed/changed keys with
+    both sides' lsn.  Manifest-pruned to buckets whose file lists
+    differ; each side reduces to (key, lsn, hash) before the join so
+    transcript text never shuffles.  Works across folds/rewrites where
+    the delta-based feed fails loud."""
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.operators.antientropy import version_diff
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    changes = load_changes(spark, sf_dir)
+    split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
+    root = tempfile.mkdtemp(prefix="aqueduct_vdiff_")
+    table = ParquetTranscriptTable.create(spark, root, num_buckets=16)
+    cfg = EngineConfig(
+        num_buckets=16,
+        max_events_per_trigger=300_000,
+        max_bytes_per_trigger=96 * 1024 * 1024,
+    )
+    replay(table, changes.where(F.col("lsn") < split), cfg,
+           start_epoch=0, start_lsn=0, lsn_bounds=(0, split - 1))
+    v_mid = table.catalog.current_version()
+    replay(table, changes.where(F.col("lsn") >= split), cfg)
+    return version_diff(table, v_mid)
 
 
 def _q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2309,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merged_state": _q_merged_state,
         "cdc_apply_full": _q_apply_full,
         "cdc_erasure": _q_erasure,
+        "cdc_version_diff": _q_version_diff,
         "cdc_lww_latest": _q_lww_latest,
         "cdc_point_lookup": _q_point_lookup,
         "cdc_rollback": _q_rollback,
@@ -2536,6 +2568,49 @@ SELECT probe_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
 
     out = {
         "cdc_merged_state": state_sql,
+        "cdc_version_diff": oracle(
+            """
+split AS (SELECT max(lsn) // 2 AS s FROM changes),
+t1 AS (SELECT * FROM changes WHERE lsn < (SELECT s FROM split)),
+cd1 AS (
+  SELECT conv_id, max(lsn) AS dl FROM t1
+  WHERE turn_idx IS NULL AND op = 'D' GROUP BY conv_id
+),
+w1 AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM t1 WHERE turn_idx IS NOT NULL
+),
+s1 AS (
+  SELECT w1.conv_id, w1.turn_idx, w1.lsn
+  FROM w1 LEFT JOIN cd1 ON w1.conv_id = cd1.conv_id
+  WHERE rn = 1 AND op <> 'D' AND (dl IS NULL OR w1.lsn > dl)
+),
+cd2 AS (
+  SELECT conv_id, max(lsn) AS dl FROM changes
+  WHERE turn_idx IS NULL AND op = 'D' GROUP BY conv_id
+),
+w2 AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes WHERE turn_idx IS NOT NULL
+),
+s2 AS (
+  SELECT w2.conv_id, w2.turn_idx, w2.lsn
+  FROM w2 LEFT JOIN cd2 ON w2.conv_id = cd2.conv_id
+  WHERE rn = 1 AND op <> 'D' AND (dl IS NULL OR w2.lsn > dl)
+)
+SELECT
+  coalesce(s1.conv_id, s2.conv_id) AS conv_id,
+  coalesce(s1.turn_idx, s2.turn_idx) AS turn_idx,
+  CASE WHEN s1.conv_id IS NULL THEN 'added'
+       WHEN s2.conv_id IS NULL THEN 'removed'
+       ELSE 'changed' END AS change,
+  s1.lsn AS lsn_from,
+  s2.lsn AS lsn_to
+FROM s1 FULL OUTER JOIN s2
+  ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx
+WHERE s1.conv_id IS NULL OR s2.conv_id IS NULL OR s1.lsn <> s2.lsn
+"""
+        ),
         "cdc_erasure": oracle(
             _STATE_BODY
             + """

@@ -187,3 +187,76 @@ def repair_replica(
         "buckets": buckets,
         "snapshot_id": out["snapshot_id"],
     }
+
+
+def version_diff(
+    table: ParquetTranscriptTable,
+    v_from: int | str,
+    v_to: int | str | None = None,
+) -> DataFrame:
+    """Row-level semantic diff between two snapshot VERSIONS of one
+    table: one row per key added / removed / changed from ``v_from``
+    to ``v_to`` (default: current), with both sides' lsn.  Versions
+    accept ids or tag names (``catalog.resolve``).
+
+    This answers "what changed between two training-data releases"
+    where the delta-based feed cannot: ``changes_between`` fails loud
+    across folds / rewrites / rebuckets / erasures (base-file replaces
+    are not delta-expressible), while a diff of two pinned reads is
+    always well-defined.  The cost model keeps it honest at scale:
+
+    - **Manifest prune**: a bucket whose base-file AND delta-file lists
+      are identical in both manifests is provably identical and never
+      read; only changed buckets enter the join.  (A fold re-lists
+      files without changing content — such buckets are re-read and
+      diff empty; the prune is a superset of the true change set, the
+      answer exact either way.  A rebucket changes the layout wholesale
+      → full compare, no prune.)
+    - **Hash-only shuffle**: each side reduces to (key, lsn, 64-bit row
+      hash) before the full-outer join — transcript text never
+      shuffles, same as :func:`key_diff`.
+    """
+    cat = table.catalog
+    va = cat.resolve(v_from)
+    vb = cat.resolve(v_to) if v_to is not None else cat.current_version()
+    sa, sb = cat.load(va), cat.load(vb)
+    buckets = None
+    if sa["summary"].get("aqueduct.num-buckets") == sb["summary"].get(
+        "aqueduct.num-buckets"
+    ):
+        da, db = sa.get("delta_files", {}), sb.get("delta_files", {})
+        keys = set(sa["files"]) | set(sb["files"]) | set(da) | set(db)
+        buckets = sorted(
+            int(b)
+            for b in keys
+            if sa["files"].get(b) != sb["files"].get(b) or da.get(b) != db.get(b)
+        )
+    a = table.read_internal(buckets, version=va)
+    b = table.read_internal(buckets, version=vb)
+    payload = [c for c in b.columns if c not in (*KEY_COLUMNS, LSN_COLUMN)]
+    hcols = [*KEY_COLUMNS, LSN_COLUMN, *payload]
+    fa = a.select(
+        *KEY_COLUMNS,
+        F.col(LSN_COLUMN).alias("lsn_from"),
+        _row_hash(hcols).alias("_hf"),
+    )
+    fb = b.select(
+        *KEY_COLUMNS,
+        F.col(LSN_COLUMN).alias("lsn_to"),
+        _row_hash(hcols).alias("_ht"),
+    )
+    j = fa.join(fb, on=list(KEY_COLUMNS), how="full_outer")
+    change = (
+        F.when(F.col("_hf").isNull(), F.lit("added"))
+        .when(F.col("_ht").isNull(), F.lit("removed"))
+        .when(
+            (F.col("_hf") != F.col("_ht"))
+            | (F.col("lsn_from") != F.col("lsn_to")),
+            F.lit("changed"),
+        )
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(*KEY_COLUMNS, "change", "lsn_from", "lsn_to")
+    )
