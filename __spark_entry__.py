@@ -21,6 +21,8 @@ cdc_erasure                 GDPR key erasure: atomic bucket-pruned rewrite
                             dropping whole conversations from table + deltas
 cdc_version_diff            row-level semantic diff between two snapshot
                             versions (manifest-pruned, hash-only shuffle)
+cdc_redaction               corpus-wide in-place text redaction (atomic
+                            rewrite; keys/lsns invariant)
 cdc_lww_latest              A2 per-key argmax (tombstone winners included)
 cdc_page                    F1+F2+F3+F4+O1+O2 poll page
 cdc_byte_page               W1 running-size byte-budget cut
@@ -285,6 +287,34 @@ def _q_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     erase_conversations(table, keys)
+    return table.read_internal().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        F.col(LSN_COLUMN).alias("lsn"),
+    )
+
+
+def _q_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide in-place redaction on the live engine path: replay
+    the full log, then ``redact_conversations`` rewrites every row's
+    text with ``regexp_replace('[0-9]+' → '<num>')`` in one atomic
+    commit (keys/lsns invariant, MOR deltas folded in the same commit);
+    returns the redacted state."""
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.operators.erase import redact_conversations
+    from aqueduct_core_spark.schema import LSN_COLUMN
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    changes = load_changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="aqueduct_redact_")
+    table = ParquetTranscriptTable.create(spark, root, num_buckets=16)
+    cfg = EngineConfig(
+        num_buckets=16,
+        max_events_per_trigger=300_000,
+        max_bytes_per_trigger=96 * 1024 * 1024,
+    )
+    replay(table, changes, cfg)
+    redact_conversations(table, r"[0-9]+", "<num>")
     return table.read_internal().select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         F.col(LSN_COLUMN).alias("lsn"),
@@ -2341,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_full": _q_apply_full,
         "cdc_erasure": _q_erasure,
         "cdc_version_diff": _q_version_diff,
+        "cdc_redaction": _q_redaction,
         "cdc_lww_latest": _q_lww_latest,
         "cdc_point_lookup": _q_point_lookup,
         "cdc_rollback": _q_rollback,
@@ -2568,6 +2599,15 @@ SELECT probe_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
 
     out = {
         "cdc_merged_state": state_sql,
+        "cdc_redaction": oracle(
+            _STATE_BODY
+            + """
+SELECT conv_id, turn_idx, role,
+       regexp_replace(text, '[0-9]+', '<num>', 'g') AS text,
+       tool, ts, lsn
+FROM state
+"""
+        ),
         "cdc_version_diff": oracle(
             """
 split AS (SELECT max(lsn) // 2 AS s FROM changes),

@@ -1,63 +1,68 @@
-"""Key erasure: remove every trace of a conversation from the engine.
+"""Key erasure & in-place redaction: compliance ops for every surface.
 
-The compliance operation the reference cannot express: its deletion
+The compliance operations the reference cannot express: its deletion
 tombstones (``data IS NULL`` — pipe-storage-sqlite/.../SQLiteQueries.java:54-55)
 *mark* a key dead but deliberately keep the marker (and every replica's
-compacted copy) so late consumers converge; GDPR/CCPA erasure demands
-the opposite — the key's payload bytes must stop existing on every
-storage surface, including the log the engine would otherwise replay it
-back from.  This module provides erasure for each surface the engine
-owns:
+compacted copy) so late consumers converge; GDPR/CCPA obligations demand
+the opposite — the payload bytes must stop existing (erasure) or change
+in place (redaction of PII discovered in historical transcripts) on
+every storage surface, including the log the engine would otherwise
+replay them back from.  This module provides both for each surface the
+engine owns:
 
-- :func:`erase_conversations` — the transcript TABLE: a bucket-pruned
-  rewrite of exactly the buckets that can hold the keys (driver-side
-  ``bucket_of`` mirror of the layout hash), dropping the keys' rows
-  from the resolved slice and clearing those buckets' MOR deltas in
-  the SAME atomic snapshot commit (the ``fold_deltas`` shape with an
-  anti-join added — a delta file may carry the key's text, so folding
-  the bucket is what physically evicts it from the live file set).
-  The exactly-once epoch/lsn watermark is intentionally untouched:
-  erasure rewrites history, it does not ban the future — a *new* event
-  for the key (lsn above the watermark) ingests normally.
-- :func:`erase_from_log` — the change LOG: without this, any bootstrap
-  or replay resurrects the key.  One scan locates the files that hold
-  the key (erasure requests are rare; at 10^10 events you pay one
-  pruned scan, and a demuxed/bucket-routed log bounds the blast radius
-  to its route), ONE job rewrites all affected files (grouped by source
-  file, dynamic-partition write — never a job per file), then each
-  rewritten file atomically replaces its original (``os.replace``).
-  Per-file lsn ranges are preserved, so footer-statistics trigger
+- :func:`erase_conversations` / :func:`redact_conversations` — the
+  transcript TABLE: a bucket-pruned rewrite of exactly the buckets that
+  can hold the keys (driver-side ``bucket_of`` mirror of the layout
+  hash; redaction of the whole table reads every bucket, there is no
+  smaller correct read), dropping or transforming the keys' rows in the
+  resolved slice and clearing those buckets' MOR deltas in the SAME
+  atomic snapshot commit (a delta file may carry the affected text, so
+  folding the bucket is what physically evicts it from the live file
+  set).  The exactly-once epoch/lsn watermark is intentionally
+  untouched: these ops rewrite history, they do not ban the future — a
+  *new* event for the key (lsn above the watermark) ingests normally.
+- :func:`erase_from_log` / :func:`redact_log` — the change LOG: without
+  this, any bootstrap or replay resurrects the original bytes.  One
+  scan locates the files that hold matches (these ops are rare; at
+  10^10 events you pay one scan, and a demuxed/bucket-routed log bounds
+  the blast radius to its route), ONE job rewrites all affected files
+  (grouped by source file, dynamic-partition write — never a job per
+  file), then each rewritten file atomically replaces its original
+  (``os.replace``).  Row keys and lsns are preserved by redaction and
+  per-file lsn ranges by both ops, so footer-statistics trigger
   planning (``plan_triggers_from_files``) is undisturbed.  A file left
-  empty is removed.  Crash mid-swap is safe: rerunning converges
-  (the rewrite is idempotent) and every intermediate state is a valid
-  log — a file is either the original or its filtered replacement.
+  empty by erasure is removed.  Crash mid-swap is safe: rerunning
+  converges (both rewrites are idempotent) and every intermediate state
+  is a valid log — a file is either the original or its rewritten
+  replacement.
 - :meth:`~aqueduct_core_spark.operators.scd2.Scd2History.erase` — the
   SCD2 HISTORY sink keeps superseded text by design, so erasure must
   reach it too (see :mod:`aqueduct_core_spark.operators.scd2`).
 
-What erasure does NOT silently do (documented sharp edges):
+What these ops do NOT silently do (documented sharp edges):
 
-- **Old snapshots still reference the old files.**  The erase commit
-  removes the key from the *current* file set; time travel to an older
-  version still reads it.  Physical deletion completes when
-  ``expire_snapshots`` + ``cleanup_orphans`` run — pass ``purge=True``
-  to do both inline (retaining only the erase snapshot), at the cost of
-  time travel and of any lagging feed consumer (same retention trade
-  every lakehouse makes; Iceberg erasure runbooks are identical).
-- **The table-level change feed cannot span the erase commit** — a
-  base-file replace is not delta-expressible, so ``changes_between``
-  across it fails loud and a ``FeedCursor`` resyncs, exactly as for
+- **Old snapshots still reference the old files.**  The commit removes
+  or rewrites the rows in the *current* file set; time travel to an
+  older version still reads the originals.  Physical deletion completes
+  when ``expire_snapshots`` + ``cleanup_orphans`` run — pass
+  ``purge=True`` to do both inline (retaining only the new snapshot),
+  at the cost of time travel and of any lagging feed consumer (the same
+  retention trade every lakehouse makes; Iceberg erasure runbooks are
+  identical).
+- **The table-level change feed cannot span the commit** — a base-file
+  replace is not delta-expressible, so ``changes_between`` across it
+  fails loud and a ``FeedCursor`` resyncs, exactly as for
   ``fold_deltas``.  (Correct for compliance, too: the feed must not
-  re-publish the erased text.)
+  re-publish the affected text.)
 - **Derived tables are the caller's list to walk**: SCD2 histories
   (``history.erase``), materialized views (a ``ConvView.refresh`` after
-  the erase commit full-recomputes and drops the key), dedup indexes
-  (``DedupIndex.remove``), backups (re-export or delete).
+  the commit full-recomputes), dedup indexes (``DedupIndex.remove``),
+  backups (re-export or delete).
 
-Keys are driver-resident by contract (an erasure request arrives as an
-explicit key list); they travel to executors as a broadcast anti-join
-side, never as a literal IN tree, so a million-key request plans the
-same as a ten-key one.
+Keys are driver-resident by contract (a compliance request arrives as
+an explicit key list); they travel to executors as a broadcast
+anti/semi-join side, never as a literal IN tree, so a million-key
+request plans the same as a ten-key one.
 """
 
 from __future__ import annotations
@@ -79,7 +84,7 @@ from aqueduct_core_spark.operators.compact import expire_snapshots
 
 def _keys_df(spark: SparkSession, conv_ids: list[str]) -> DataFrame:
     if not conv_ids:
-        raise ValueError("erase: empty key list")
+        raise ValueError("erase/redact: empty key list")
     return spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
 
 
@@ -118,47 +123,123 @@ def erase_conversations(
     return report
 
 
-def erase_from_log(
-    spark: SparkSession, log_dir: str, conv_ids: list[str]
+def redact_conversations(
+    table: ParquetTranscriptTable,
+    pattern: str,
+    replacement: str,
+    conv_ids: list[str] | None = None,
+    purge: bool = False,
 ) -> dict:
-    """Erase the keys' rows from an on-disk parquet change log by
-    rewriting ONLY the files that contain them (one locate scan + one
-    rewrite job + per-file atomic swap).  Quiesce replays of this log
-    while it runs — same operational contract as
+    """In-place redaction of historical transcript text: rewrite
+    ``text`` with ``regexp_replace(pattern, replacement)`` for the
+    given conversations (or the whole table when ``conv_ids`` is None —
+    "PII class discovered corpus-wide") in one atomic commit.  Keys,
+    lsns and every other column are untouched, so downstream diffs see
+    exactly the redacted rows as ``changed``.  Same retention/feed
+    consequences as :func:`erase_conversations`; ``purge=True``
+    completes physical deletion of the unredacted bytes."""
+    spark = table.spark
+    snap = table.catalog.current()
+    if conv_ids is None:
+        buckets = sorted(
+            {int(b) for b in snap["files"]}
+            | {int(b) for b in snap.get("delta_files", {})}
+        )
+        resolved = table.read_internal(buckets)
+        redacted = resolved.withColumn(
+            "text", F.regexp_replace("text", pattern, replacement)
+        )
+    else:
+        keys = _keys_df(spark, conv_ids)
+        buckets = sorted({bucket_of(c, table.num_buckets) for c in conv_ids})
+        resolved = table.read_internal(buckets)
+        flagged = resolved.join(
+            F.broadcast(keys.withColumn("_redact", F.lit(True))),
+            "conv_id",
+            "left",
+        )
+        redacted = flagged.withColumn(
+            "text",
+            F.when(
+                F.col("_redact"),
+                F.regexp_replace("text", pattern, replacement),
+            ).otherwise(F.col("text")),
+        ).drop("_redact")
+    new_files = table.write_bucket_data(
+        redacted.withColumn(BUCKET_COLUMN, bucket_expr(table.num_buckets)),
+        label="redact",
+    )
+    replaced = {str(b): new_files.get(str(b), []) for b in buckets}
+    out = table.catalog.commit(
+        snap,
+        replaced_buckets=replaced,
+        clear_delta_buckets=[str(b) for b in buckets],
+        summary_updates={"aqueduct.last-redact-keys": len(conv_ids or [])},
+    )
+    report = {
+        "snapshot_id": out["snapshot_id"],
+        "buckets": len(buckets),
+        "purged_files": 0,
+    }
+    if purge:
+        report["purged_files"] = expire_snapshots(table, keep_last=1)
+    return report
+
+
+def _drop_crc(path: str) -> None:
+    # Hadoop LocalFileSystem keeps a `.name.crc` checksum sidecar;
+    # after swapping the data bytes it is stale and poisons reads
+    crc = os.path.join(os.path.dirname(path), f".{os.path.basename(path)}.crc")
+    try:
+        os.remove(crc)
+    except FileNotFoundError:
+        pass
+
+
+def _rewrite_log(
+    spark: SparkSession,
+    log_dir: str,
+    locate,
+    transform,
+    label: str,
+) -> dict:
+    """Shared log-file rewrite kernel: ``locate(log) -> DataFrame``
+    selects rows whose files must be rewritten; ``transform(df) -> df``
+    maps the affected files' rows (a filter for erasure, a projection
+    for redaction).  One locate scan + ONE grouped rewrite job +
+    per-file atomic swap; per-file lsn ranges preserved.  Quiesce
+    replays of this log while it runs — same operational contract as
     ``remove_orphan_files`` (a reader that already planned its epochs
     may hold the old file bytes; the next replay sees the clean log).
     """
-    keys = _keys_df(spark, conv_ids)
     log = spark.read.parquet(log_dir)
     affected = [
         r[0]
-        for r in (
-            log.join(F.broadcast(keys), "conv_id", "left_semi")
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
-        )
+        for r in locate(log).select(F.input_file_name().alias("f")).distinct().collect()
     ]
     if not affected:
-        return {"files_rewritten": 0, "files_removed": 0, "rows_erased": 0}
+        return {"files_rewritten": 0, "files_removed": 0, "rows_before": 0,
+                "rows_after": 0}
     paths = [f.removeprefix("file:") for f in affected]
     rows_before = spark.read.parquet(*paths).count()
 
     # one job for ALL affected files: tag each row with its source file
-    # index, anti-join the keys away, dynamic-partition write by tag —
-    # the per-source-file output preserves each file's lsn range so
+    # index, apply the transform, dynamic-partition write by tag — the
+    # per-source-file output preserves each file's lsn range so
     # footer-stat trigger planning still sees the same epoch boundaries.
     idx = {f: i for i, f in enumerate(affected)}
     mapping = F.create_map(
         *[x for f, i in idx.items() for x in (F.lit(f), F.lit(i))]
     )
-    stage = os.path.join(log_dir, f".erase-{uuid.uuid4().hex[:8]}")
+    stage = os.path.join(log_dir, f".{label}-{uuid.uuid4().hex[:8]}")
     (
-        spark.read.parquet(*paths)
-        .withColumn("_src", mapping[F.input_file_name()])
-        .join(F.broadcast(keys), "conv_id", "left_anti")
-        # the join hoists the key column; restore the log's column order
-        # so replacement files are schema-identical to their originals
+        transform(
+            spark.read.parquet(*paths).withColumn(
+                "_src", mapping[F.input_file_name()]
+            )
+        )
+        # a transform may reorder columns (joins hoist keys); restore
+        # the log's order so replacements are schema-identical
         .select("_src", *log.columns)
         .repartition(len(affected), F.col("_src"))
         .sortWithinPartitions("_src", "lsn")
@@ -167,16 +248,6 @@ def erase_from_log(
     )
     rewritten = removed = 0
     rows_after = 0
-
-    def _drop_crc(path: str) -> None:
-        # Hadoop LocalFileSystem keeps a `.name.crc` checksum sidecar;
-        # after swapping the data bytes it is stale and poisons reads
-        crc = os.path.join(os.path.dirname(path), f".{os.path.basename(path)}.crc")
-        try:
-            os.remove(crc)
-        except FileNotFoundError:
-            pass
-
     try:
         for f, i in idx.items():
             target = f.removeprefix("file:")
@@ -187,7 +258,7 @@ def erase_from_log(
                 else []
             )
             if not parts:
-                # every row of this file belonged to erased keys
+                # every row of this file was dropped by the transform
                 os.remove(target)
                 _drop_crc(target)
                 removed += 1
@@ -204,5 +275,73 @@ def erase_from_log(
     return {
         "files_rewritten": rewritten,
         "files_removed": removed,
-        "rows_erased": rows_before - rows_after,
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+    }
+
+
+def erase_from_log(
+    spark: SparkSession, log_dir: str, conv_ids: list[str]
+) -> dict:
+    """Erase the keys' rows from an on-disk parquet change log; see
+    :func:`_rewrite_log` for the protocol and operational contract."""
+    keys = _keys_df(spark, conv_ids)
+    out = _rewrite_log(
+        spark,
+        log_dir,
+        locate=lambda log: log.join(F.broadcast(keys), "conv_id", "left_semi"),
+        transform=lambda df: df.join(F.broadcast(keys), "conv_id", "left_anti"),
+        label="erase",
+    )
+    return {
+        "files_rewritten": out["files_rewritten"],
+        "files_removed": out["files_removed"],
+        "rows_erased": out["rows_before"] - out["rows_after"],
+    }
+
+
+def redact_log(
+    spark: SparkSession,
+    log_dir: str,
+    pattern: str,
+    replacement: str,
+    conv_ids: list[str] | None = None,
+) -> dict:
+    """Redact ``text`` in the change log itself (replay must not
+    resurrect the unredacted bytes): rewrite matching files applying
+    ``regexp_replace`` — scoped to the given keys, or to every file
+    whose text matches the pattern when ``conv_ids`` is None.  Row
+    count, keys and lsns are invariant (``files_removed`` is always 0);
+    see :func:`_rewrite_log` for the protocol."""
+    if conv_ids is None:
+        locate = lambda log: log.where(F.col("text").rlike(pattern))  # noqa: E731
+        redact = F.regexp_replace("text", pattern, replacement)
+    else:
+        keys = _keys_df(spark, conv_ids)
+        locate = lambda log: log.join(  # noqa: E731
+            F.broadcast(keys), "conv_id", "left_semi"
+        ).where(F.col("text").rlike(pattern))
+
+    def transform(df: DataFrame) -> DataFrame:
+        if conv_ids is None:
+            return df.withColumn("text", redact)
+        keys_flag = _keys_df(spark, conv_ids).withColumn("_redact", F.lit(True))
+        return (
+            df.join(F.broadcast(keys_flag), "conv_id", "left")
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("_redact"),
+                    F.regexp_replace("text", pattern, replacement),
+                ).otherwise(F.col("text")),
+            )
+            .drop("_redact")
+        )
+
+    out = _rewrite_log(spark, log_dir, locate=locate, transform=transform,
+                       label="redact")
+    assert out["files_removed"] == 0, "redaction must never drop a file"
+    return {
+        "files_rewritten": out["files_rewritten"],
+        "rows_rewritten": out["rows_after"] if out["files_rewritten"] else 0,
     }

@@ -177,3 +177,59 @@ def test_erase_scd2_history(spark, tmp_path):
             if fn.endswith(".parquet"):
                 with open(os.path.join(dirpath, fn), "rb") as f:
                     assert marker not in f.read()
+
+
+def test_redact_table_whole_and_scoped(spark, applied_table):
+    from aqueduct_core_spark.operators.erase import redact_conversations
+
+    table, _ = applied_table
+    keys = _pick_keys(table, n=2)
+    before = {(r[0], r[1]): (r[2], r[3]) for r in
+              table.read().select("conv_id", "turn_idx", "text", "role").collect()}
+    wm = (table.last_committed_epoch(), table.last_committed_lsn())
+
+    # scoped: only the named conversations' text changes
+    redact_conversations(table, r"[0-9]+", "<num>", conv_ids=keys)
+    mid = {(r[0], r[1]): (r[2], r[3]) for r in
+           table.read().select("conv_id", "turn_idx", "text", "role").collect()}
+    assert set(mid) == set(before)  # no row added/removed
+    for k, (text, role) in mid.items():
+        if k[0] in keys:
+            assert text is None or not any(c.isdigit() for c in text)
+        else:
+            assert (text, role) == before[k]
+
+    # corpus-wide: every row's text is scrubbed
+    redact_conversations(table, r"[0-9]+", "<num>")
+    for r in table.read().select("text").collect():
+        assert r[0] is None or not any(c.isdigit() for c in r[0])
+    # watermark untouched by both commits
+    assert (table.last_committed_epoch(), table.last_committed_lsn()) == wm
+
+
+def test_redact_log_then_replay_matches_table_redaction(spark, tmp_path):
+    from aqueduct_core_spark.operators.erase import (
+        redact_conversations,
+        redact_log,
+    )
+
+    log = generate_changes(spark, n_convs=60, seed=7)
+    log_dir = str(tmp_path / "log")
+    log.repartition(4, "lsn").write.parquet(log_dir)
+
+    # table A: replay then redact in place
+    ta = ParquetTranscriptTable.create(spark, str(tmp_path / "ta"), num_buckets=8)
+    replay(ta, spark.read.parquet(log_dir), EngineConfig(num_buckets=8))
+    redact_conversations(ta, r"[0-9]+", "<num>")
+
+    # log redaction, then table B replays the clean log
+    rep = redact_log(spark, log_dir, r"[0-9]+", "<num>")
+    assert rep["files_rewritten"] >= 1
+    cleaned = spark.read.parquet(log_dir)
+    assert cleaned.count() == log.count()  # row-invariant
+    for r in cleaned.select("text").collect():
+        assert r[0] is None or not any(c.isdigit() for c in r[0])
+
+    tb = ParquetTranscriptTable.create(spark, str(tmp_path / "tb"), num_buckets=8)
+    replay(tb, cleaned, EngineConfig(num_buckets=8))
+    assert _rows(ta.read()) == _rows(tb.read())
