@@ -246,6 +246,23 @@ class SnapshotCatalog:
             os.fsync(f.fileno())
         return version
 
+    def delete_tag(self, name: str) -> int:
+        """Release a named ref (the ONLY mutation tags support — the
+        ref itself is immutable, deletion just stops it from retaining
+        its snapshot).  Needed by compliance flows: a tagged version
+        pins its files through ``expire_snapshots``, so an
+        erase/redact ``purge`` cannot physically delete bytes a tag
+        still references — the operator deletes the tag, then
+        re-purges.  Returns the version the tag pointed at."""
+        path = os.path.join(self._refs_dir(), f"{name}.json")
+        try:
+            with open(path) as f:
+                version = int(json.load(f)["version"])
+        except FileNotFoundError as e:
+            raise KeyError(f"no tag {name!r}") from e
+        os.remove(path)
+        return version
+
     def tags(self) -> dict[str, int]:
         d = self._refs_dir()
         if not os.path.isdir(d):

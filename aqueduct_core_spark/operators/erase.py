@@ -120,7 +120,22 @@ def erase_conversations(
     }
     if purge:
         report["purged_files"] = expire_snapshots(table, keep_last=1)
+        report["retained_by_tags"] = _retaining_tags(table, out["snapshot_id"])
     return report
+
+
+def _retaining_tags(table: ParquetTranscriptTable, new_version: int) -> dict:
+    """Tags pinning PRE-compliance-commit snapshots: ``expire_snapshots``
+    retains tagged versions, so those files (still holding the
+    original bytes) survive a purge.  The report surfaces them instead
+    of silently claiming physical deletion; the operator decides —
+    ``catalog.delete_tag(name)`` then re-run ``expire_snapshots`` +
+    ``cleanup_orphans`` to complete deletion."""
+    return {
+        name: v
+        for name, v in table.catalog.tags().items()
+        if v < new_version
+    }
 
 
 def redact_conversations(
@@ -183,6 +198,7 @@ def redact_conversations(
     }
     if purge:
         report["purged_files"] = expire_snapshots(table, keep_last=1)
+        report["retained_by_tags"] = _retaining_tags(table, out["snapshot_id"])
     return report
 
 

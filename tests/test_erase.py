@@ -233,3 +233,35 @@ def test_redact_log_then_replay_matches_table_redaction(spark, tmp_path):
     tb = ParquetTranscriptTable.create(spark, str(tmp_path / "tb"), num_buckets=8)
     replay(tb, cleaned, EngineConfig(num_buckets=8))
     assert _rows(ta.read()) == _rows(tb.read())
+
+
+def test_purge_reports_tag_retention_and_delete_tag_releases(spark, applied_table):
+    """A tagged snapshot pins its files through expire_snapshots: the
+    purge must REPORT the retention instead of silently claiming
+    physical deletion; delete_tag + re-expire completes it."""
+    from aqueduct_core_spark.operators.compact import expire_snapshots
+
+    table, _ = applied_table
+    keys = _pick_keys(table, n=1)
+    marker = keys[0].encode()
+    table.catalog.tag("release-1")  # pins the pre-erase version
+
+    def marker_on_disk():
+        for dirpath, _, files in os.walk(table.root):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    with open(os.path.join(dirpath, fn), "rb") as f:
+                        if marker in f.read():
+                            return True
+        return False
+
+    report = erase_conversations(table, keys, purge=True)
+    assert report["retained_by_tags"] == {"release-1": report["snapshot_id"] - 1}
+    assert marker_on_disk()  # honest: the tag still holds the bytes
+    # the tagged version still reads the key (that's what a tag means)
+    assert (table.read_as_of("release-1")
+            .where(F.col("conv_id").isin(keys)).count() > 0)
+
+    assert table.catalog.delete_tag("release-1") == report["snapshot_id"] - 1
+    expire_snapshots(table, keep_last=1)
+    assert not marker_on_disk()  # now physically gone
