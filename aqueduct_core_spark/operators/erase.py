@@ -88,6 +88,19 @@ def _keys_df(spark: SparkSession, conv_ids: list[str]) -> DataFrame:
     return spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
 
 
+def _keys_digest(conv_ids: list[str]) -> str:
+    """Order-insensitive sha256 over the key set — the audit stamp for
+    an erasure commit (records WHICH keys were erased without storing
+    the keys, which would itself retain the erased identifiers)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for c in sorted(set(conv_ids)):
+        h.update(c.encode())
+        h.update(b"\x00")
+    return f"sha256:{h.hexdigest()}:{len(set(conv_ids))}"
+
+
 def erase_conversations(
     table: ParquetTranscriptTable, conv_ids: list[str], purge: bool = False
 ) -> dict:
@@ -110,7 +123,14 @@ def erase_conversations(
         snap,
         replaced_buckets=replaced,
         clear_delta_buckets=[str(b) for b in buckets],
-        summary_updates={"aqueduct.last-erase-keys": len(conv_ids)},
+        summary_updates={
+            "aqueduct.last-erase-keys": len(conv_ids),
+            # audit stamp: PROOF an erasure of exactly this key set
+            # landed in this commit, without the stamp itself retaining
+            # the identifiers it erased (a GDPR audit presents the key
+            # list out-of-band and checks the digest)
+            "aqueduct.last-erase-audit": _keys_digest(conv_ids),
+        },
     )
     report = {
         "snapshot_id": out["snapshot_id"],

@@ -265,3 +265,18 @@ def test_purge_reports_tag_retention_and_delete_tag_releases(spark, applied_tabl
     assert table.catalog.delete_tag("release-1") == report["snapshot_id"] - 1
     expire_snapshots(table, keep_last=1)
     assert not marker_on_disk()  # now physically gone
+
+
+def test_erase_audit_stamp(spark, applied_table):
+    """The erase commit carries an order-insensitive digest of the key
+    set: an auditor presenting the key list out-of-band can verify the
+    erasure landed, while the stamp itself retains no identifiers."""
+    from aqueduct_core_spark.operators.erase import _keys_digest
+
+    table, _ = applied_table
+    keys = _pick_keys(table, n=2)
+    report = erase_conversations(table, keys)
+    summary = table.catalog.load(report["snapshot_id"])["summary"]
+    assert summary["aqueduct.last-erase-audit"] == _keys_digest(list(reversed(keys)))
+    for k in keys:
+        assert k not in summary["aqueduct.last-erase-audit"]
