@@ -263,16 +263,20 @@ def _rewrite_log(
     # index, apply the transform, dynamic-partition write by tag — the
     # per-source-file output preserves each file's lsn range so
     # footer-stat trigger planning still sees the same epoch boundaries.
+    # The file→index mapping travels as a broadcast join side, not a
+    # literal map expression: a match touching 10^4 files must not grow
+    # the plan tree with it.
     idx = {f: i for i, f in enumerate(affected)}
-    mapping = F.create_map(
-        *[x for f, i in idx.items() for x in (F.lit(f), F.lit(i))]
+    files_df = spark.createDataFrame(
+        [(f, i) for f, i in idx.items()], "_f string, _src int"
     )
     stage = os.path.join(log_dir, f".{label}-{uuid.uuid4().hex[:8]}")
     (
         transform(
-            spark.read.parquet(*paths).withColumn(
-                "_src", mapping[F.input_file_name()]
-            )
+            spark.read.parquet(*paths)
+            .withColumn("_f", F.input_file_name())
+            .join(F.broadcast(files_df), "_f")
+            .drop("_f")
         )
         # a transform may reorder columns (joins hoist keys); restore
         # the log's order so replacements are schema-identical
