@@ -54,10 +54,14 @@ What these ops do NOT silently do (documented sharp edges):
   fails loud and a ``FeedCursor`` resyncs, exactly as for
   ``fold_deltas``.  (Correct for compliance, too: the feed must not
   re-publish the affected text.)
-- **Derived tables are the caller's list to walk**: SCD2 histories
+- **Derived tables must each be walked**: SCD2 histories
   (``history.erase``), materialized views (a ``ConvView.refresh`` after
-  the commit full-recomputes), dedup indexes (``DedupIndex.remove``),
-  backups (re-export or delete).
+  the commit full-recomputes), dedup indexes (``DedupIndex.remove`` +
+  ``compact``), backups (re-export or delete).
+  :func:`erase_everywhere` sweeps every surface registered with it in
+  one call; surfaces outside this driver (downstream sites fed by a
+  ``FeedPublisher``, exported backups) remain the operator's
+  obligation.
 
 Keys are driver-resident by contract (a compliance request arrives as
 an explicit key list); they travel to executors as a broadcast
@@ -385,3 +389,50 @@ def redact_log(
         "files_rewritten": out["files_rewritten"],
         "rows_rewritten": out["rows_after"] if out["files_rewritten"] else 0,
     }
+
+
+def erase_everywhere(
+    spark: SparkSession,
+    conv_ids: list[str],
+    tables: list[ParquetTranscriptTable] = (),
+    log_dirs: list[str] = (),
+    histories: list = (),
+    views: list[tuple] = (),
+    indexes: list = (),
+    purge: bool = False,
+) -> dict:
+    """One-call compliance sweep: walk EVERY registered surface for the
+    key set — the deployment-shaped entry point (a GDPR request names
+    keys, not storage internals).  Order matters and is fixed:
+
+    1. ``tables`` — :func:`erase_conversations` each (atomic commits);
+    2. ``log_dirs`` — :func:`erase_from_log` each (no resurrection);
+    3. ``histories`` — ``Scd2History.erase`` each;
+    4. ``views`` — ``(table, view)`` pairs refreshed AFTER their
+       table's erase commit (the base-replace forces the view's full
+       recompute, which drops the keys);
+    5. ``indexes`` — ``DedupIndex.remove`` + ``compact`` (a tombstone
+       alone retracts matches but keeps bytes; compact reclaims them).
+
+    Returns the per-surface reports keyed by surface kind.  Surfaces
+    this engine does not own (downstream sites fed by a
+    ``FeedPublisher``, exported backups) remain the operator's list —
+    erasure is a fleet-wide obligation, and this helper covers exactly
+    the surfaces reachable from this driver.
+    """
+    report: dict = {"keys": len(conv_ids), "tables": [], "logs": [],
+                    "histories": [], "views": [], "indexes": []}
+    for t in tables:
+        report["tables"].append(erase_conversations(t, conv_ids, purge=purge))
+    for d in log_dirs:
+        report["logs"].append(erase_from_log(spark, d, conv_ids))
+    for h in histories:
+        report["histories"].append(h.erase(conv_ids))
+    for t, v in views:
+        report["views"].append(v.refresh(t))
+    for ix in indexes:
+        ids = spark.createDataFrame([(c,) for c in conv_ids], "doc_id string")
+        removed = ix.remove(ids)
+        compacted = ix.compact()
+        report["indexes"].append({"removed": removed, "compacted": compacted})
+    return report

@@ -280,3 +280,46 @@ def test_erase_audit_stamp(spark, applied_table):
     assert summary["aqueduct.last-erase-audit"] == _keys_digest(list(reversed(keys)))
     for k in keys:
         assert k not in summary["aqueduct.last-erase-audit"]
+
+
+def test_erase_everywhere_sweeps_all_surfaces(spark, tmp_path):
+    """The one-call compliance sweep: table, log, SCD2 history,
+    materialized view and dedup index all stop knowing the keys."""
+    from aqueduct_core_spark.functions.dedup_index import DedupIndex
+    from aqueduct_core_spark.operators.erase import erase_everywhere
+    from aqueduct_core_spark.operators.rollup import ConvRollup
+    from aqueduct_core_spark.operators.scd2 import Scd2History
+
+    log = generate_changes(spark, n_convs=80, seed=47)
+    log_dir = str(tmp_path / "log")
+    log.repartition(4, "lsn").write.parquet(log_dir)
+
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=8)
+    replay(table, spark.read.parquet(log_dir), EngineConfig(num_buckets=8))
+    hist = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=8)
+    hist.apply(spark.read.parquet(log_dir), epoch=0)
+    view = ConvRollup.create(spark, str(tmp_path / "v"), num_buckets=8)
+    view.refresh(table)
+    index = DedupIndex.create(spark, str(tmp_path / "ix"), num_parts=4)
+    from aqueduct_core_spark.operators.rollup import conversation_text
+    index.add(
+        conversation_text(table.read())
+        .select(F.col("conv_id").alias("doc_id"), F.col("conv_text").alias("text"))
+    )
+
+    keys = _pick_keys(table, n=2)
+    report = erase_everywhere(
+        spark, keys,
+        tables=[table], log_dirs=[log_dir], histories=[hist],
+        views=[(table, view)], indexes=[index],
+    )
+    assert len(report["tables"]) == len(report["logs"]) == 1
+
+    assert table.read().where(F.col("conv_id").isin(keys)).count() == 0
+    assert spark.read.parquet(log_dir).where(F.col("conv_id").isin(keys)).count() == 0
+    assert hist.read().where(F.col("conv_id").isin(keys)).count() == 0
+    assert view.read().where(F.col("conv_id").isin(keys)).count() == 0
+    probe = spark.createDataFrame([(k, "x") for k in keys], "doc_id string, text string")
+    # retraction: the erased ids no longer match as historical members
+    hits = index.check(probe)
+    assert hits.where(F.col("id_indexed").isin(keys)).count() == 0
