@@ -347,16 +347,24 @@ class Scd2History:
         for b in touched:
             meta["bucket_dirs"][str(b)] = out_dir
         self._write_meta(meta)
-        # compliance sweep: a superseded generation dir may still be
-        # live for OTHER buckets, so expire() won't remove it — but the
-        # touched buckets' subdirs inside it are dead for reads the
-        # moment the meta swap lands (reads resolve via bucket_dirs
-        # only) and still hold the erased text.  Delete them physically.
-        # Idempotent: a crash here just leaves debris the next erase or
-        # expire() sweep removes.
+        self._sweep_superseded(touched, out_dir)
+        return {
+            "mode": "erased",
+            "erased": n_before - n_after,
+            "buckets_rewritten": len(touched),
+        }
+
+    def _sweep_superseded(self, touched: list[int], out_dir: str) -> None:
+        """Compliance sweep: a superseded generation dir may still be
+        live for OTHER buckets, so expire() won't remove it — but the
+        touched buckets' subdirs inside it are dead for reads the
+        moment the meta swap lands (reads resolve via bucket_dirs
+        only) and still hold the original text.  Delete them
+        physically.  Idempotent: a crash here just leaves debris the
+        next compliance op or expire() sweep removes."""
         for d in os.listdir(self.root):
             if not (d.startswith("data-e") or d.startswith("prune-e")
-                    or d.startswith("erase-")):
+                    or d.startswith("erase-") or d.startswith("redact-")):
                 continue
             if d == out_dir:
                 continue
@@ -365,11 +373,68 @@ class Scd2History:
                     os.path.join(self.root, d, f"{_BUCKET}={b}"),
                     ignore_errors=True,
                 )
-        return {
-            "mode": "erased",
-            "erased": n_before - n_after,
-            "buckets_rewritten": len(touched),
-        }
+
+    def redact(
+        self,
+        pattern: str,
+        replacement: str,
+        conv_ids: list[str] | None = None,
+    ) -> dict:
+        """In-place redaction of history text — open AND superseded
+        versions (the whole point: the history keeps text the live
+        table no longer shows).  ``regexp_replace`` scoped to the
+        given keys, or corpus-wide when ``conv_ids`` is None.  Row
+        count, keys, lsns and interval bounds are invariant; same
+        bucket-granular rewrite + physical sweep as :meth:`erase`,
+        idempotent for any pattern whose replacement is a fixed
+        point (e.g. a replacement that the pattern cannot re-match)."""
+        import uuid as _uuid
+
+        from aqueduct_core_spark.catalog.table import bucket_of
+
+        meta = self._meta()
+        n_buckets = int(meta["num_buckets"])
+        if conv_ids is None:
+            touched = sorted(int(b) for b in meta["bucket_dirs"])
+        else:
+            if not conv_ids:
+                raise ValueError("redact: empty key list")
+            touched = sorted({bucket_of(c, n_buckets) for c in conv_ids})
+        paths = [
+            os.path.join(self.root, meta["bucket_dirs"][str(b)], f"{_BUCKET}={b}")
+            for b in touched
+            if str(b) in meta["bucket_dirs"]
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return {"mode": "noop", "buckets_rewritten": 0}
+        df = self.spark.read.parquet(*paths).select(*_COLS)
+        red = F.regexp_replace("text", pattern, replacement)
+        if conv_ids is None:
+            out = df.withColumn("text", red)
+        else:
+            keys = self.spark.createDataFrame(
+                [(c, True) for c in conv_ids], "conv_id string, _redact boolean"
+            )
+            out = (
+                df.join(F.broadcast(keys), "conv_id", "left")
+                .withColumn("text", F.when(F.col("_redact"), red)
+                            .otherwise(F.col("text")))
+                .drop("_redact")
+                .select(*_COLS)
+            )
+        out_dir = f"redact-{_uuid.uuid4().hex[:8]}"
+        (
+            out.withColumn(_BUCKET, self._bucket_col())
+            .repartition(len(touched), F.col(_BUCKET))
+            .write.mode("overwrite").partitionBy(_BUCKET)
+            .parquet(os.path.join(self.root, out_dir))
+        )
+        for b in touched:
+            meta["bucket_dirs"][str(b)] = out_dir
+        self._write_meta(meta)
+        self._sweep_superseded(touched, out_dir)
+        return {"mode": "redacted", "buckets_rewritten": len(touched)}
 
     def expire(self) -> list[str]:
         """Remove data-e*/prune-e*/erase-* generation dirs no bucket
@@ -379,7 +444,8 @@ class Scd2History:
         removed = []
         for d in os.listdir(self.root):
             if (
-                (d.startswith("data-e") or d.startswith("prune-e") or d.startswith("erase-"))
+                (d.startswith("data-e") or d.startswith("prune-e")
+                 or d.startswith("erase-") or d.startswith("redact-"))
                 and d not in live
             ):
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)

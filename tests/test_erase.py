@@ -323,3 +323,36 @@ def test_erase_everywhere_sweeps_all_surfaces(spark, tmp_path):
     # retraction: the erased ids no longer match as historical members
     hits = index.check(probe)
     assert hits.where(F.col("id_indexed").isin(keys)).count() == 0
+
+
+def test_redact_scd2_history_reaches_superseded_versions(spark, tmp_path):
+    """The history is where superseded text lives — redaction must
+    rewrite CLOSED versions too, with intervals/keys/lsns invariant."""
+    from aqueduct_core_spark.operators.scd2 import Scd2History
+
+    log = generate_changes(spark, n_convs=50, seed=11)
+    split = int(log.agg(F.max("lsn")).collect()[0][0]) // 2
+    h = Scd2History.create(spark, str(tmp_path / "hist"), num_buckets=8)
+    h.apply(log.where(F.col("lsn") < split), epoch=0)
+    h.apply(log.where(F.col("lsn") >= split), epoch=1)
+
+    before = h.read().cache()
+    skeleton_before = _rows(before.drop("text"))
+    assert before.where(~F.col("is_current")
+                        & F.col("text").rlike("[0-9]")).count() > 0
+
+    rep = h.redact(r"[0-9]+", "<num>")
+    assert rep["mode"] == "redacted"
+    after = h.read().cache()
+    # every version — open and closed — scrubbed; everything else intact
+    assert after.where(F.col("text").rlike("[0-9]")).count() == 0
+    assert _rows(after.drop("text")) == skeleton_before
+
+    # physical: no current or superseded generation file keeps digits
+    # inside an 'evt' payload marker after the sweep
+    h.expire()
+    for dirpath, _, files in os.walk(str(tmp_path / "hist")):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    assert b"evt 1" not in f.read()
