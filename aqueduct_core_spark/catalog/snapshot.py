@@ -86,6 +86,7 @@ class SnapshotCatalog:
         base: dict,
         replaced_buckets: dict[str, list[str]] | None = None,
         added_offsets_files: list[str] | None = None,
+        replace_offsets_files: list[str] | None = None,
         summary_updates: dict | None = None,
         schema_fields: list[dict] | None = None,
         full_files: dict[str, list[str]] | None = None,
@@ -105,7 +106,11 @@ class SnapshotCatalog:
         MOR analog); ``clear_deltas`` drops all deltas (full rewrite);
         ``clear_delta_buckets`` drops only the named buckets' deltas
         (incremental fold — Iceberg's per-partition
-        ``rewrite_data_files``).
+        ``rewrite_data_files``); ``replace_offsets_files`` swaps the
+        whole offsets-log file list (offsets compaction — the metrics
+        log is itself log-structured and must not grow one file per
+        epoch forever), with ``added_offsets_files`` still appended
+        after the swap.
 
         ``publish=False`` stages the snapshot WITHOUT advancing the
         ``VERSION`` pointer (write-audit-publish, the Iceberg WAP
@@ -133,7 +138,12 @@ class SnapshotCatalog:
             "schema": schema_fields or base["schema"],
             "files": files,
             "delta_files": deltas,
-            "offsets_files": base["offsets_files"] + list(added_offsets_files or []),
+            "offsets_files": (
+                list(replace_offsets_files)
+                if replace_offsets_files is not None
+                else base["offsets_files"]
+            )
+            + list(added_offsets_files or []),
             "summary": {**base["summary"], **(summary_updates or {})},
         }
         # rename/drop metadata (logical name mapping — Iceberg's

@@ -445,6 +445,50 @@ def remove_orphan_files(table: ParquetTranscriptTable, older_than_s: float = 360
     return removed
 
 
+def compact_offsets(table: ParquetTranscriptTable, keep_last: int = 16) -> dict:
+    """Compact the offsets/metrics log: merge all but the newest
+    ``keep_last`` per-epoch bookkeeping files into ONE parquet file and
+    commit the swapped file list.
+
+    Why it exists: every epoch commit appends one tiny offsets file, so
+    a 10^10-event replay at 10^6-event triggers leaves ~10^4 files that
+    every manifest lists and every :meth:`read_offsets` opens — the
+    same small-file decay Iceberg's metadata has, solved the same way
+    (the offsets log is itself log-structured; compaction is a rewrite
+    commit).  Row content is preserved exactly; exactly-once bookkeeping
+    is untouched (``last_committed_epoch``/``max-lsn`` live in the
+    manifest summary, not in these files).  The newest ``keep_last``
+    files stay as-is so a compaction racing an in-flight epoch commit
+    conflicts on the manifest claim, never on file content.  A later
+    compaction folds the previous merged file again — the list stays
+    O(keep_last) forever.  Old files become unreferenced by the NEW
+    manifest only; they free via ``expire_snapshots`` + orphan sweep
+    like any superseded data file (time travel keeps working)."""
+    import os
+    import uuid
+
+    from aqueduct_core_spark.schema import OFFSETS_SCHEMA
+
+    snap = table.catalog.current()
+    files = list(snap["offsets_files"])
+    if len(files) <= max(0, int(keep_last)) + 1:
+        return {"compacted": 0, "files": len(files)}
+    cut = len(files) - int(keep_last)
+    old, tail = files[:cut], files[cut:]
+    df = table.spark.read.schema(OFFSETS_SCHEMA).parquet(
+        *[os.path.join(table.root, p) for p in old]
+    )
+    rel = os.path.join("offsets", f"compacted-{uuid.uuid4().hex[:8]}")
+    out_dir = os.path.join(table.root, rel)
+    # one file: the whole log is one row per epoch — tiny by definition
+    df.coalesce(1).write.option("compression", table.codec).parquet(out_dir)
+    merged = [
+        os.path.join(rel, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
+    ]
+    table.catalog.commit(base=snap, replace_offsets_files=merged + tail)
+    return {"compacted": len(old), "files": len(merged) + len(tail)}
+
+
 def maintain(
     table: ParquetTranscriptTable,
     fold_if_delta_epochs: int = 1,
@@ -452,6 +496,7 @@ def maintain(
     keep_snapshots: int = 5,
     orphan_older_than_s: float = 3600,
     consumers: list | None = None,
+    compact_offsets_if_files: int = 64,
 ) -> dict:
     """One-call table maintenance (the policy loop a scheduler runs —
     reference analog: the scheduled compaction + VACUUM tasks,
@@ -464,10 +509,13 @@ def maintain(
     2. **rewrite** small files when the average files-per-bucket
        exceeds ``rewrite_if_files_per_bucket`` (full clustered rewrite,
        the expensive step — threshold accordingly);
-    3. **expire** old snapshot manifests beyond ``keep_snapshots``
+    3. **offsets-compact** the per-epoch bookkeeping log once it
+       exceeds ``compact_offsets_if_files`` files (keeps the newest
+       quarter, merges the rest into one file);
+    4. **expire** old snapshot manifests beyond ``keep_snapshots``
        (tagged versions always retained) and delete their
        newly-unreferenced files;
-    4. **orphan-clean** crash debris older than ``orphan_older_than_s``
+    5. **orphan-clean** crash debris older than ``orphan_older_than_s``
        (in-flight epochs structurally protected).
 
     Every step is individually race-safe (pinned commits fail loud with
@@ -502,6 +550,14 @@ def maintain(
         out["rewrite"] = rewrite_data_files(table)
     else:
         out["rewrite"] = {"rewritten": False, "files_per_bucket": nfiles / buckets}
+
+    n_offsets = len(table.catalog.current()["offsets_files"])
+    if n_offsets > max(1, int(compact_offsets_if_files)):
+        out["offsets"] = compact_offsets(
+            table, keep_last=max(1, compact_offsets_if_files // 4)
+        )
+    else:
+        out["offsets"] = {"compacted": 0, "files": n_offsets}
 
     out["expired_files_removed"] = expire_snapshots(table, keep_last=keep_snapshots)
     out["orphans_removed"] = remove_orphan_files(
