@@ -658,14 +658,24 @@ class ParquetTranscriptTable:
 
     # -- write ---------------------------------------------------------
     def write_bucket_data(
-        self, df: DataFrame, label: str, num_buckets: int | None = None
+        self,
+        df: DataFrame,
+        label: str,
+        num_buckets: int | None = None,
+        sort_cols: list | None = None,
+        extra_options: dict[str, str] | None = None,
     ) -> dict[str, list[str]]:
         """Write rows (already carrying ``_bucket``) as new parquet files,
         clustered and sorted for locality; returns bucket→relative-paths.
         Files are not live until a manifest commit references them.
         ``num_buckets`` overrides the table's committed count (bucket
         evolution — the ``_bucket`` column must be computed with the
-        same count)."""
+        same count).  ``sort_cols`` overrides the within-file clustering
+        (default conv/turn/ts; a Z-order rewrite passes its interleave
+        code) — the bucket column always leads so the dynamic-partition
+        writer needs no second sort.  ``extra_options`` adds parquet
+        writer options (e.g. a smaller ``parquet.block.size`` for
+        row-group-granular pruning)."""
         rel_stage = os.path.join("data", f"{label}-{uuid.uuid4().hex[:8]}")
         stage = os.path.join(self.root, rel_stage)
         (
@@ -679,8 +689,10 @@ class ParquetTranscriptTable:
             # below already satisfies the dynamic-partition write's
             # required ordering (no second planner-inserted sort).
             df.repartition(num_buckets or self.num_buckets, F.col("conv_id"))
-            .sortWithinPartitions(BUCKET_COLUMN, "conv_id", "turn_idx", "ts")
-            .write.options(**self._write_options())
+            .sortWithinPartitions(
+                BUCKET_COLUMN, *(sort_cols or ["conv_id", "turn_idx", "ts"])
+            )
+            .write.options(**{**self._write_options(), **(extra_options or {})})
             .partitionBy(BUCKET_COLUMN)
             .parquet(stage)
         )

@@ -266,6 +266,96 @@ def rewrite_data_files(
     return {"snapshot_id": snap["snapshot_id"], "buckets": len(new_files)}
 
 
+def zorder_code(key_col, time_col, bits: int = 16):
+    """Morton/Z-order interleave of the hashed conversation key and a
+    0..2^bits-1 normalized time value — a pure column expression (2×
+    ``bits`` shift/mask/or terms, whole-stage-codegen-friendly; no UDF).
+    ``time_col`` must already be normalized (see :func:`rewrite_zorder`).
+    """
+    k = F.pmod(F.hash(key_col), F.lit(1 << bits)).cast("long")
+    t = time_col.cast("long")
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        code = code.bitwiseOR(
+            F.shiftleft(F.shiftright(k, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(t, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return code
+
+
+def rewrite_zorder(
+    table: ParquetTranscriptTable,
+    time_col: str = "ts",
+    bits: int = 16,
+    row_group_bytes: int | None = None,
+) -> dict:
+    """Full clustered rewrite with **Z-order** (conv-key × time)
+    within-file layout — the Delta/Iceberg ``OPTIMIZE ZORDER BY`` analog.
+
+    Why: the default clustering sorts each bucket file by
+    ``(conv_id, turn_idx, ts)``, so footer min/max prunes row groups for
+    conversation lookups but a time-slice scan ("turns updated in the
+    last hour", the incremental-export read) intersects EVERY row group
+    — timestamps are scattered.  Interleaving the bits of
+    ``pmod(hash(conv_id), 2^bits)`` with min-max-scaled event time gives
+    row groups that are simultaneously narrow in both dimensions, so
+    both query classes prune (each somewhat less than under its perfect
+    single-column sort — the classic Z-order trade).  Point lookups keep
+    their stronger guards regardless: bucket pruning + bloom filters.
+
+    Normalization is computed from one 2-scalar min/max aggregate of
+    ``time_col``.  Like any OPTIMIZE, the clustering decays as later
+    folds rewrite touched buckets conv-sorted; re-run on schedule.  The
+    commit is pinned to the snapshot read (racing epoch ⇒
+    ``CommitConflict``), deltas fold in, and the layout choice is
+    recorded in the summary (``aqueduct.zorder``).
+
+    ``row_group_bytes`` optionally shrinks ``parquet.block.size`` —
+    pruning granularity is the row group, so at 100 TB you want multiple
+    row groups per bucket file."""
+    base = table.catalog.current()
+    df = table.read_internal().withColumn(
+        BUCKET_COLUMN, bucket_expr(table.num_buckets)
+    )
+    lo, hi = df.select(
+        F.min(time_col).cast("long"), F.max(time_col).cast("long")
+    ).first()
+    if lo is None or hi is None:
+        return {"rewritten": False, "reason": "empty table"}
+    span = max(1, int(hi) - int(lo))
+    tnorm = (
+        (F.col(time_col).cast("long") - F.lit(int(lo)))
+        * F.lit((1 << bits) - 1)
+        / F.lit(span)
+    ).cast("long")
+    opts = (
+        {"parquet.block.size": str(int(row_group_bytes))} if row_group_bytes else None
+    )
+    # the sort key is an inline expression — no helper column reaches
+    # the written schema
+    new_files = table.write_bucket_data(
+        df,
+        label="zorder",
+        sort_cols=[zorder_code(F.col("conv_id"), tnorm, bits)],
+        extra_options=opts,
+    )
+    snap = table.catalog.commit(
+        base,
+        full_files=new_files,
+        clear_deltas=True,
+        summary_updates={
+            "aqueduct.zorder": f"conv_id,{time_col}",
+            "aqueduct.delta-epochs": 0,
+        },
+    )
+    return {
+        "rewritten": True,
+        "snapshot_id": snap["snapshot_id"],
+        "buckets": len(new_files),
+    }
+
+
 def rebucket(table: ParquetTranscriptTable, new_num_buckets: int) -> dict:
     """Bucket-count evolution: rewrite the table into a new hash-bucket
     layout in ONE atomic commit (the escape hatch for a day-one bucket

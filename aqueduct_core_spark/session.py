@@ -62,6 +62,12 @@ def get_spark(
         # MIN/MAX/COUNT over parquet answered from footer statistics —
         # makes the per-batch max-lsn bookkeeping metadata-only
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # INT64 micros instead of legacy INT96 timestamps: INT96 chunks
+        # carry NO min/max statistics, so every time-predicate scan
+        # (TTL marks, hourly watermarks, Z-order time slices) would
+        # decode all row groups; micros also read/aggregate-push cleanly
+        # in DuckDB/pyarrow and are Iceberg's own representation.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Local mode: keep the UI off and the driver lean.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_mem)
