@@ -89,7 +89,12 @@ from aqueduct_core_spark.operators.compact import expire_snapshots
 def _keys_df(spark: SparkSession, conv_ids: list[str]) -> DataFrame:
     if not conv_ids:
         raise ValueError("erase/redact: empty key list")
-    return spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
+    # dedupe: a repeated key in the request list must not fan out the
+    # left joins the redact paths build on this frame (each duplicate
+    # would write every matching row twice into the rewritten files)
+    return spark.createDataFrame(
+        [(c,) for c in dict.fromkeys(conv_ids)], "conv_id string"
+    )
 
 
 def _keys_digest(conv_ids: list[str]) -> str:
@@ -261,7 +266,12 @@ def _rewrite_log(
         return {"files_rewritten": 0, "files_removed": 0, "rows_before": 0,
                 "rows_after": 0}
     paths = [f.removeprefix("file:") for f in affected]
-    rows_before = spark.read.parquet(*paths).count()
+    # row counts come from parquet footers (driver-side metadata reads),
+    # NOT extra full scans — the data-plane cost stays at the advertised
+    # one locate scan + one grouped rewrite job
+    import pyarrow.parquet as pq
+
+    rows_before = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
 
     # one job for ALL affected files: tag each row with its source file
     # index, apply the transform, dynamic-partition write by tag — the
@@ -308,12 +318,11 @@ def _rewrite_log(
                 removed += 1
                 continue
             assert len(parts) == 1, f"expected one part for {f}, got {parts}"
-            os.replace(os.path.join(part_dir, parts[0]), target)
+            staged = os.path.join(part_dir, parts[0])
+            rows_after += pq.ParquetFile(staged).metadata.num_rows
+            os.replace(staged, target)
             _drop_crc(target)
             rewritten += 1
-        survivors = [p for p in paths if os.path.exists(p)]
-        if survivors:
-            rows_after = spark.read.parquet(*survivors).count()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return {
@@ -420,6 +429,10 @@ def erase_everywhere(
     erasure is a fleet-wide obligation, and this helper covers exactly
     the surfaces reachable from this driver.
     """
+    if not conv_ids:
+        # every per-surface op fails loud on an empty request; the sweep
+        # must too, not return a success-shaped empty report
+        raise ValueError("erase_everywhere: empty key list")
     report: dict = {"keys": len(conv_ids), "tables": [], "logs": [],
                     "histories": [], "views": [], "indexes": []}
     for t in tables:
@@ -430,8 +443,11 @@ def erase_everywhere(
         report["histories"].append(h.erase(conv_ids))
     for t, v in views:
         report["views"].append(v.refresh(t))
+    if indexes:
+        ids = spark.createDataFrame(
+            [(c,) for c in dict.fromkeys(conv_ids)], "doc_id string"
+        )
     for ix in indexes:
-        ids = spark.createDataFrame([(c,) for c in conv_ids], "doc_id string")
         removed = ix.remove(ids)
         compacted = ix.compact()
         report["indexes"].append({"removed": removed, "compacted": compacted})

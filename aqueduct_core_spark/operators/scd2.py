@@ -64,6 +64,14 @@ class OutOfOrderBatch(RuntimeError):
     validity intervals."""
 
 
+class HistoryCommitConflict(RuntimeError):
+    """Another writer committed between this operation's meta read and
+    its meta write.  Blindly publishing the stale meta would regress
+    the epoch/lsn watermark and revert other buckets' generation dirs
+    (losing the concurrent commit's rows) — the same race the table
+    catalog fails loud on with ``CommitConflict``.  Re-read and retry."""
+
+
 class Scd2History:
     """Bucket-partitioned, incrementally-maintained SCD2 history table."""
 
@@ -78,13 +86,53 @@ class Scd2History:
 
     def _meta(self) -> dict:
         with open(self._meta_path) as f:
-            return json.load(f)
+            meta = json.load(f)
+        meta.setdefault("version", 0)
+        # roll forward a claimed-but-unpublished commit (crash between
+        # the O_EXCL-equivalent claim below and the pointer swap): the
+        # claim file holds the complete post-commit meta and its data
+        # generation was fully written before the claim, so publishing
+        # it is always safe
+        nxt = os.path.join(self.root, "_commits", f"v{meta['version'] + 1}")
+        if os.path.exists(nxt):
+            with open(nxt) as f:
+                meta = json.load(f)
+            self._write_meta(meta)
+        return meta
 
     def _write_meta(self, meta: dict) -> None:
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path)
+
+    def _commit_meta(self, meta: dict, base_version: int) -> None:
+        """Publish ``meta`` if and only if no other writer committed
+        since ``base_version`` was read — the compare-and-swap the
+        blind ``_write_meta`` pointer swap lacks.  The claim is an
+        ``os.link`` onto ``_commits/v{N+1}`` (atomic create-with-
+        content: the link either lands complete or raises), so exactly
+        one of two racing writers publishes; the loser raises
+        :class:`HistoryCommitConflict` instead of silently regressing
+        the winner's epoch/lsn/bucket map.  Mirrors the table
+        catalog's O_EXCL manifest claim (catalog/snapshot.py)."""
+        meta = dict(meta)
+        meta["version"] = base_version + 1
+        cdir = os.path.join(self.root, "_commits")
+        os.makedirs(cdir, exist_ok=True)
+        tmp = os.path.join(cdir, f".tmp-{os.getpid()}-{id(meta)}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        try:
+            os.link(tmp, os.path.join(cdir, f"v{meta['version']}"))
+        except FileExistsError:
+            raise HistoryCommitConflict(
+                f"history meta advanced past version {base_version} "
+                "during this operation; re-read and retry"
+            ) from None
+        finally:
+            os.remove(tmp)
+        self._write_meta(meta)
 
     @classmethod
     def create(
@@ -149,7 +197,7 @@ class Scd2History:
         ).collect()[0]
         if lo_hi["lo"] is None:
             meta["epoch"] = int(epoch)
-            self._write_meta(meta)
+            self._commit_meta(meta, int(meta["version"]))
             return {"epoch": epoch, "mode": "empty", "buckets_rewritten": 0}
         if int(lo_hi["lo"]) <= int(meta["last_lsn"]):
             raise OutOfOrderBatch(
@@ -250,7 +298,7 @@ class Scd2History:
         meta["bucket_dirs"].update({str(b): out_dir for b in affected})
         meta["epoch"] = int(epoch)
         meta["last_lsn"] = int(lo_hi["hi"])
-        self._write_meta(meta)
+        self._commit_meta(meta, int(meta["version"]))
         return {
             "epoch": epoch,
             "mode": "applied",
@@ -298,8 +346,46 @@ class Scd2History:
         )
         meta["bucket_dirs"] = {str(b): out_dir for b in range(n_buckets)}
         meta["prune_epoch"] = int(epoch)
-        self._write_meta(meta)
+        self._commit_meta(meta, int(meta["version"]))
         return {"epoch": epoch, "mode": "pruned", "pruned": n_before - n_after}
+
+    def _rewrite_buckets(self, touched: list[int], transform, prefix: str):
+        """Shared compliance-rewrite kernel for :meth:`erase` /
+        :meth:`redact`: read exactly the touched buckets' current
+        generation, apply ``transform(df) -> df``, write ONE new
+        generation dir, CAS-commit the bucket remap
+        (:meth:`_commit_meta` — a racing streaming apply fails this op
+        loud instead of being silently lost), then physically sweep
+        the superseded copies of those buckets.  Returns ``None`` when
+        no touched bucket has data (noop), else the new generation
+        name.  Idempotent: re-running is a no-op rewrite, so no epoch
+        counter is needed; crash debris is swept by :meth:`expire`."""
+        import uuid as _uuid
+
+        meta = self._meta()
+        base_version = int(meta["version"])
+        paths = [
+            os.path.join(self.root, meta["bucket_dirs"][str(b)], f"{_BUCKET}={b}")
+            for b in touched
+            if str(b) in meta["bucket_dirs"]
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return None
+        df = self.spark.read.parquet(*paths).select(*_COLS)
+        out_dir = f"{prefix}-{_uuid.uuid4().hex[:8]}"
+        (
+            transform(df)
+            .withColumn(_BUCKET, self._bucket_col())
+            .repartition(len(touched), F.col(_BUCKET))
+            .write.mode("overwrite").partitionBy(_BUCKET)
+            .parquet(os.path.join(self.root, out_dir))
+        )
+        for b in touched:
+            meta["bucket_dirs"][str(b)] = out_dir
+        self._commit_meta(meta, base_version)
+        self._sweep_superseded(touched, out_dir)
+        return out_dir
 
     def erase(self, conv_ids: list[str]) -> dict:
         """Key erasure (GDPR): drop EVERY interval of the given
@@ -311,46 +397,39 @@ class Scd2History:
 
         Bucket-granular like ``apply``'s dirty-bucket rewrites: only
         the buckets that can hold the keys are read and rewritten (one
-        generation dir + atomic meta swap); idempotent — re-running is
-        a no-op rewrite — so no epoch counter is needed.  Crash debris
-        is swept by :meth:`expire`.
+        generation dir + CAS meta swap); see :meth:`_rewrite_buckets`.
         """
-        import uuid as _uuid
-
         from aqueduct_core_spark.catalog.table import bucket_of
 
         if not conv_ids:
             raise ValueError("erase: empty key list")
+        uniq = list(dict.fromkeys(conv_ids))
         meta = self._meta()
         n_buckets = int(meta["num_buckets"])
-        touched = sorted({bucket_of(c, n_buckets) for c in conv_ids})
-        paths = [
-            os.path.join(self.root, meta["bucket_dirs"][str(b)], f"{_BUCKET}={b}")
-            for b in touched
-            if str(b) in meta["bucket_dirs"]
-        ]
-        paths = [p for p in paths if os.path.isdir(p)]
-        if not paths:
+        touched = sorted({bucket_of(c, n_buckets) for c in uniq})
+        keys = self.spark.createDataFrame([(c,) for c in uniq], "conv_id string")
+        erased = {"n": 0}
+
+        def transform(df: DataFrame) -> DataFrame:
+            # one scan for both counts (the write below is the second
+            # and last read of the touched buckets — down from 3)
+            counts = (
+                df.join(
+                    F.broadcast(keys.withColumn("_hit", F.lit(True))),
+                    "conv_id",
+                    "left",
+                )
+                .agg(F.sum(F.col("_hit").isNotNull().cast("long")).alias("hit"))
+                .collect()[0]
+            )
+            erased["n"] = int(counts["hit"] or 0)
+            return df.join(F.broadcast(keys), "conv_id", "left_anti")
+
+        if self._rewrite_buckets(touched, transform, "erase") is None:
             return {"mode": "noop", "erased": 0, "buckets_rewritten": 0}
-        keys = self.spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
-        before = self.spark.read.parquet(*paths)
-        kept = before.select(*_COLS).join(F.broadcast(keys), "conv_id", "left_anti")
-        n_before = before.count()
-        n_after = kept.count()
-        out_dir = f"erase-{_uuid.uuid4().hex[:8]}"
-        (
-            kept.withColumn(_BUCKET, self._bucket_col())
-            .repartition(len(touched), F.col(_BUCKET))
-            .write.mode("overwrite").partitionBy(_BUCKET)
-            .parquet(os.path.join(self.root, out_dir))
-        )
-        for b in touched:
-            meta["bucket_dirs"][str(b)] = out_dir
-        self._write_meta(meta)
-        self._sweep_superseded(touched, out_dir)
         return {
             "mode": "erased",
-            "erased": n_before - n_after,
+            "erased": erased["n"],
             "buckets_rewritten": len(touched),
         }
 
@@ -388,57 +467,41 @@ class Scd2History:
         bucket-granular rewrite + physical sweep as :meth:`erase`,
         idempotent for any pattern whose replacement is a fixed
         point (e.g. a replacement that the pattern cannot re-match)."""
-        import uuid as _uuid
-
         from aqueduct_core_spark.catalog.table import bucket_of
 
         meta = self._meta()
         n_buckets = int(meta["num_buckets"])
+        red = F.regexp_replace("text", pattern, replacement)
         if conv_ids is None:
             touched = sorted(int(b) for b in meta["bucket_dirs"])
+            transform = lambda df: df.withColumn("text", red)  # noqa: E731
         else:
             if not conv_ids:
                 raise ValueError("redact: empty key list")
-            touched = sorted({bucket_of(c, n_buckets) for c in conv_ids})
-        paths = [
-            os.path.join(self.root, meta["bucket_dirs"][str(b)], f"{_BUCKET}={b}")
-            for b in touched
-            if str(b) in meta["bucket_dirs"]
-        ]
-        paths = [p for p in paths if os.path.isdir(p)]
-        if not paths:
-            return {"mode": "noop", "buckets_rewritten": 0}
-        df = self.spark.read.parquet(*paths).select(*_COLS)
-        red = F.regexp_replace("text", pattern, replacement)
-        if conv_ids is None:
-            out = df.withColumn("text", red)
-        else:
+            uniq = list(dict.fromkeys(conv_ids))
+            touched = sorted({bucket_of(c, n_buckets) for c in uniq})
             keys = self.spark.createDataFrame(
-                [(c, True) for c in conv_ids], "conv_id string, _redact boolean"
+                [(c, True) for c in uniq], "conv_id string, _redact boolean"
             )
-            out = (
-                df.join(F.broadcast(keys), "conv_id", "left")
-                .withColumn("text", F.when(F.col("_redact"), red)
-                            .otherwise(F.col("text")))
-                .drop("_redact")
-                .select(*_COLS)
-            )
-        out_dir = f"redact-{_uuid.uuid4().hex[:8]}"
-        (
-            out.withColumn(_BUCKET, self._bucket_col())
-            .repartition(len(touched), F.col(_BUCKET))
-            .write.mode("overwrite").partitionBy(_BUCKET)
-            .parquet(os.path.join(self.root, out_dir))
-        )
-        for b in touched:
-            meta["bucket_dirs"][str(b)] = out_dir
-        self._write_meta(meta)
-        self._sweep_superseded(touched, out_dir)
+
+            def transform(df: DataFrame) -> DataFrame:
+                return (
+                    df.join(F.broadcast(keys), "conv_id", "left")
+                    .withColumn("text", F.when(F.col("_redact"), red)
+                                .otherwise(F.col("text")))
+                    .drop("_redact")
+                    .select(*_COLS)
+                )
+
+        if self._rewrite_buckets(touched, transform, "redact") is None:
+            return {"mode": "noop", "buckets_rewritten": 0}
         return {"mode": "redacted", "buckets_rewritten": len(touched)}
 
     def expire(self) -> list[str]:
         """Remove data-e*/prune-e*/erase-* generation dirs no bucket
-        references anymore."""
+        references anymore, and CAS claim files below the current meta
+        version (the current claim stays: :meth:`_meta` may still need
+        it to roll a crashed pointer swap forward)."""
         meta = self._meta()
         live = set(meta["bucket_dirs"].values())
         removed = []
@@ -450,4 +513,14 @@ class Scd2History:
             ):
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
                 removed.append(d)
+        cdir = os.path.join(self.root, "_commits")
+        if os.path.isdir(cdir):
+            for c in os.listdir(cdir):
+                if c.startswith("v") and c[1:].isdigit() and int(c[1:]) < int(
+                    meta["version"]
+                ):
+                    try:
+                        os.remove(os.path.join(cdir, c))
+                    except FileNotFoundError:
+                        pass
         return removed

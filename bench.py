@@ -83,7 +83,13 @@ def bench_queries(spark, sf_dir: str, best_of: int = 3) -> dict[str, float]:
     return out
 
 
-def bench_replay(spark, n_convs: int, work: str, input_path: str | None = None) -> dict:
+def bench_replay(
+    spark,
+    n_convs: int,
+    work: str,
+    input_path: str | None = None,
+    point_lookups: bool = True,
+) -> dict:
     """Replay throughput: ordered micro-batch apply of a synthetic log
     into a fresh transcript table; verified by consistency checksum."""
     from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
@@ -168,6 +174,25 @@ def bench_replay(spark, n_convs: int, work: str, input_path: str | None = None) 
     t2 = time.time()
     table.read_internal().write.format("noop").mode("overwrite").save()
     read_with_deltas_sec = time.time() - t2
+
+    # Serving-path point lookup while MOR deltas are LIVE — the worst
+    # case the bloom filters exist for (delta row groups are batch-
+    # ordered; min/max can't prune them).  Median wall of 8 present-key
+    # + 8 absent-key single-conversation reads, driver-collected like a
+    # serving call.
+    point_lookup_ms = None
+    if point_lookups:  # skipped under --replay-only (scaling harness)
+        ids = [
+            r["conv_id"]
+            for r in table.read_internal().select("conv_id").limit(8).collect()
+        ]
+        lat = []
+        for cid in ids + [f"absent-{i}" for i in range(8)]:
+            t_pl = time.time()
+            table.read_conversation(cid).collect()
+            lat.append(time.time() - t_pl)
+        lat.sort()
+        point_lookup_ms = round(1000 * lat[len(lat) // 2], 1)
 
     # MOR fold (periodic compaction) timed separately — sustained
     # ingest must account for it, amortized over mor_fold_every epochs
@@ -259,6 +284,7 @@ def bench_replay(spark, n_convs: int, work: str, input_path: str | None = None) 
         "timed_events": timed_events,
         "sec": round(dt, 3),
         "events_per_sec": round(timed_events / dt, 1),
+        "point_lookup_ms_median": point_lookup_ms,
         "fold_sec": round(fold_sec, 3) if folded.get("folded") else 0.0,
         "read_with_deltas_sec": round(read_with_deltas_sec, 3),
         "read_after_fold_sec": round(read_after_fold_sec, 3),
@@ -377,7 +403,10 @@ def main() -> None:
         queries = bench_queries(spark, sf_dir)
         recall = bench_ann_recall(spark, sf_dir)
 
-    replay_stats = bench_replay(spark, args.convs, args.work, args.input)
+    replay_stats = bench_replay(
+        spark, args.convs, args.work, args.input,
+        point_lookups=not args.replay_only,
+    )
     queries["cdc_replay"] = replay_stats["sec"]
 
     total = round(sum(queries.values()), 3)

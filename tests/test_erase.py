@@ -356,3 +356,55 @@ def test_redact_scd2_history_reaches_superseded_versions(spark, tmp_path):
             if fn.endswith(".parquet"):
                 with open(os.path.join(dirpath, fn), "rb") as f:
                     assert b"evt 1" not in f.read()
+
+
+def test_duplicate_keys_do_not_fan_out(spark, tmp_path):
+    """A compliance request list with a repeated key must not duplicate
+    rows through the redact paths' left joins — each surface's rewrite
+    is row-count- and key-uniqueness-invariant under duplicate keys."""
+    from aqueduct_core_spark.operators.erase import (
+        redact_conversations,
+        redact_log,
+    )
+    from aqueduct_core_spark.operators.scd2 import Scd2History
+
+    log = generate_changes(spark, n_convs=40, seed=5)
+    log_dir = str(tmp_path / "log")
+    log.repartition(2, "lsn").write.parquet(log_dir)
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"),
+                                          num_buckets=8)
+    replay(table, spark.read.parquet(log_dir), EngineConfig(num_buckets=8))
+    key = _pick_keys(table, n=1)[0]
+    dups = [key, key, key]
+
+    n_table = table.read().count()
+    redact_conversations(table, r"[0-9]+", "<num>", conv_ids=dups)
+    assert table.read().count() == n_table
+    assert (table.read().groupBy("conv_id", "turn_idx").count()
+            .where("count > 1").count()) == 0
+
+    n_log = spark.read.parquet(log_dir).count()
+    redact_log(spark, log_dir, r"[0-9]+", "<num>", conv_ids=dups)
+    cleaned = spark.read.parquet(log_dir)
+    assert cleaned.count() == n_log
+    assert cleaned.groupBy("lsn").count().where("count > 1").count() == 0
+
+    h = Scd2History.create(spark, str(tmp_path / "hist"), num_buckets=8)
+    h.apply(log, epoch=0)
+    n_hist = h.read().count()
+    h.redact(r"[0-9]+", "<num>", conv_ids=dups)
+    assert h.read().count() == n_hist
+    # erase with duplicates still reports the true per-row count
+    n_key = h.read().where(F.col("conv_id") == key).count()
+    rep = h.erase(dups)
+    assert rep["erased"] == n_key
+    assert h.read().count() == n_hist - n_key
+
+
+def test_erase_everywhere_rejects_empty_keys(spark):
+    """A malformed (empty) compliance request fails loud on the sweep
+    entry point instead of returning a success-shaped empty report."""
+    from aqueduct_core_spark.operators.erase import erase_everywhere
+
+    with pytest.raises(ValueError):
+        erase_everywhere(spark, [], indexes=[object()])

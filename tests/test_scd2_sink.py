@@ -222,3 +222,51 @@ def test_prune_epoch_counter_is_independent_of_apply(spark, log, tmp_path):
     assert any(d.startswith("data-e") for d in gone)
     assert any(d.startswith("prune-e") for d in gone)
     _assert_same(h.read(), scd2_history(log))
+
+
+def test_history_commit_conflict_fails_loud(spark, log, tmp_path):
+    """A compliance op racing a streaming apply must not silently
+    publish stale meta (regressing the watermark and reverting other
+    buckets' generation dirs): the CAS claim makes the loser raise,
+    mirroring the table catalog's CommitConflict."""
+    from aqueduct_core_spark.operators.scd2 import HistoryCommitConflict
+
+    split = int(log.agg(F.max("lsn")).collect()[0][0]) // 2
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=4)
+    h.apply(log.where(F.col("lsn") < split), epoch=0)
+
+    stale = h._meta()  # a slow compliance op read meta here...
+    h.apply(log.where(F.col("lsn") >= split), epoch=1)  # ...apply wins
+    with pytest.raises(HistoryCommitConflict):
+        h._commit_meta(stale, int(stale["version"]))
+    # the winner's state is intact
+    assert h.last_epoch() == 1
+    _assert_same(h.read(), scd2_history(log))
+
+
+def test_history_meta_roll_forward_after_crash(spark, log, tmp_path):
+    """Crash between the CAS claim and the meta pointer swap: the next
+    reader publishes the claimed commit (its data generation was fully
+    written before the claim), so the commit is never lost and later
+    writers do not conflict forever."""
+    import json
+    import os
+
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=4)
+    h.apply(log, epoch=0)
+    meta = h._meta()
+
+    crashed = dict(meta)
+    crashed["epoch"] = 99
+    crashed["version"] = int(meta["version"]) + 1
+    cdir = os.path.join(h.root, "_commits")
+    os.makedirs(cdir, exist_ok=True)
+    with open(os.path.join(cdir, f"v{crashed['version']}"), "w") as f:
+        json.dump(crashed, f)  # claim landed; pointer swap did not
+
+    rolled = h._meta()
+    assert rolled["epoch"] == 99
+    assert rolled["version"] == int(meta["version"]) + 1
+    # and the pointer itself was repaired on disk
+    with open(h._meta_path) as f:
+        assert json.load(f)["epoch"] == 99
