@@ -1,0 +1,133 @@
+"""Versioned, CAS-protected JSON metadata pointer.
+
+Every bucket-generation surface in this engine (the SCD2 history sink,
+materialized ``ConvView`` rollups, the ``DedupIndex``) keeps its state
+in a small ``meta.json`` — epoch/version watermarks plus a
+bucket→generation-dir map — and publishes updates by atomic pointer
+swap (``os.replace``).  The swap alone is atomic but not *isolated*:
+two writers that both read version N (a compliance op racing the
+streaming apply loop, a ``remove`` racing an ``add``) each publish a
+meta derived from N, and the second blindly erases the first's commit —
+regressing watermarks and reverting other buckets' generation dirs, so
+the lost commit's rows vanish.  The table catalog solves exactly this
+with O_EXCL manifest claims (``catalog/snapshot.py``); this module is
+the same single-winner protocol for the satellite surfaces' meta:
+
+- the claim is an ``os.link`` of a fully-written temp file onto
+  ``_commits/v{N+1}`` — atomic create-with-content, so a claim either
+  lands complete or raises;
+- exactly one of two racing writers publishes; the loser raises
+  :class:`MetaCommitConflict` (re-read and retry);
+- a crash between claim and pointer swap is rolled forward by the next
+  :meth:`read` — the claim holds the complete post-commit meta, and
+  every adopter writes its data generation *before* claiming, so
+  publishing a found claim is always safe;
+- claims below the current version are garbage; :meth:`cleanup` drops
+  them (the current one stays for roll-forward).
+
+Reference parity note: the reference serializes its writers in the
+database (single-writer compaction locks,
+PostgresqlStorageIntegrationSpec.groovy:448-482 proves two racing
+compactors); a filesystem lakehouse has no database, so the claim file
+IS the lock — same guarantee, no coordinator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+
+class MetaCommitConflict(RuntimeError):
+    """Another writer committed between this operation's meta read and
+    its meta write; publishing the stale meta would silently erase the
+    concurrent commit.  Re-read and retry."""
+
+
+class VersionedMeta:
+    """A ``meta.json`` pointer under ``root`` with CAS publication.
+
+    Adopter protocol::
+
+        meta = vm.read()                 # carries meta["version"]
+        ... write the new data generation ...
+        vm.commit(new_meta, base_version=meta["version"])  # CAS
+
+    ``init`` is the create-time blind write (fresh directory, no
+    concurrency); every subsequent mutation must go through
+    :meth:`commit`.
+    """
+
+    def __init__(self, root: str, filename: str = "meta.json"):
+        self.root = root
+        self.path = os.path.join(root, filename)
+        self._claims = os.path.join(root, "_commits")
+
+    # -- plumbing ---------------------------------------------------------
+    def _swap(self, meta: dict) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.path)
+
+    # -- protocol ---------------------------------------------------------
+    def init(self, meta: dict) -> None:
+        """Create-time write (version 0).  Not concurrency-safe by
+        design — callers create into a fresh directory."""
+        meta = dict(meta)
+        meta.setdefault("version", 0)
+        os.makedirs(self.root, exist_ok=True)
+        self._swap(meta)
+
+    def read(self) -> dict:
+        """Current meta, rolling forward a claimed-but-unpublished
+        commit left by a crash between claim and pointer swap."""
+        with open(self.path) as f:
+            meta = json.load(f)
+        meta.setdefault("version", 0)
+        nxt = os.path.join(self._claims, f"v{int(meta['version']) + 1}")
+        if os.path.exists(nxt):
+            with open(nxt) as f:
+                meta = json.load(f)
+            self._swap(meta)
+        return meta
+
+    def commit(self, meta: dict, base_version: int) -> dict:
+        """Publish ``meta`` as version ``base_version + 1`` iff no other
+        writer got there first; raises :class:`MetaCommitConflict`
+        otherwise.  Returns the published meta (with the new version)."""
+        meta = dict(meta)
+        meta["version"] = int(base_version) + 1
+        os.makedirs(self._claims, exist_ok=True)
+        tmp = os.path.join(self._claims, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        try:
+            os.link(tmp, os.path.join(self._claims, f"v{meta['version']}"))
+        except FileExistsError:
+            raise MetaCommitConflict(
+                f"meta at {self.path} advanced past version {base_version} "
+                "during this operation; re-read and retry"
+            ) from None
+        finally:
+            os.remove(tmp)
+        self._swap(meta)
+        return meta
+
+    def cleanup(self) -> int:
+        """Drop claim files below the current version (the current one
+        stays — :meth:`read` may still need it to repair a crashed
+        pointer swap).  Returns the number removed."""
+        current = int(self.read()["version"])
+        removed = 0
+        if not os.path.isdir(self._claims):
+            return 0
+        for c in os.listdir(self._claims):
+            if c.startswith("v") and c[1:].isdigit() and int(c[1:]) < current:
+                try:
+                    os.remove(os.path.join(self._claims, c))
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+        return removed

@@ -39,13 +39,13 @@ instead of silently returning wrong candidates.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from aqueduct_core_spark.catalog.meta import VersionedMeta
 from aqueduct_core_spark.functions.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
@@ -66,21 +66,21 @@ class DedupIndex:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._vm = VersionedMeta(root)
 
-    # -- meta (atomic swap, ConvRollup idiom) ---------------------------
+    # -- meta (shared CAS protocol — catalog/meta.py; the index's own
+    # content-version counter doubles as the CAS version, so an add()
+    # racing a remove() from the same version loses loudly instead of
+    # silently dropping the winner's tombstones or file-list entries) --
     @property
     def _meta_path(self) -> str:
-        return os.path.join(self.root, "meta.json")
+        return self._vm.path
 
     def _meta(self) -> dict:
-        with open(self._meta_path) as f:
-            return json.load(f)
+        return self._vm.read()
 
     def _write_meta(self, meta: dict) -> None:
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path)
+        self._vm.init(meta)
 
     @classmethod
     def create(
@@ -225,9 +225,8 @@ class DedupIndex:
             ]
             meta["files"].setdefault(p, []).extend(rel)
             added += len(rel)
-        meta["version"] += 1
         meta["n_docs"] += docs.select(id_col).distinct().count()
-        self._write_meta(meta)
+        meta = self._vm.commit(meta, int(meta["version"]))
         return {"version": meta["version"], "files_added": added}
 
     def remove(self, ids: DataFrame, id_col: str = "doc_id") -> dict:
@@ -250,8 +249,7 @@ class DedupIndex:
             if f.endswith(".parquet")
         ]
         meta["tombstones"].extend(rel)
-        meta["version"] += 1
-        self._write_meta(meta)
+        meta = self._vm.commit(meta, int(meta["version"]))
         return {"version": meta["version"], "tombstone_files": len(rel)}
 
     def reindex(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> dict:
@@ -288,8 +286,9 @@ class DedupIndex:
             ]
         old_labels = {f.split(os.sep, 1)[0] for fl in meta["files"].values() for f in fl}
         old_labels |= {t.split(os.sep, 1)[0] for t in meta["tombstones"]}
-        meta.update({"files": files, "tombstones": [], "version": meta["version"] + 1})
-        self._write_meta(meta)
+        base = int(meta["version"])
+        meta.update({"files": files, "tombstones": []})
+        meta = self._vm.commit(meta, base)
         for lbl in old_labels:
             shutil.rmtree(os.path.join(self.root, lbl), ignore_errors=True)
         return {"version": meta["version"], "parts": len(files)}

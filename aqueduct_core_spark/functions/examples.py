@@ -34,10 +34,11 @@ keeping-history semantics; SQLiteQueries.java:51-55 compaction is what
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aqueduct_core_spark.catalog.meta import VersionedMeta
 
 __all__ = [
     "sft_examples",
@@ -206,20 +207,18 @@ class PreferencePairsView:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._vm = VersionedMeta(root)
 
+    # -- meta (shared CAS protocol — catalog/meta.py) ---------------------
     @property
     def _meta_path(self) -> str:
-        return os.path.join(self.root, "meta.json")
+        return self._vm.path
 
     def _meta(self) -> dict:
-        with open(self._meta_path) as f:
-            return json.load(f)
+        return self._vm.read()
 
     def _write_meta(self, meta: dict) -> None:
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path)
+        self._vm.init(meta)
 
     @classmethod
     def create(cls, spark: SparkSession, root: str) -> "PreferencePairsView":
@@ -293,7 +292,9 @@ class PreferencePairsView:
         meta["bucket_dirs"].update({b: out_dir for b in dirty})
         meta["hist_dirs"].update({b: hmeta["bucket_dirs"][b] for b in dirty})
         meta["epoch"] = int(hmeta["epoch"])
-        self._write_meta(meta)
+        # CAS (catalog/meta.py): a racing refresh loses loudly instead
+        # of silently reverting the winner's bucket map
+        self._vm.commit(meta, int(meta["version"]))
         return {
             "mode": "refreshed",
             "buckets_refreshed": len(dirty),

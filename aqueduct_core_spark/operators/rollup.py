@@ -38,12 +38,12 @@ one refresh job at a time; the meta file swap is atomic (``os.replace``).
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from aqueduct_core_spark.catalog.meta import VersionedMeta
 from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
 
 #: internal hive-partition column used for bucket-pruned rewrites
@@ -90,6 +90,7 @@ class ConvView:
         self.root = root
         self._transform = transform
         self._schema = schema
+        self._vm = VersionedMeta(root)
 
     @classmethod
     def create(
@@ -103,20 +104,16 @@ class ConvView:
         )
         return v
 
-    # -- meta ------------------------------------------------------------
+    # -- meta (shared CAS protocol — catalog/meta.py) ---------------------
     @property
     def _meta_path(self) -> str:
-        return os.path.join(self.root, "meta.json")
+        return self._vm.path
 
     def _meta(self) -> dict:
-        with open(self._meta_path) as f:
-            return json.load(f)
+        return self._vm.read()
 
     def _write_meta(self, meta: dict) -> None:
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path)
+        self._vm.init(meta)
 
     # -- read ------------------------------------------------------------
     def last_table_version(self) -> int:
@@ -206,7 +203,10 @@ class ConvView:
         )
         meta["bucket_dirs"].update({str(b): out_dir for b in affected})
         meta["table_version"] = v1
-        self._write_meta(meta)
+        # CAS: a refresh racing another refresh (or any meta writer)
+        # fails loud instead of silently reverting the winner's bucket
+        # map — catalog/meta.py, same protocol as the SCD2 history
+        self._vm.commit(meta, int(meta["version"]))
         return {
             "mode": mode,
             "from_version": v0,
@@ -224,6 +224,7 @@ class ConvView:
             if d.startswith("data-v") and d not in live:
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
                 removed.append(d)
+        self._vm.cleanup()
         return removed
 
 

@@ -40,12 +40,12 @@ corrupting intervals.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from aqueduct_core_spark.catalog.meta import MetaCommitConflict, VersionedMeta
 from aqueduct_core_spark.operators.temporal import scd2_history
 
 _BUCKET = "_hbucket"
@@ -64,12 +64,13 @@ class OutOfOrderBatch(RuntimeError):
     validity intervals."""
 
 
-class HistoryCommitConflict(RuntimeError):
-    """Another writer committed between this operation's meta read and
-    its meta write.  Blindly publishing the stale meta would regress
-    the epoch/lsn watermark and revert other buckets' generation dirs
-    (losing the concurrent commit's rows) — the same race the table
-    catalog fails loud on with ``CommitConflict``.  Re-read and retry."""
+# Another writer committed between this operation's meta read and its
+# meta write: blindly publishing the stale meta would regress the
+# epoch/lsn watermark and revert other buckets' generation dirs (losing
+# the concurrent commit's rows) — the same race the table catalog fails
+# loud on with CommitConflict.  The protocol lives in catalog/meta.py,
+# shared with ConvView and DedupIndex.
+HistoryCommitConflict = MetaCommitConflict
 
 
 class Scd2History:
@@ -78,61 +79,21 @@ class Scd2History:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._vm = VersionedMeta(root)
 
-    # -- meta (same atomic-swap pattern as ConvRollup) -------------------
+    # -- meta (shared CAS protocol — catalog/meta.py) --------------------
     @property
     def _meta_path(self) -> str:
-        return os.path.join(self.root, "meta.json")
+        return self._vm.path
 
     def _meta(self) -> dict:
-        with open(self._meta_path) as f:
-            meta = json.load(f)
-        meta.setdefault("version", 0)
-        # roll forward a claimed-but-unpublished commit (crash between
-        # the O_EXCL-equivalent claim below and the pointer swap): the
-        # claim file holds the complete post-commit meta and its data
-        # generation was fully written before the claim, so publishing
-        # it is always safe
-        nxt = os.path.join(self.root, "_commits", f"v{meta['version'] + 1}")
-        if os.path.exists(nxt):
-            with open(nxt) as f:
-                meta = json.load(f)
-            self._write_meta(meta)
-        return meta
+        return self._vm.read()
 
     def _write_meta(self, meta: dict) -> None:
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path)
+        self._vm.init(meta)
 
     def _commit_meta(self, meta: dict, base_version: int) -> None:
-        """Publish ``meta`` if and only if no other writer committed
-        since ``base_version`` was read — the compare-and-swap the
-        blind ``_write_meta`` pointer swap lacks.  The claim is an
-        ``os.link`` onto ``_commits/v{N+1}`` (atomic create-with-
-        content: the link either lands complete or raises), so exactly
-        one of two racing writers publishes; the loser raises
-        :class:`HistoryCommitConflict` instead of silently regressing
-        the winner's epoch/lsn/bucket map.  Mirrors the table
-        catalog's O_EXCL manifest claim (catalog/snapshot.py)."""
-        meta = dict(meta)
-        meta["version"] = base_version + 1
-        cdir = os.path.join(self.root, "_commits")
-        os.makedirs(cdir, exist_ok=True)
-        tmp = os.path.join(cdir, f".tmp-{os.getpid()}-{id(meta)}")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        try:
-            os.link(tmp, os.path.join(cdir, f"v{meta['version']}"))
-        except FileExistsError:
-            raise HistoryCommitConflict(
-                f"history meta advanced past version {base_version} "
-                "during this operation; re-read and retry"
-            ) from None
-        finally:
-            os.remove(tmp)
-        self._write_meta(meta)
+        self._vm.commit(meta, base_version)
 
     @classmethod
     def create(
@@ -513,14 +474,5 @@ class Scd2History:
             ):
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
                 removed.append(d)
-        cdir = os.path.join(self.root, "_commits")
-        if os.path.isdir(cdir):
-            for c in os.listdir(cdir):
-                if c.startswith("v") and c[1:].isdigit() and int(c[1:]) < int(
-                    meta["version"]
-                ):
-                    try:
-                        os.remove(os.path.join(cdir, c))
-                    except FileNotFoundError:
-                        pass
+        self._vm.cleanup()
         return removed

@@ -1,0 +1,150 @@
+"""CAS meta protocol shared by the satellite surfaces (SCD2 history,
+ConvView rollups, DedupIndex): single-winner publication, loud loser,
+crash roll-forward — the same guarantee the table catalog's O_EXCL
+manifest claims give the transcript table itself."""
+
+import json
+import os
+import threading
+
+import pytest
+
+from aqueduct_core_spark.catalog.meta import MetaCommitConflict, VersionedMeta
+
+
+@pytest.fixture()
+def vm(tmp_path):
+    v = VersionedMeta(str(tmp_path / "m"))
+    v.init({"epoch": -1, "bucket_dirs": {}})
+    return v
+
+
+def test_commit_advances_version_and_persists(vm):
+    meta = vm.read()
+    assert meta["version"] == 0
+    meta["epoch"] = 5
+    out = vm.commit(meta, base_version=0)
+    assert out["version"] == 1
+    assert vm.read() == out
+
+
+def test_stale_commit_raises_and_preserves_winner(vm):
+    stale = vm.read()
+    winner = vm.read()
+    winner["epoch"] = 1
+    vm.commit(winner, base_version=0)
+    stale["epoch"] = -99
+    with pytest.raises(MetaCommitConflict):
+        vm.commit(stale, base_version=0)
+    assert vm.read()["epoch"] == 1  # loser changed nothing
+
+
+def test_threaded_race_single_winner(vm):
+    """N threads race the same base version: exactly one publishes."""
+    results = []
+
+    def contend(i):
+        meta = {"epoch": i, "bucket_dirs": {}}
+        try:
+            vm.commit(meta, base_version=0)
+            results.append(("win", i))
+        except MetaCommitConflict:
+            results.append(("lose", i))
+
+    threads = [threading.Thread(target=contend, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wins = [r for r in results if r[0] == "win"]
+    assert len(wins) == 1
+    assert vm.read()["epoch"] == wins[0][1]
+    assert vm.read()["version"] == 1
+
+
+def test_crash_between_claim_and_swap_rolls_forward(vm):
+    """A claim without a pointer swap is published by the next read."""
+    crashed = {"epoch": 42, "bucket_dirs": {}, "version": 1}
+    cdir = os.path.join(vm.root, "_commits")
+    os.makedirs(cdir, exist_ok=True)
+    with open(os.path.join(cdir, "v1"), "w") as f:
+        json.dump(crashed, f)
+
+    meta = vm.read()
+    assert meta["epoch"] == 42 and meta["version"] == 1
+    with open(vm.path) as f:  # pointer repaired on disk too
+        assert json.load(f)["version"] == 1
+    # and the next commit proceeds from the rolled-forward version
+    meta["epoch"] = 43
+    assert vm.commit(meta, base_version=1)["version"] == 2
+
+
+def test_cleanup_keeps_current_claim(vm):
+    meta = vm.read()
+    for e in range(3):
+        meta = vm.read()
+        meta["epoch"] = e
+        vm.commit(meta, base_version=meta["version"])
+    assert vm.cleanup() == 2  # v1, v2 dropped; v3 (current) stays
+    assert os.path.exists(os.path.join(vm.root, "_commits", "v3"))
+    # roll-forward still safe after cleanup
+    assert vm.read()["version"] == 3
+
+
+def test_legacy_meta_without_version_upgrades(tmp_path):
+    """Metas written before the CAS protocol (no version field) read as
+    version 0 and commit normally."""
+    root = str(tmp_path / "legacy")
+    os.makedirs(root)
+    with open(os.path.join(root, "meta.json"), "w") as f:
+        json.dump({"epoch": 7}, f)
+    vm = VersionedMeta(root)
+    meta = vm.read()
+    assert meta["version"] == 0 and meta["epoch"] == 7
+    assert vm.commit(meta, base_version=0)["version"] == 1
+
+
+def test_convview_refresh_conflict_fails_loud(spark, tmp_path):
+    """Two ConvView refreshes from the same base meta: the second
+    publisher loses loudly instead of silently reverting the first's
+    bucket map (the lost-update race the SCD2 history fix closed,
+    applied to the materialized-view surface)."""
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.operators.rollup import ConvRollup
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"),
+                                          num_buckets=4)
+    log = generate_changes(spark, n_convs=30, seed=3)
+    replay(table, log, EngineConfig(num_buckets=4))
+    view = ConvRollup.create(spark, str(tmp_path / "v"), num_buckets=4)
+
+    stale = view._meta()
+    view.refresh(table)  # the winner
+    stale["table_version"] = 999
+    with pytest.raises(MetaCommitConflict):
+        view._vm.commit(stale, base_version=stale["version"])
+    assert view.last_table_version() == table.catalog.current_version()
+
+
+def test_dedup_index_concurrent_mutation_fails_loud(spark, tmp_path):
+    """add() racing remove() from the same meta version: one loses
+    loudly; the index never silently drops a tombstone or a file list
+    entry."""
+    from aqueduct_core_spark.functions.dedup_index import DedupIndex
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"some text body number {i} with words") for i in range(20)],
+        "doc_id string, text string",
+    )
+    ix = DedupIndex.create(spark, str(tmp_path / "ix"), num_parts=4)
+    ix.add(docs)
+
+    stale = ix._meta()
+    ix.remove(docs.select("doc_id").limit(3))  # winner commits v2
+    stale["n_docs"] = -1
+    with pytest.raises(MetaCommitConflict):
+        ix._vm.commit(stale, base_version=stale["version"])
+    assert ix._meta()["tombstones"]  # winner's tombstones intact
