@@ -193,3 +193,53 @@ def test_compact_log_validates_ts_monotonicity(spark):
     with pytest.raises(ValueError, match="monotone"):
         compact_log(bad, threshold=t0 + dt.timedelta(hours=2),
                     validate_ts_monotone=True)
+
+
+def _meta_racer(root: str, barrier, results, idx: int, rounds: int):
+    from aqueduct_core_spark.catalog.meta import MetaCommitConflict, VersionedMeta
+
+    vm = VersionedMeta(root)
+    wins = conflicts = 0
+    for _ in range(rounds):
+        barrier.wait()  # both processes attempt the same version together
+        meta = vm.read()
+        meta["who"] = idx
+        try:
+            vm.commit(meta, base_version=meta["version"])
+            wins += 1
+        except MetaCommitConflict:
+            conflicts += 1
+        barrier.wait()  # round barrier: nobody reads early
+    results[idx] = (wins, conflicts)
+
+
+def test_versioned_meta_race_cross_process(tmp_path):
+    """The satellite surfaces' CAS meta (catalog/meta.py) holds across
+    OS processes too: two drivers racing the same base version — e.g.
+    a compliance process racing the streaming apply process on one
+    SCD2 history — produce exactly one winner per round, and the
+    version chain never forks or regresses."""
+    from aqueduct_core_spark.catalog.meta import VersionedMeta
+
+    root = str(tmp_path / "meta")
+    vm = VersionedMeta(root)
+    vm.init({"epoch": -1})
+
+    rounds = 20
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(2)
+    mgr = ctx.Manager()
+    results = mgr.dict()
+    ps = [
+        ctx.Process(target=_meta_racer, args=(root, barrier, results, i, rounds))
+        for i in range(2)
+    ]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    (w0, c0), (w1, c1) = results[0], results[1]
+    assert w0 + w1 == rounds, (w0, w1, c0, c1)
+    assert c0 + c1 == rounds, (w0, w1, c0, c1)
+    assert vm.read()["version"] == rounds
