@@ -16,14 +16,25 @@ the same single-winner protocol for the satellite surfaces' meta:
 - the claim is an ``os.link`` of a fully-written temp file onto
   ``_commits/v{N+1}`` — atomic create-with-content, so a claim either
   lands complete or raises;
+- **the claim set is authoritative**: the highest claim version IS the
+  current state; ``meta.json`` is only a hint pointer that
+  :meth:`read` repairs from the claims.  This is what makes the
+  protocol safe against its own garbage collection and against
+  stalled writers: a writer that re-links a slot :meth:`cleanup`
+  freed, or resumes a pointer swap long after newer commits landed,
+  can never shadow a higher claim — reads always resolve to the
+  maximum;
 - exactly one of two racing writers publishes; the loser raises
-  :class:`MetaCommitConflict` (re-read and retry);
+  :class:`MetaCommitConflict` (re-read and retry).  A winner is a
+  writer whose claim is the maximum *and* above the hint pointer at
+  publish time — a link that merely reoccupies a GC-freed low slot
+  fails both checks and conflicts;
 - a crash between claim and pointer swap is rolled forward by the next
   :meth:`read` — the claim holds the complete post-commit meta, and
   every adopter writes its data generation *before* claiming, so
   publishing a found claim is always safe;
 - claims below the current version are garbage; :meth:`cleanup` drops
-  them (the current one stays for roll-forward).
+  them (the current — maximum — one always stays: it is the state).
 
 Reference parity note: the reference serializes its writers in the
 database (single-writer compaction locks,
@@ -71,6 +82,20 @@ class VersionedMeta:
             json.dump(meta, f)
         os.replace(tmp, self.path)
 
+    def _pointer_version(self) -> int:
+        with open(self.path) as f:
+            return int(json.load(f).get("version", 0))
+
+    def _max_claim(self) -> int:
+        """Highest claim version on disk (0 when none) — the
+        authoritative current version when above the hint pointer."""
+        best = 0
+        if os.path.isdir(self._claims):
+            for c in os.listdir(self._claims):
+                if c.startswith("v") and c[1:].isdigit():
+                    best = max(best, int(c[1:]))
+        return best
+
     # -- protocol ---------------------------------------------------------
     def init(self, meta: dict) -> None:
         """Create-time write (version 0).  Not concurrency-safe by
@@ -81,22 +106,33 @@ class VersionedMeta:
         self._swap(meta)
 
     def read(self) -> dict:
-        """Current meta, rolling forward a claimed-but-unpublished
-        commit left by a crash between claim and pointer swap."""
+        """Current meta: the highest claim when one is above the hint
+        pointer (rolling forward a crashed pointer swap, and healing
+        any pointer regression a stalled writer's late swap caused),
+        else the pointer itself."""
         with open(self.path) as f:
             meta = json.load(f)
         meta.setdefault("version", 0)
-        nxt = os.path.join(self._claims, f"v{int(meta['version']) + 1}")
-        if os.path.exists(nxt):
-            with open(nxt) as f:
+        top = self._max_claim()
+        if top > int(meta["version"]):
+            with open(os.path.join(self._claims, f"v{top}")) as f:
                 meta = json.load(f)
-            self._swap(meta)
+            self._swap(meta)  # repair the hint; claims stay authoritative
         return meta
 
     def commit(self, meta: dict, base_version: int) -> dict:
         """Publish ``meta`` as version ``base_version + 1`` iff no other
         writer got there first; raises :class:`MetaCommitConflict`
-        otherwise.  Returns the published meta (with the new version)."""
+        otherwise.  Returns the published meta (with the new version).
+
+        Winning takes three checks, each closing a distinct hole:
+        the ``os.link`` claim (two live racers at the same base — one
+        link lands), the max-claim scan (a slot :meth:`cleanup` freed
+        after newer commits landed must not be re-linkable into a
+        silent win), and the pointer floor (belt-and-braces for a
+        claims directory lost to manual intervention).  A dead claim a
+        losing writer leaves behind is below the maximum, never read,
+        and removed by the next :meth:`cleanup`."""
         meta = dict(meta)
         meta["version"] = int(base_version) + 1
         os.makedirs(self._claims, exist_ok=True)
@@ -112,13 +148,36 @@ class VersionedMeta:
             ) from None
         finally:
             os.remove(tmp)
-        self._swap(meta)
+        if self._max_claim() > meta["version"] or (
+            self._pointer_version() >= meta["version"]
+        ):
+            raise MetaCommitConflict(
+                f"meta at {self.path} advanced past version {base_version} "
+                "before this claim (stale base re-linked a freed slot); "
+                "re-read and retry"
+            )
+        # hint swap, guarded against regression: if a newer commit's
+        # swap already landed, leave it (read() resolves via the max
+        # claim regardless — the pointer is a hint, not the state)
+        if self._pointer_version() < meta["version"]:
+            self._swap(meta)
+        # opportunistic hygiene: the base's claim is superseded the
+        # moment ours exists (reads resolve to the max), so drop it
+        # here and the claims dir stays O(1) files without any caller
+        # running cleanup() on a schedule
+        try:
+            os.remove(os.path.join(self._claims, f"v{int(base_version)}"))
+        except FileNotFoundError:
+            pass
         return meta
 
     def cleanup(self) -> int:
-        """Drop claim files below the current version (the current one
-        stays — :meth:`read` may still need it to repair a crashed
-        pointer swap).  Returns the number removed."""
+        """Drop claim files below the current version.  The current —
+        maximum — claim always stays: it IS the authoritative state
+        (:meth:`read` resolves to it), and keeping it is what makes a
+        freed lower slot un-winnable for a stale writer (the commit
+        scan sees the higher claim and conflicts).  Returns the number
+        removed."""
         current = int(self.read()["version"])
         removed = 0
         if not os.path.isdir(self._claims):

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from aqueduct_core_spark.catalog.meta import VersionedMeta
 from aqueduct_core_spark.functions.dedup import (
-    lsh_candidate_pairs,
+    hash64,
     minhash_signatures,
     word_shingles,
 )
@@ -134,8 +134,6 @@ class DedupIndex:
             hash_method=m["hash_method"],
         )
         rpb = m["num_hashes"] // m["bands"]
-        from aqueduct_core_spark.functions.dedup import hash64
-
         return sigs.select(
             "id",
             F.explode(
@@ -196,10 +194,15 @@ class DedupIndex:
     # -- maintenance ------------------------------------------------------
     def add(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> dict:
         """Index a batch of documents: O(batch) signature work, one
-        part-partitioned append, one atomic meta swap.  Idempotent
+        part-partitioned append, one CAS meta commit.  Idempotent
         under re-delivery (duplicate membership rows collapse in
-        :meth:`check`'s distinct)."""
+        :meth:`check`'s distinct).  An empty batch is a no-op — no
+        file, no commit (a per-epoch maintainer must not grow the
+        file list on idle epochs)."""
         meta = self._meta()
+        n_new = docs.select(id_col).distinct().count()
+        if n_new == 0:
+            return {"version": meta["version"], "files_added": 0}
         n_parts = meta["num_parts"]
         rows = (
             self._buckets(docs, text_col, id_col)
@@ -225,21 +228,29 @@ class DedupIndex:
             ]
             meta["files"].setdefault(p, []).extend(rel)
             added += len(rel)
-        meta["n_docs"] += docs.select(id_col).distinct().count()
+        # running estimate (re-adds double-count, removes subtract
+        # blindly); compact() resets it to the exact live count
+        meta["n_docs"] += n_new
         meta = self._vm.commit(meta, int(meta["version"]))
         return {"version": meta["version"], "files_added": added}
 
     def remove(self, ids: DataFrame, id_col: str = "doc_id") -> dict:
         """Retract documents (tombstone append): their membership rows
         stop matching at :meth:`check` immediately; the bytes are
-        reclaimed by the next :meth:`compact`."""
+        reclaimed by the next :meth:`compact`.  An empty id set is a
+        no-op — a per-epoch maintainer polling a feed with no deletes
+        must not append an empty tombstone file every epoch (the
+        tombstone list would grow without bound between compactions
+        for zero retractions)."""
         meta = self._meta()
+        tomb = ids.select(F.col(id_col).cast("string").alias("id")).distinct()
+        n_gone = tomb.count()
+        if n_gone == 0:
+            return {"version": meta["version"], "tombstone_files": 0}
         label = f"rm-v{meta['version'] + 1}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, label)
         (
-            ids.select(F.col(id_col).cast("string").alias("id"))
-            .distinct()
-            .withColumn("v", F.lit(meta["version"]).cast("int"))
+            tomb.withColumn("v", F.lit(meta["version"]).cast("int"))
             .coalesce(1)
             .write.parquet(out_dir)
         )
@@ -249,6 +260,7 @@ class DedupIndex:
             if f.endswith(".parquet")
         ]
         meta["tombstones"].extend(rel)
+        meta["n_docs"] = max(0, int(meta["n_docs"]) - n_gone)
         meta = self._vm.commit(meta, int(meta["version"]))
         return {"version": meta["version"], "tombstone_files": len(rel)}
 
@@ -262,7 +274,18 @@ class DedupIndex:
     def compact(self) -> dict:
         """Fold tombstones in and collapse duplicate membership rows:
         full rewrite of the index (run on a maintenance schedule, like
-        ``fold_deltas``), one atomic meta swap at the end."""
+        ``fold_deltas``), one CAS meta commit, then physical reclamation
+        of every superseded or orphaned label dir and stale CAS claims.
+        Resets ``n_docs`` to the exact live count (the running add/
+        remove estimate drifts under reindex re-delivery).
+
+        Operational contract (same as ``fold_deltas`` /
+        ``remove_orphan_files``): quiesce concurrent :meth:`check`
+        queries — physical deletion lands right after the commit, so a
+        reader that planned its scan against the pre-compact file list
+        loses its files mid-query.  Compliance flows rely on this
+        immediacy (``erase_everywhere`` expects the removed ids' bytes
+        gone when compact returns)."""
         meta = self._meta()
         live = self._read_parts(None).distinct().withColumn(
             _PART, F.pmod(F.col("bucket"), F.lit(meta["num_parts"])).cast("int")
@@ -274,6 +297,7 @@ class DedupIndex:
             .write.partitionBy(_PART)
             .parquet(out_dir)
         )
+        n_docs = self.spark.read.parquet(out_dir).select("id").distinct().count()
         files: dict[str, list[str]] = {}
         for d in os.listdir(out_dir):
             if not d.startswith(f"{_PART}="):
@@ -284,14 +308,20 @@ class DedupIndex:
                 for f in os.listdir(os.path.join(out_dir, d))
                 if f.endswith(".parquet")
             ]
-        old_labels = {f.split(os.sep, 1)[0] for fl in meta["files"].values() for f in fl}
-        old_labels |= {t.split(os.sep, 1)[0] for t in meta["tombstones"]}
         base = int(meta["version"])
-        meta.update({"files": files, "tombstones": []})
+        meta.update({"files": files, "tombstones": [], "n_docs": n_docs})
         meta = self._vm.commit(meta, base)
-        for lbl in old_labels:
-            shutil.rmtree(os.path.join(self.root, lbl), ignore_errors=True)
-        return {"version": meta["version"], "parts": len(files)}
+        # physical reclamation: every label dir except the one we just
+        # committed — covers superseded labels AND orphans left by
+        # crashed or CAS-losing writers (their dirs were never
+        # referenced, so nothing else sweeps them)
+        for d in os.listdir(self.root):
+            if d == label or not d.startswith(("add-", "rm-", "compact-")):
+                continue
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        self._vm.cleanup()
+        return {"version": meta["version"], "parts": len(files),
+                "n_docs": n_docs}
 
     # -- query ------------------------------------------------------------
     def touched_parts(self, incoming_buckets: DataFrame) -> list[int]:
@@ -329,7 +359,13 @@ class DedupIndex:
         incremental: only the candidates' texts are ever compared.
         """
         m = self._meta()
-        inc = self._buckets(docs, text_col, id_col)
+        # materialize the batch's signatures once: touched_parts()
+        # collects over them AND the candidate join reads them — an
+        # unpersisted plan would pay shingling + minhash + banding
+        # twice (localCheckpoint rather than persist/unpersist: the
+        # returned frame is lazy, so an unpersist here would land
+        # before the caller ever runs the join)
+        inc = self._buckets(docs, text_col, id_col).localCheckpoint(eager=True)
         parts = self.touched_parts(inc)
         idx = self._read_parts(parts)
         pairs = (

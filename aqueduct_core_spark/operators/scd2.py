@@ -335,6 +335,13 @@ class Scd2History:
             return None
         df = self.spark.read.parquet(*paths).select(*_COLS)
         out_dir = f"{prefix}-{_uuid.uuid4().hex[:8]}"
+        # snapshot the sweep candidates BEFORE the CAS commit: a
+        # generation dir created after this listing belongs to a writer
+        # that read OUR committed meta (its copy of the touched buckets
+        # is already transformed) and must not be swept; a dir that
+        # exists now but commits later necessarily read the PRE-commit
+        # meta, will lose the CAS, and is debris — safe to sweep
+        candidates = set(os.listdir(self.root))
         (
             transform(df)
             .withColumn(_BUCKET, self._bucket_col())
@@ -345,7 +352,8 @@ class Scd2History:
         for b in touched:
             meta["bucket_dirs"][str(b)] = out_dir
         self._commit_meta(meta, base_version)
-        self._sweep_superseded(touched, out_dir)
+        self._sweep_superseded(touched, out_dir, candidates,
+                              committed=meta)
         return out_dir
 
     def erase(self, conv_ids: list[str]) -> dict:
@@ -394,20 +402,52 @@ class Scd2History:
             "buckets_rewritten": len(touched),
         }
 
-    def _sweep_superseded(self, touched: list[int], out_dir: str) -> None:
+    def _sweep_superseded(
+        self,
+        touched: list[int],
+        out_dir: str,
+        candidates: set[str] | None = None,
+        committed: dict | None = None,
+    ) -> None:
         """Compliance sweep: a superseded generation dir may still be
         live for OTHER buckets, so expire() won't remove it — but the
         touched buckets' subdirs inside it are dead for reads the
         moment the meta swap lands (reads resolve via bucket_dirs
         only) and still hold the original text.  Delete them
         physically.  Idempotent: a crash here just leaves debris the
-        next compliance op or expire() sweep removes."""
-        for d in os.listdir(self.root):
+        next compliance op or expire() sweep removes.
+
+        Concurrency: ``candidates`` (the pre-commit directory listing)
+        scopes the sweep to generations that predate this op's CAS
+        commit, and ``data-e*``/``prune-e*`` dirs with an epoch ABOVE
+        the committed watermark are skipped — they are a racing
+        writer's in-flight (or to-be-retried) generation, whose
+        original attempt loses the CAS anyway and whose retry
+        overwrites the dir wholesale.  Readers that pinned the
+        pre-commit meta must be quiesced, the same operational
+        contract as ``fold_deltas``/``remove_orphan_files``."""
+        if candidates is None:
+            candidates = set(os.listdir(self.root))
+        max_epoch = int((committed or self._meta()).get("epoch", -1))
+        max_prune = int((committed or self._meta()).get("prune_epoch", -1))
+        for d in sorted(candidates):
             if not (d.startswith("data-e") or d.startswith("prune-e")
                     or d.startswith("erase-") or d.startswith("redact-")):
                 continue
             if d == out_dir:
                 continue
+            if d.startswith("data-e"):
+                try:
+                    if int(d.removeprefix("data-e")) > max_epoch:
+                        continue  # in-flight/retryable epoch dir
+                except ValueError:
+                    pass
+            if d.startswith("prune-e"):
+                try:
+                    if int(d.removeprefix("prune-e")) > max_prune:
+                        continue
+                except ValueError:
+                    pass
             for b in touched:
                 shutil.rmtree(
                     os.path.join(self.root, d, f"{_BUCKET}={b}"),

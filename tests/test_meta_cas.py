@@ -79,16 +79,52 @@ def test_crash_between_claim_and_swap_rolls_forward(vm):
     assert vm.commit(meta, base_version=1)["version"] == 2
 
 
-def test_cleanup_keeps_current_claim(vm):
-    meta = vm.read()
+def test_claims_dir_stays_bounded_and_current_claim_survives(vm):
     for e in range(3):
         meta = vm.read()
         meta["epoch"] = e
         vm.commit(meta, base_version=meta["version"])
-    assert vm.cleanup() == 2  # v1, v2 dropped; v3 (current) stays
+    # commit's opportunistic hygiene already dropped superseded claims
+    claims = [c for c in os.listdir(os.path.join(vm.root, "_commits"))
+              if c.startswith("v")]
+    assert claims == ["v3"]  # the current (authoritative) claim stays
+    assert vm.cleanup() == 0
     assert os.path.exists(os.path.join(vm.root, "_commits", "v3"))
     # roll-forward still safe after cleanup
     assert vm.read()["version"] == 3
+
+
+def test_gc_freed_slot_cannot_be_won_by_stale_writer(vm):
+    """The review scenario: a slow writer with a stale base re-links a
+    claim slot that hygiene/cleanup freed AFTER newer commits landed —
+    it must conflict, not silently erase the newer commits."""
+    stale = vm.read()  # version 0
+    for e in range(3):  # three newer commits land; their claims v1, v2
+        meta = vm.read()  # are freed by commit's own hygiene
+        meta["epoch"] = e
+        vm.commit(meta, base_version=meta["version"])
+    assert not os.path.exists(os.path.join(vm.root, "_commits", "v1"))
+    stale["epoch"] = -99
+    with pytest.raises(MetaCommitConflict):
+        vm.commit(stale, base_version=0)  # links v1 afresh — must lose
+    assert vm.read()["epoch"] == 2  # newest commit unshadowed
+    assert vm.read()["version"] == 3
+
+
+def test_stalled_writer_late_swap_cannot_regress_reads(vm):
+    """A writer that claimed but stalled before its pointer swap must
+    not shadow newer commits when it resumes: reads resolve via the
+    highest claim, not the pointer."""
+    meta = vm.read()
+    meta["epoch"] = 10
+    vm.commit(meta, base_version=0)  # v1 published
+    meta2 = vm.read()
+    meta2["epoch"] = 11
+    vm.commit(meta2, base_version=1)  # v2 published
+    # simulate the stalled writer's late, unguarded pointer swap
+    vm._swap({"epoch": 10, "version": 1})
+    assert vm.read()["epoch"] == 11  # healed from the v2 claim
+    assert vm.read()["version"] == 2
 
 
 def test_legacy_meta_without_version_upgrades(tmp_path):

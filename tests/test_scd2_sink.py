@@ -270,3 +270,31 @@ def test_history_meta_roll_forward_after_crash(spark, log, tmp_path):
     # and the pointer itself was repaired on disk
     with open(h._meta_path) as f:
         assert json.load(f)["epoch"] == 99
+
+
+def test_compliance_sweep_skips_inflight_epoch_dirs(spark, log, tmp_path):
+    """The physical sweep after erase/redact must not gut a generation
+    dir a RACING apply is writing: dirs whose epoch exceeds the
+    committed watermark (in-flight or to-be-retried) are skipped, and
+    dirs created after the op's pre-commit listing are never
+    candidates."""
+    import os
+    import shutil
+
+    from aqueduct_core_spark.catalog.table import bucket_of
+
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=4)
+    h.apply(log, epoch=0)
+    key = h.read().select("conv_id").orderBy("conv_id").first()[0]
+    b = bucket_of(key, 4)
+
+    # simulate a racing apply's in-flight generation for a FUTURE epoch
+    # holding the touched bucket (its meta commit has not landed yet)
+    inflight = os.path.join(h.root, "data-e99", f"_hbucket={b}")
+    src = os.path.join(h.root, h._meta()["bucket_dirs"][str(b)], f"_hbucket={b}")
+    shutil.copytree(src, inflight)
+
+    h.erase([key])
+    assert os.path.isdir(inflight)  # in-flight epoch dir untouched
+    # while the superseded committed generation's copy was swept
+    assert not os.path.isdir(src)
