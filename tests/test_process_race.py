@@ -2,33 +2,127 @@
 
 The reference proves two whole compaction processes racing
 (PostgresqlStorageIntegrationSpec.groovy:448-482, advisory-lock NOWAIT);
-here the analog is two OS processes racing SnapshotCatalog.commit on
-one table root — the loser must get CommitConflict from the O_EXCL
-manifest claim on a real filesystem, in every round.
+here the analog is two OS processes racing SnapshotCatalog.commit (and
+VersionedMeta.commit) on one root — the loser must get a conflict from
+the exclusive claim on a real filesystem, in every round.
+
+The racers are FRESH interpreters (``subprocess``), not forks: forking
+a pytest process that holds a live Spark JVM is fragile (a child can
+inherit locks held by JVM/py4j threads mid-fork and die or hang — this
+bit the earlier fork-based version of these tests under the full
+suite), and a crashed fork twin left its sibling on a timeout-less
+barrier, hanging pytest at exit.  The file barrier below has a hard
+deadline and the parent kills stragglers, so the worst failure mode is
+a loud test failure.
 """
 
-import multiprocessing as mp
+import json
 import os
+import subprocess
+import sys
 import time
 
 import pytest
 
-from aqueduct_core_spark.catalog.snapshot import CommitConflict, SnapshotCatalog
+from aqueduct_core_spark.catalog.snapshot import SnapshotCatalog
+
+_RACER_PROG = r"""
+import json, os, sys, time
+
+kind, root, idx_s, rounds_s, sync = sys.argv[1:6]
+idx, rounds = int(idx_s), int(rounds_s)
 
 
-def _racer(root: str, barrier, results, idx: int, rounds: int):
-    cat = SnapshotCatalog(root)
-    wins = conflicts = 0
-    for _ in range(rounds):
-        barrier.wait()  # both processes attempt the same version together
-        base = cat.current()
-        try:
-            cat.commit(base, summary_updates={"who": idx})
-            wins += 1
-        except CommitConflict:
-            conflicts += 1
-        barrier.wait()  # round barrier: nobody reads current() early
-    results[idx] = (wins, conflicts)
+def barrier(tag):
+    open(os.path.join(sync, f"{tag}-{idx}"), "w").close()
+    other = os.path.join(sync, f"{tag}-{1 - idx}")
+    deadline = time.time() + 60
+    while not os.path.exists(other):
+        if time.time() > deadline:
+            sys.exit(3)  # sibling died: fail loud, never hang
+        time.sleep(0.001)
+
+
+if kind == "catalog":
+    from aqueduct_core_spark.catalog.snapshot import (
+        CommitConflict as Conflict,
+        SnapshotCatalog as Target,
+    )
+
+    target = Target(root)
+
+    def read():
+        return target.current()
+
+    def commit(base):
+        target.commit(base, summary_updates={"who": idx})
+else:
+    from aqueduct_core_spark.catalog.meta import (
+        MetaCommitConflict as Conflict,
+        VersionedMeta as Target,
+    )
+
+    target = Target(root)
+
+    def read():
+        return target.read()
+
+    def commit(base):
+        meta = dict(base)
+        meta["who"] = idx
+        target.commit(meta, base_version=meta["version"])
+
+
+wins = conflicts = 0
+for r in range(rounds):
+    barrier(f"a{r}")
+    base = read()
+    barrier(f"m{r}")  # both hold the SAME base before either commits
+    try:
+        commit(base)
+        wins += 1
+    except Conflict:
+        conflicts += 1
+    barrier(f"b{r}")
+
+with open(os.path.join(sync, f"result-{idx}.json"), "w") as f:
+    json.dump({"wins": wins, "conflicts": conflicts}, f)
+"""
+
+
+def _race_subprocesses(kind: str, root: str, tmp_path, rounds: int = 20):
+    """Run two fresh-interpreter racers against ``root``; returns their
+    (wins, conflicts) pairs.  Fails loud on any child error."""
+    import aqueduct_core_spark
+
+    sync = str(tmp_path / f"sync-{kind}")
+    os.makedirs(sync, exist_ok=True)
+    repo = os.path.dirname(
+        os.path.dirname(os.path.abspath(aqueduct_core_spark.__file__))
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _RACER_PROG, kind, root, str(i),
+             str(rounds), sync],
+            env=env,
+        )
+        for i in range(2)
+    ]
+    try:
+        for p in procs:
+            assert p.wait(timeout=180) == 0
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    out = []
+    for i in range(2):
+        with open(os.path.join(sync, f"result-{i}.json")) as f:
+            r = json.load(f)
+        out.append((r["wins"], r["conflicts"]))
+    return out
 
 
 def test_commit_race_cross_process(tmp_path):
@@ -37,20 +131,7 @@ def test_commit_race_cross_process(tmp_path):
     cat.create(schema_fields=[], properties={})
 
     rounds = 20
-    ctx = mp.get_context("fork")
-    barrier = ctx.Barrier(2)
-    mgr = ctx.Manager()
-    results = mgr.dict()
-    ps = [
-        ctx.Process(target=_racer, args=(root, barrier, results, i, rounds))
-        for i in range(2)
-    ]
-    for p in ps:
-        p.start()
-    for p in ps:
-        p.join(timeout=120)
-        assert p.exitcode == 0
-    (w0, c0), (w1, c1) = results[0], results[1]
+    (w0, c0), (w1, c1) = _race_subprocesses("catalog", root, tmp_path, rounds)
     # every round: exactly one winner, exactly one CommitConflict loser
     assert w0 + w1 == rounds, (w0, w1, c0, c1)
     assert c0 + c1 == rounds, (w0, w1, c0, c1)
@@ -195,24 +276,6 @@ def test_compact_log_validates_ts_monotonicity(spark):
                     validate_ts_monotone=True)
 
 
-def _meta_racer(root: str, barrier, results, idx: int, rounds: int):
-    from aqueduct_core_spark.catalog.meta import MetaCommitConflict, VersionedMeta
-
-    vm = VersionedMeta(root)
-    wins = conflicts = 0
-    for _ in range(rounds):
-        barrier.wait()  # both processes attempt the same version together
-        meta = vm.read()
-        meta["who"] = idx
-        try:
-            vm.commit(meta, base_version=meta["version"])
-            wins += 1
-        except MetaCommitConflict:
-            conflicts += 1
-        barrier.wait()  # round barrier: nobody reads early
-    results[idx] = (wins, conflicts)
-
-
 def test_versioned_meta_race_cross_process(tmp_path):
     """The satellite surfaces' CAS meta (catalog/meta.py) holds across
     OS processes too: two drivers racing the same base version — e.g.
@@ -226,20 +289,7 @@ def test_versioned_meta_race_cross_process(tmp_path):
     vm.init({"epoch": -1})
 
     rounds = 20
-    ctx = mp.get_context("fork")
-    barrier = ctx.Barrier(2)
-    mgr = ctx.Manager()
-    results = mgr.dict()
-    ps = [
-        ctx.Process(target=_meta_racer, args=(root, barrier, results, i, rounds))
-        for i in range(2)
-    ]
-    for p in ps:
-        p.start()
-    for p in ps:
-        p.join(timeout=120)
-        assert p.exitcode == 0
-    (w0, c0), (w1, c1) = results[0], results[1]
+    (w0, c0), (w1, c1) = _race_subprocesses("meta", root, tmp_path, rounds)
     assert w0 + w1 == rounds, (w0, w1, c0, c1)
     assert c0 + c1 == rounds, (w0, w1, c0, c1)
     assert vm.read()["version"] == rounds
