@@ -192,17 +192,18 @@ class DedupIndex:
         )
 
     # -- maintenance ------------------------------------------------------
-    def add(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> dict:
-        """Index a batch of documents: O(batch) signature work, one
-        part-partitioned append, one CAS meta commit.  Idempotent
-        under re-delivery (duplicate membership rows collapse in
-        :meth:`check`'s distinct).  An empty batch is a no-op — no
-        file, no commit (a per-epoch maintainer must not grow the
-        file list on idle epochs)."""
-        meta = self._meta()
+    def _stage_add(
+        self, meta: dict, docs: DataFrame, text_col: str, id_col: str
+    ) -> int:
+        """Write a batch's membership rows under a fresh label dir and
+        fold the file list + ``n_docs`` estimate into ``meta`` (no
+        commit — the caller publishes).  Rows are stamped with the
+        version the commit WILL publish (``meta["version"] + 1``), so
+        a same-commit tombstone at the base version never kills them.
+        Returns the number of files added (0 for an empty batch)."""
         n_new = docs.select(id_col).distinct().count()
         if n_new == 0:
-            return {"version": meta["version"], "files_added": 0}
+            return 0
         n_parts = meta["num_parts"]
         rows = (
             self._buckets(docs, text_col, id_col)
@@ -231,22 +232,19 @@ class DedupIndex:
         # running estimate (re-adds double-count, removes subtract
         # blindly); compact() resets it to the exact live count
         meta["n_docs"] += n_new
-        meta = self._vm.commit(meta, int(meta["version"]))
-        return {"version": meta["version"], "files_added": added}
+        return added
 
-    def remove(self, ids: DataFrame, id_col: str = "doc_id") -> dict:
-        """Retract documents (tombstone append): their membership rows
-        stop matching at :meth:`check` immediately; the bytes are
-        reclaimed by the next :meth:`compact`.  An empty id set is a
-        no-op — a per-epoch maintainer polling a feed with no deletes
-        must not append an empty tombstone file every epoch (the
-        tombstone list would grow without bound between compactions
-        for zero retractions)."""
-        meta = self._meta()
+    def _stage_remove(self, meta: dict, ids: DataFrame, id_col: str) -> int:
+        """Write a tombstone file for ``ids`` and fold it into ``meta``
+        (no commit).  Tombstones carry the base version: they kill rows
+        with ``v <= base`` — everything visible when the caller read the
+        meta — and spare rows a same-commit :meth:`_stage_add` stamps
+        with ``base + 1``.  Returns the number of tombstone files (0
+        for an empty id set)."""
         tomb = ids.select(F.col(id_col).cast("string").alias("id")).distinct()
         n_gone = tomb.count()
         if n_gone == 0:
-            return {"version": meta["version"], "tombstone_files": 0}
+            return 0
         label = f"rm-v{meta['version'] + 1}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, label)
         (
@@ -261,15 +259,54 @@ class DedupIndex:
         ]
         meta["tombstones"].extend(rel)
         meta["n_docs"] = max(0, int(meta["n_docs"]) - n_gone)
+        return len(rel)
+
+    def add(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> dict:
+        """Index a batch of documents: O(batch) signature work, one
+        part-partitioned append, one CAS meta commit.  Idempotent
+        under re-delivery (duplicate membership rows collapse in
+        :meth:`check`'s distinct).  An empty batch is a no-op — no
+        file, no commit (a per-epoch maintainer must not grow the
+        file list on idle epochs)."""
+        meta = self._meta()
+        added = self._stage_add(meta, docs, text_col, id_col)
+        if added == 0:
+            return {"version": meta["version"], "files_added": 0}
         meta = self._vm.commit(meta, int(meta["version"]))
-        return {"version": meta["version"], "tombstone_files": len(rel)}
+        return {"version": meta["version"], "files_added": added}
+
+    def remove(self, ids: DataFrame, id_col: str = "doc_id") -> dict:
+        """Retract documents (tombstone append): their membership rows
+        stop matching at :meth:`check` immediately; the bytes are
+        reclaimed by the next :meth:`compact`.  An empty id set is a
+        no-op — a per-epoch maintainer polling a feed with no deletes
+        must not append an empty tombstone file every epoch (the
+        tombstone list would grow without bound between compactions
+        for zero retractions)."""
+        meta = self._meta()
+        n_files = self._stage_remove(meta, ids, id_col)
+        if n_files == 0:
+            return {"version": meta["version"], "tombstone_files": 0}
+        meta = self._vm.commit(meta, int(meta["version"]))
+        return {"version": meta["version"], "tombstone_files": n_files}
 
     def reindex(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> dict:
         """Replace mutable documents' signatures (retract + re-add) —
         the transcript case: a conversation grew new turns, its
-        conversation-level document changed."""
-        self.remove(docs.select(id_col), id_col=id_col)
-        return self.add(docs, text_col=text_col, id_col=id_col)
+        conversation-level document changed.  ONE CAS commit publishes
+        the tombstones and the re-added rows together: a conflict (or a
+        crash) leaves the index exactly as it was — the retraction can
+        never land without its re-add, which would make live documents
+        invisible to :meth:`check` until a manual repair."""
+        meta = self._meta()
+        tomb_files = self._stage_remove(meta, docs.select(id_col), id_col)
+        added = self._stage_add(meta, docs, text_col, id_col)
+        if tomb_files == 0 and added == 0:
+            return {"version": meta["version"], "files_added": 0,
+                    "tombstone_files": 0}
+        meta = self._vm.commit(meta, int(meta["version"]))
+        return {"version": meta["version"], "files_added": added,
+                "tombstone_files": tomb_files}
 
     def compact(self) -> dict:
         """Fold tombstones in and collapse duplicate membership rows:
@@ -287,6 +324,16 @@ class DedupIndex:
         immediacy (``erase_everywhere`` expects the removed ids' bytes
         gone when compact returns)."""
         meta = self._meta()
+        # sweep-candidate snapshot BEFORE the rewrite/commit: a racing
+        # add()/remove() that reads the post-compact meta creates its
+        # label dir strictly after this listing (its dir write follows
+        # its meta read), so it can never be swept; a racer holding the
+        # PRE-compact meta is doomed to MetaCommitConflict anyway, and
+        # losing its staged dir to the sweep is harmless
+        candidates = [
+            d for d in os.listdir(self.root)
+            if d.startswith(("add-", "rm-", "compact-"))
+        ]
         live = self._read_parts(None).distinct().withColumn(
             _PART, F.pmod(F.col("bucket"), F.lit(meta["num_parts"])).cast("int")
         )
@@ -311,12 +358,14 @@ class DedupIndex:
         base = int(meta["version"])
         meta.update({"files": files, "tombstones": [], "n_docs": n_docs})
         meta = self._vm.commit(meta, base)
-        # physical reclamation: every label dir except the one we just
-        # committed — covers superseded labels AND orphans left by
-        # crashed or CAS-losing writers (their dirs were never
-        # referenced, so nothing else sweeps them)
-        for d in os.listdir(self.root):
-            if d == label or not d.startswith(("add-", "rm-", "compact-")):
+        # physical reclamation: every label dir that existed when this
+        # compact started, except the one we just committed — covers
+        # superseded labels AND orphans left by crashed or CAS-losing
+        # writers (their dirs were never referenced, so nothing else
+        # sweeps them).  Bounded to the pre-compact snapshot so a
+        # racing post-commit add()'s fresh dir is never collateral.
+        for d in candidates:
+            if d == label:
                 continue
             shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
         self._vm.cleanup()

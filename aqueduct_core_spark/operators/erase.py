@@ -86,15 +86,26 @@ from aqueduct_core_spark.catalog.table import (
 from aqueduct_core_spark.operators.compact import expire_snapshots
 
 
-def _keys_df(spark: SparkSession, conv_ids: list[str]) -> DataFrame:
+def _keys_df(
+    spark: SparkSession, conv_ids: list[str], col: str = "conv_id"
+) -> DataFrame:
     if not conv_ids:
         raise ValueError("erase/redact: empty key list")
     # dedupe: a repeated key in the request list must not fan out the
     # left joins the redact paths build on this frame (each duplicate
     # would write every matching row twice into the rewritten files)
     return spark.createDataFrame(
-        [(c,) for c in dict.fromkeys(conv_ids)], "conv_id string"
+        [(c,) for c in dict.fromkeys(conv_ids)], f"{col} string"
     )
+
+
+def _local_path(file_uri: str) -> str:
+    """``input_file_name()`` returns a percent-encoded ``file:`` URI;
+    pyarrow and ``os.replace`` need the decoded local path (a log under
+    a directory with a space or ``%`` would otherwise fail up front)."""
+    from urllib.parse import unquote
+
+    return unquote(file_uri.removeprefix("file:"))
 
 
 def _keys_digest(conv_ids: list[str]) -> str:
@@ -265,7 +276,7 @@ def _rewrite_log(
     if not affected:
         return {"files_rewritten": 0, "files_removed": 0, "rows_before": 0,
                 "rows_after": 0}
-    paths = [f.removeprefix("file:") for f in affected]
+    paths = [_local_path(f) for f in affected]
     # row counts come from parquet footers (driver-side metadata reads),
     # NOT extra full scans — the data-plane cost stays at the advertised
     # one locate scan + one grouped rewrite job
@@ -304,7 +315,7 @@ def _rewrite_log(
     rows_after = 0
     try:
         for f, i in idx.items():
-            target = f.removeprefix("file:")
+            target = _local_path(f)
             part_dir = os.path.join(stage, f"_src={i}")
             parts = (
                 [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
@@ -444,9 +455,7 @@ def erase_everywhere(
     for t, v in views:
         report["views"].append(v.refresh(t))
     if indexes:
-        ids = spark.createDataFrame(
-            [(c,) for c in dict.fromkeys(conv_ids)], "doc_id string"
-        )
+        ids = _keys_df(spark, conv_ids, col="doc_id")
     for ix in indexes:
         removed = ix.remove(ids)
         compacted = ix.compact()

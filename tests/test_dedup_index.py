@@ -232,3 +232,68 @@ def test_streaming_maintainer_keeps_index_fresh(spark, tmp_path):
         maintainers=[DedupIndexMaintainer(ix, cur)],
     )
     assert cur.version == v  # skipped epochs -> no feed -> no index churn
+
+
+def test_reindex_conflict_is_atomic(spark, tmp_path):
+    """reindex is ONE CAS commit: a conflict must leave the index
+    exactly as it was — never a published retraction whose re-add was
+    lost (live documents invisible to check() until manual repair)."""
+    from aqueduct_core_spark.catalog.meta import MetaCommitConflict
+
+    ix = DedupIndex.create(spark, str(tmp_path / "ix"), num_parts=4)
+    ix.add(_docs(spark, BASE))
+    before = ix._meta()
+
+    # inject a racing commit between reindex's meta read and its publish
+    real_stage_add = ix._stage_add
+
+    def stage_then_race(meta, *a, **k):
+        out = real_stage_add(meta, *a, **k)
+        racer = DedupIndex.load(spark, ix.root)
+        m = racer._meta()
+        racer._vm.commit(m, int(m["version"]))
+        return out
+
+    ix._stage_add = stage_then_race
+    grown = _docs(spark, [("h1", BASE[0][1] + " grew a new turn")])
+    with pytest.raises(MetaCommitConflict):
+        ix.reindex(grown)
+
+    after = ix._meta()
+    # neither the tombstone nor the re-add landed
+    assert after["tombstones"] == before["tombstones"] == []
+    assert after["files"] == before["files"]
+    # h1's original signature is still live: an incoming exact dup hits
+    hits = ix.check(_docs(spark, [("q", BASE[0][1])]))
+    assert ("q", "h1") in {tuple(r) for r in hits.collect()}
+
+
+def test_compact_sweep_spares_racing_adds_files(spark, tmp_path):
+    """compact()'s orphan sweep is bounded to the label dirs that
+    existed when the compact STARTED: an add() that reads the
+    post-compact meta and commits after it must keep its files (the
+    unbounded sweep deleted them while the meta referenced them)."""
+    root = str(tmp_path / "ix")
+    ix = DedupIndex.create(spark, root, num_parts=4)
+    ix.add(_docs(spark, BASE))
+    ix.remove(_docs(spark, BASE[:1]).select("doc_id"))
+
+    fresh = [("f1", "a freshly ingested document racing the compaction")]
+    real_commit = ix._vm.commit
+
+    def commit_then_race(meta, base):
+        out = real_commit(meta, base)
+        DedupIndex.load(spark, root).add(_docs(spark, fresh))
+        return out
+
+    ix._vm.commit = commit_then_race
+    ix.compact()
+
+    final = DedupIndex.load(spark, root)
+    m = final._meta()
+    for fl in m["files"].values():
+        for f in fl:
+            assert os.path.exists(os.path.join(root, f)), f
+    # and the raced add is queryable
+    hits = final.check(_docs(spark, [("q", fresh[0][1])]))
+    assert ("q", "f1") in {tuple(r) for r in hits.collect()}

@@ -408,3 +408,20 @@ def test_erase_everywhere_rejects_empty_keys(spark):
 
     with pytest.raises(ValueError):
         erase_everywhere(spark, [], indexes=[object()])
+
+
+def test_erase_from_log_under_percent_encoded_dir(spark, tmp_path):
+    """input_file_name() hands back percent-encoded file: URIs; the
+    footer counts (pyarrow) and the atomic swap (os.replace) need the
+    DECODED local path — a log under a directory with a space must
+    rewrite, not FileNotFoundError up front."""
+    log = generate_changes(spark, n_convs=40, seed=7)
+    log_dir = str(tmp_path / "my logs" / "log")
+    log.repartition(3, "lsn").write.parquet(log_dir)
+
+    keys = [r[0] for r in spark.read.parquet(log_dir)
+            .select("conv_id").distinct().orderBy("conv_id").limit(2).collect()]
+    report = erase_from_log(spark, log_dir, keys)
+    assert report["rows_erased"] > 0
+    cleaned = spark.read.parquet(log_dir)
+    assert cleaned.where(F.col("conv_id").isin(keys)).count() == 0

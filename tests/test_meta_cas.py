@@ -184,3 +184,73 @@ def test_dedup_index_concurrent_mutation_fails_loud(spark, tmp_path):
     with pytest.raises(MetaCommitConflict):
         ix._vm.commit(stale, base_version=stale["version"])
     assert ix._meta()["tombstones"]  # winner's tombstones intact
+
+
+def test_reader_repair_during_commit_is_not_a_conflict(vm, monkeypatch):
+    """A concurrent read() that repairs the pointer onto the writer's
+    own just-landed claim must not make the writer raise: its commit is
+    durably published at that point (the old >= pointer check turned
+    this confirmation into a false MetaCommitConflict, wedging callers
+    on retry — apply would see OutOfOrderBatch, add() double-append)."""
+    import os as _os
+
+    real_link = _os.link
+
+    def link_then_reader_repairs(src, dst):
+        real_link(src, dst)
+        # a second handle reads mid-commit: sees the claim above the
+        # pointer and repairs the pointer to it
+        VersionedMeta(vm.root).read()
+
+    monkeypatch.setattr(_os, "link", link_then_reader_repairs)
+    meta = vm.read()
+    meta["epoch"] = 7
+    out = vm.commit(meta, base_version=0)  # must NOT raise
+    assert out["version"] == 1
+    assert vm.read()["epoch"] == 7
+
+
+def test_read_retries_when_hygiene_frees_the_scanned_claim(vm):
+    """TOCTOU between the max-claim scan and opening the claim file: a
+    committer's hygiene removes v{top} because a higher claim landed —
+    read() must re-scan, not crash with FileNotFoundError."""
+    meta = vm.read()
+    meta["epoch"] = 1
+    vm.commit(meta, base_version=0)
+    # simulate the scan/open race: first scan sees a claim that is gone
+    real = vm._max_claim
+    calls = {"n": 0}
+
+    def flaky_scan():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return 99  # claim v99 "existed at scan time", gone at open
+        return real()
+
+    vm._max_claim = flaky_scan
+    # force the claim path (pointer behind the scan result)
+    vm._swap({"epoch": 0, "version": 0})
+    out = vm.read()
+    assert out["version"] == 1 and out["epoch"] == 1
+    assert calls["n"] >= 2  # it did retry
+
+
+def test_cleanup_publishes_floor_so_freed_slots_conflict(vm):
+    """cleanup() (not just commit hygiene) must make the slots it frees
+    un-winnable: floor marker first, removal second."""
+    import json as _json
+    import os as _os
+
+    stale = vm.read()  # base 0
+    # three claims land without commit hygiene (simulated crashed
+    # writers that never removed their bases)
+    cdir = _os.path.join(vm.root, "_commits")
+    _os.makedirs(cdir, exist_ok=True)
+    for v in (1, 2, 3):
+        with open(_os.path.join(cdir, f"v{v}"), "w") as f:
+            _json.dump({"epoch": v, "version": v}, f)
+    assert vm.cleanup() == 2  # v1, v2 freed; v3 (current) stays
+    stale["epoch"] = -99
+    with pytest.raises(MetaCommitConflict):
+        vm.commit(stale, base_version=0)  # would re-link freed v1
+    assert vm.read()["epoch"] == 3
