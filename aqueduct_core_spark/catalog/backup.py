@@ -39,6 +39,16 @@ import shutil
 from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
 
 
+def _fsync_path(path: str) -> None:
+    """fsync a file or directory by path (directory fsync persists the
+    entries — required before the pointer publish can claim them)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _referenced_files(snap: dict) -> list[str]:
     rels: list[str] = []
     for fl in snap.get("files", {}).values():
@@ -68,22 +78,37 @@ def export_snapshot(
             f"snapshot v{v} was expired mid-export"
         )
     total = 0
+    dirs_made: set[str] = set()
     for r in rels:
         src = os.path.join(table.root, r)
         dst = os.path.join(dest, r)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
+        dirs_made.add(os.path.dirname(dst))
         shutil.copy2(src, dst)
+        _fsync_path(dst)  # data durable BEFORE the pointer can exist
         total += os.path.getsize(src)
     # manifest last, pointer very last — a torn export is unreadable
-    # (no VERSION), never wrong
+    # (no VERSION), never wrong.  Every stage is fsynced in order
+    # (data → manifest → pointer): without it the kernel may persist
+    # the small VERSION file before the data pages under power loss,
+    # and restore's only check (VERSION exists) would pass on a torn
+    # backup.
     snap_dir = os.path.join(dest, "snapshots")
     os.makedirs(snap_dir, exist_ok=True)
-    with open(os.path.join(snap_dir, f"v{v}.json"), "w") as f:
+    manifest = os.path.join(snap_dir, f"v{v}.json")
+    with open(manifest, "w") as f:
         json.dump(snap, f)
+        f.flush()
+        os.fsync(f.fileno())
+    for d in (*dirs_made, snap_dir):  # dir entries durable too
+        _fsync_path(d)
     tmp = os.path.join(dest, "VERSION.tmp")
     with open(tmp, "w") as f:
         f.write(str(v))
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(dest, "VERSION"))
+    _fsync_path(dest)
     return {"version": v, "files": len(rels), "bytes": total}
 
 

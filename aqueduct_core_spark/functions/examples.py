@@ -35,6 +35,8 @@ keeping-history semantics; SQLiteQueries.java:51-55 compaction is what
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -197,11 +199,16 @@ class PreferencePairsView:
     pure per-(conv_id, turn_idx) function and a key's versions never
     span buckets (:func:`pairs_from_history`).
 
-    Crash safety mirrors the sink it rides: pair data lands in a dir
-    named deterministically by the history epoch (a crash between the
-    write and the meta swap leaves debris the re-refresh overwrites),
-    and the meta swap is atomic.  Re-delivered/no-op epochs make the
-    refresh a no-op (the mapping diff is empty).
+    Crash safety: pair data lands in a UNIQUELY-named generation dir
+    (epoch + nonce) and the meta swap is atomic — a crash between the
+    write and the swap leaves unreferenced debris that :meth:`expire`
+    sweeps, never a referenced dir at risk.  The name must not be the
+    epoch alone: the history's compliance ops (``erase``/``redact``/
+    ``prune_closed_before``) rewrite bucket generations WITHOUT
+    advancing the epoch, so a post-erase refresh at the same epoch
+    would overwrite-destroy the previous refresh's dir while other
+    buckets' mappings still reference it.  Re-delivered/no-op epochs
+    make the refresh a no-op (the mapping diff is empty).
     """
 
     def __init__(self, spark: SparkSession, root: str):
@@ -277,16 +284,15 @@ class PreferencePairsView:
             )
         )
         pairs = pairs_from_history(hist_df).select(*_PAIRS_COLS)
-        out_dir = f"data-he{int(hmeta['epoch'])}"
+        # unique generation name: a history erase/redact/prune rewrites
+        # buckets at the SAME epoch, so the epoch alone would collide
+        # with (and destroy) the still-referenced previous generation
+        out_dir = f"data-he{int(hmeta['epoch'])}-{uuid.uuid4().hex[:8]}"
         bucket_col = F.pmod(F.hash(F.col("conv_id")), F.lit(int(meta["num_buckets"])))
         (
             pairs.withColumn(_VBUCKET, bucket_col)
-            # overwrite: crash debris at this deterministic name must
-            # not crash-loop the re-refresh (nothing references the dir
-            # until the meta swap below)
             .repartition(len(dirty), F.col(_VBUCKET))
-            .write.mode("overwrite")
-            .partitionBy(_VBUCKET)
+            .write.partitionBy(_VBUCKET)
             .parquet(os.path.join(self.root, out_dir))
         )
         meta["bucket_dirs"].update({b: out_dir for b in dirty})
@@ -300,6 +306,20 @@ class PreferencePairsView:
             "buckets_refreshed": len(dirty),
             "epoch": int(hmeta["epoch"]),
         }
+
+    def expire(self) -> list[str]:
+        """Remove ``data-he*`` generation dirs no bucket references
+        anymore — superseded generations and crash debris (same
+        single-writer maintenance contract as ``ConvView.expire``)."""
+        meta = self._meta()
+        live = set(meta["bucket_dirs"].values())
+        removed = []
+        for d in os.listdir(self.root):
+            if d.startswith("data-he") and d not in live:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+                removed.append(d)
+        self._vm.cleanup()
+        return removed
 
 
 _SFT_SCHEMA = (

@@ -149,10 +149,15 @@ def gumbel_topk_select(
     trick — add independent Gumbel(0,1) noise to each scaled score and
     take the top k (equivalent to sequential sampling without
     replacement; Vieira 2014).  The noise is DETERMINISTIC: uniform u
-    from the engine's seeded hash primitive (md5-60-bit →
-    ``u = (h + 0.5) / 2⁶⁰`` ∈ (0,1), so ``g = −ln(−ln u)`` is finite),
-    which makes the draw reproducible across runs/partitionings/engines
-    and lets the SQL oracle replay the exact selection.
+    from the engine's seeded hash primitive, normalized per method's
+    actual range (md5 → non-negative 60-bit, ``u = (h + 0.5)/2⁶⁰``;
+    xxhash64 → SIGNED full-range 64-bit, ``u = (h + 2⁶³ + 0.5)/2⁶⁴`` —
+    using the md5 formula there would put u outside (0,1) for ~94% of
+    ids, NULL their ``g``, and silently draw the sample from the
+    hash-biased remainder).  Either way u ∈ (0,1), so
+    ``g = −ln(−ln u)`` is finite, the draw is reproducible across
+    runs/partitionings/engines, and the SQL oracle can replay the
+    exact selection.
 
     ``temperature`` → 0 approaches deterministic top-k by score;
     large values approach a uniform sample.  Returns the selected rows
@@ -165,7 +170,10 @@ def gumbel_topk_select(
     if temperature <= 0:
         raise ValueError(f"need positive temperature, got {temperature=}")
     h = hash64(F.col(id_col).cast("string"), seed=seed, method=method)
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**60))
+    if method == "md5":
+        u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**60))
+    else:  # xxhash64: signed full-range → shift into [0, 2⁶⁴)
+        u = (h.cast("double") + F.lit(float(2**63) + 0.5)) / F.lit(float(2**64))
     g = -F.log(-F.log(u))
     key = F.col(score_col).cast("double") / F.lit(float(temperature)) + g
     return (

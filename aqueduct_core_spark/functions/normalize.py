@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql import types as T
+from aqueduct_core_spark.schema import WIRE_OVERHEAD_BYTES
 
 
 @pandas_udf(T.StringType())
@@ -38,7 +39,7 @@ def with_normalized_text(df: DataFrame, col: str = "text") -> DataFrame:
     return df.withColumn(col, F.when(F.col(col).isNotNull(), normalize_text(F.col(col))))
 
 
-def with_event_size(df: DataFrame, overhead: int = 89) -> DataFrame:
+def with_event_size(df: DataFrame, overhead: int = WIRE_OVERHEAD_BYTES) -> DataFrame:
     """X6: serialized JSON length, computed JVM-side (whole-stage
     codegen; zero Python)."""
     payload = F.to_json(

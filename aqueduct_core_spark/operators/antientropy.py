@@ -52,8 +52,21 @@ DIFFERS = "differs"
 
 def _row_hash(cols: list[str]):
     """Order-canonical per-row 64-bit content hash (includes lsn: a
-    converged replica matches the primary bit-for-bit, lsn included)."""
-    return F.xxhash64(*[F.col(c) for c in sorted(cols)])
+    converged replica matches the primary bit-for-bit, lsn included).
+
+    xxhash64 skips NULL operands entirely (the hash state is unchanged),
+    so two rows whose value sits in DIFFERENT nullable columns — e.g.
+    bitrot or a bad restore shifting text between adjacent columns —
+    would hash identically and the divergence would be invisible to
+    every digest in this module.  Appending the per-column null flags
+    to the hash input disambiguates: the flag vector pins which
+    positions contributed, while the values themselves stay natively
+    hashed (no string casts in the hot aggregation)."""
+    ordered = sorted(cols)
+    return F.xxhash64(
+        *[F.col(c) for c in ordered],
+        *[F.col(c).isNull() for c in ordered],
+    )
 
 
 def bucket_digests(

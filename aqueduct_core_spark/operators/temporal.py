@@ -37,20 +37,27 @@ def asof_join_log(
     when no such row exists.
 
     Mechanics: tag both sides, union them (``allowMissingColumns``
-    fills the other side's columns with null), and run one
-    ``last(..., ignorenulls=True)`` window per payload column ordered
-    by ``(ord, side)`` with rows-unbounded-preceding frame.  Right rows
-    sort *before* left rows at equal ``ord``, so a right row at exactly
-    the left row's ordinate is visible to it (at-or-before).  Cost: one
-    hash shuffle on ``keys`` + an in-partition sort — no range-join
-    candidate explosion, and per-key skew is bounded by the largest
-    single key's history (the same bound every per-key window in the
-    engine already carries).
+    fills the other side's columns with null), and run ONE
+    ``last(..., ignorenulls=True)`` window over a single STRUCT of the
+    payload columns, ordered by ``(ord, side)`` with
+    rows-unbounded-preceding frame.  The struct — not one window per
+    column — is what preserves row semantics: the struct of a right
+    row is non-null even when individual fields are null, so the left
+    row gets *the latest right row's* payload verbatim; per-column
+    fills would stitch fields from different right rows whenever the
+    latest one carries a null field (with this engine's schema,
+    ``tool`` is null on most rows — stale-value resurrection would be
+    routine).  Right rows sort *before* left rows at equal ``ord``, so
+    a right row at exactly the left row's ordinate is visible to it
+    (at-or-before).  Cost: one hash shuffle on ``keys`` + an
+    in-partition sort — no range-join candidate explosion, and per-key
+    skew is bounded by the largest single key's history (the same
+    bound every per-key window in the engine already carries).
     """
     r = right.select(
         *keys,
         F.col(ord_col).alias(ord_col),
-        *[F.col(c).alias(c + suffix) for c in right_payload],
+        F.struct(*[F.col(c).alias(c) for c in right_payload]).alias("_rpay"),
     ).withColumn("_side", F.lit(0))
     l = left.withColumn("_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -60,14 +67,10 @@ def asof_join_log(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
-        "*",
-        *[
-            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix + "_f")
-            for c in right_payload
-        ],
+        "*", F.last(F.col("_rpay"), ignorenulls=True).over(w).alias("_rpay_f")
     )
     out_cols = [c for c in left.columns] + [
-        F.col(c + suffix + "_f").alias(c + suffix) for c in right_payload
+        F.col("_rpay_f")[c].alias(c + suffix) for c in right_payload
     ]
     return filled.where(F.col("_side") == 1).select(*out_cols)
 

@@ -91,17 +91,33 @@ def apply_with_quarantine(
     the epoch stamp.  At-least-once for the dead-letter channel,
     exactly-once for data: the standard DLQ contract (Kafka Connect,
     Delta's badRecordsPath behave the same).
+
+    The stamped batch is persisted around the three actions that read
+    it (invalid count, quarantine write, the merge's scans of the valid
+    side) — a file-stream micro-batch would otherwise re-scan and
+    re-parse its source once per action on the hot path.
     """
     from aqueduct_core_spark.operators.merge import apply_batch
 
-    valid, invalid = split_quarantine(batch)
-    n_bad = 0
+    stamped_all = with_invalid_reason(batch)
     if quarantine_dir is not None:
-        stamped = invalid.withColumn("epoch", F.lit(int(epoch)))
-        n_bad = stamped.count()
-        if n_bad:
-            stamped.write.mode("append").parquet(quarantine_dir)
-    m = apply_batch(table, valid, epoch=epoch, cfg=cfg)
+        stamped_all = stamped_all.persist()
+    try:
+        valid = stamped_all.where(F.col(REASON_COLUMN).isNull()).drop(REASON_COLUMN)
+        n_bad = 0
+        if quarantine_dir is not None:
+            invalid = (
+                stamped_all.where(F.col(REASON_COLUMN).isNotNull())
+                .withColumnRenamed(REASON_COLUMN, "reason")
+                .withColumn("epoch", F.lit(int(epoch)))
+            )
+            n_bad = invalid.count()
+            if n_bad:
+                invalid.write.mode("append").parquet(quarantine_dir)
+        m = apply_batch(table, valid, epoch=epoch, cfg=cfg)
+    finally:
+        if quarantine_dir is not None:
+            stamped_all.unpersist()
     m["quarantined"] = int(n_bad)
     return m
 

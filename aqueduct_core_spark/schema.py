@@ -80,6 +80,12 @@ TRANSCRIPTS_SCHEMA = T.StructType(
 #: public reads.
 LSN_COLUMN = "_lsn"
 
+#: fixed per-event wire overhead in bytes (reference Message.java:27-31
+#: MAX_OVERHEAD_SIZE) — the non-payload share of event_size.  Single
+#: definition: generator/CDC ingest, envelope ingest, and the
+#: serialized-size function must agree or byte-budget batching skews.
+WIRE_OVERHEAD_BYTES = 89
+
 TRANSCRIPTS_INTERNAL_SCHEMA = T.StructType(
     list(TRANSCRIPTS_SCHEMA.fields) + [T.StructField(LSN_COLUMN, T.LongType(), False)]
 )

@@ -112,8 +112,7 @@ ENVELOPE_SCHEMA = T.StructType(
     ]
 )
 
-#: fixed per-event overhead bytes (reference Message.java:27-31)
-_OVERHEAD_BYTES = 89
+from aqueduct_core_spark.schema import WIRE_OVERHEAD_BYTES as _OVERHEAD_BYTES
 
 
 def _row_image() -> Column:

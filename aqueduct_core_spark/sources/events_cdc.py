@@ -34,6 +34,7 @@ Mapping rules (all deterministic, no randomness):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from aqueduct_core_spark.schema import WIRE_OVERHEAD_BYTES
 
 #: DuckDB CTE defining the identical mapping over the ``events`` view.
 #: Prepend to every oracle query as ``WITH changes AS (…)``.
@@ -86,7 +87,9 @@ def changes_from_events(events: DataFrame) -> DataFrame:
         # parquet may carry TIMESTAMP_NTZ; the engine schema is TIMESTAMP
         # (session TZ pinned to UTC, so the cast is value-preserving)
         F.col("ts").cast("timestamp").alias("ts"),
-        F.when(is_tomb, F.lit(89)).otherwise(F.length(text) + 89).cast("int").alias("event_size"),
+        F.when(is_tomb, F.lit(WIRE_OVERHEAD_BYTES))
+        .otherwise(F.length(text) + WIRE_OVERHEAD_BYTES)
+        .cast("int").alias("event_size"),
         (F.col("user_id") % 8).cast("long").alias("cluster_id"),
         # NULL = broadcast to every location group (reference
         # PostgresqlStorage.java:469-473); others target user%5

@@ -63,6 +63,23 @@ class FeedCursor:
         self._pending: int | None = None
         persisted = self._load_state()
         if persisted is not None:
+            # resume contract (Kafka auto.offset.reset semantics):
+            # start_version is the INITIAL position, used only when no
+            # acknowledged state exists; a surviving state file wins on
+            # restart.  An intentional rewind is reset(to_version) —
+            # warn when an explicit start_version is being overridden
+            # so the operator who meant a rewind finds out now, not
+            # from replica divergence later.
+            if start_version is not None and int(start_version) != persisted:
+                import warnings
+
+                warnings.warn(
+                    f"FeedCursor: persisted state at {state_path} resumes at "
+                    f"version {persisted}, overriding start_version="
+                    f"{int(start_version)}; use reset({int(start_version)}) "
+                    "for an intentional rewind/replay",
+                    stacklevel=2,
+                )
             self.version = persisted
         elif start_version is not None:
             self.version = int(start_version)

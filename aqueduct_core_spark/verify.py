@@ -43,8 +43,15 @@ def state_digest(state: DataFrame, cols: list[str] | None = None) -> int:
     canonical column set.  Two equal states have equal digests; fully
     distributed (one agg)."""
     cols = cols or [c for c in state.columns if c != LSN_COLUMN]
-    # decimal accumulator: overflow-free under ANSI mode
-    h = F.xxhash64(*[F.col(c) for c in sorted(cols)]).cast("decimal(38,0)")
+    # decimal accumulator: overflow-free under ANSI mode.  Null flags
+    # ride along because xxhash64 skips NULL operands — without them a
+    # value shifted between nullable columns hashes identically
+    # (operators/antientropy._row_hash, same construction).
+    ordered = sorted(cols)
+    h = F.xxhash64(
+        *[F.col(c) for c in ordered],
+        *[F.col(c).isNull() for c in ordered],
+    ).cast("decimal(38,0)")
     row = state.agg(F.sum(h).alias("d")).collect()[0]
     return int(row["d"]) if row["d"] is not None else 0
 

@@ -139,3 +139,23 @@ def test_diff_rejects_mismatched_bucket_layouts(spark, tmp_path):
     replay(a, log, cfg, start_epoch=0, start_lsn=0)
     with pytest.raises(ValueError, match="bucket layouts differ"):
         diverging_buckets(a, b)
+
+
+def test_null_shifted_value_is_detected(spark):
+    """xxhash64 skips NULL operands, so a value shifted between nullable
+    columns would hash identically without the null-flag inputs — the
+    bitrot/bad-restore case the digest exists to catch."""
+    from aqueduct_core_spark.operators.antientropy import _row_hash
+
+    a = spark.createDataFrame(
+        [("c1", 0, "assistant", None)],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    b = spark.createDataFrame(
+        [("c1", 0, None, "assistant")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    ha = a.select(_row_hash(cols).alias("h")).first()["h"]
+    hb = b.select(_row_hash(cols).alias("h")).first()["h"]
+    assert ha != hb

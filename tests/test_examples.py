@@ -324,3 +324,38 @@ def test_sft_view_rides_streaming_maintainers(spark, tmp_path):
     state = table.read().select("conv_id", "turn_idx", "role", "text")
     a, b = view.read(), sft_examples(state, target_role=role)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pairs_view_survives_history_erase_at_same_epoch(spark, tmp_path):
+    """A history erase/redact/prune rewrites bucket generations WITHOUT
+    advancing the epoch; the follow-up view refresh must not
+    overwrite-destroy the previous refresh's generation dir while other
+    buckets' mappings still reference it (the epoch-named-dir bug:
+    untouched buckets' pairs silently vanished from read())."""
+    from aqueduct_core_spark.functions.examples import (
+        PreferencePairsView, preference_pairs,
+    )
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.operators.scd2 import Scd2History
+
+    log = generate_changes(spark, n_convs=40, seed=5)
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=8)
+    v = PreferencePairsView.create(spark, str(tmp_path / "v"))
+    h.apply(log, epoch=0)
+    v.refresh(h)
+    pairs_before = v.read()
+    assert pairs_before.count() > 0
+
+    # erase ONE conversation that has pairs: only its bucket is rewritten
+    victim = pairs_before.select("conv_id").orderBy("conv_id").first()[0]
+    h.erase([victim])
+    m = v.refresh(h)
+    assert m["mode"] == "refreshed"
+
+    # survivors: exactly the batch pairs over the erased history
+    expected = preference_pairs(log.where(F.col("conv_id") != victim))
+    _pp_same(v.read(), expected)
+    assert v.read().where(F.col("conv_id") == victim).count() == 0
+    # and expire() reclaims superseded generations without touching live
+    v.expire()
+    _pp_same(v.read(), expected)

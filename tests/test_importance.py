@@ -89,3 +89,21 @@ def test_gumbel_topk_validates_args(spark):
         gumbel_topk_select(df, k=0)
     with pytest.raises(ValueError):
         gumbel_topk_select(df, k=1, temperature=0.0)
+
+
+def test_gumbel_topk_xxhash64_full_selection(spark):
+    """The xxhash64 path: signed full-range hashes must normalize into
+    (0,1) — with the md5-range formula ~94% of ids got a NULL sel_key
+    and the 'sample' was drawn from a hash-biased remainder."""
+    from aqueduct_core_spark.functions.importance import gumbel_topk_select
+
+    scores = spark.createDataFrame(
+        [(f"d{i}", 0.0) for i in range(200)], "doc_id string, dsir_logratio double"
+    )
+    out = gumbel_topk_select(scores, k=50, method="xxhash64")
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["sel_key"] is not None for r in rows)
+    # determinism: same seed, same draw
+    again = gumbel_topk_select(scores, k=50, method="xxhash64").collect()
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in again}

@@ -540,3 +540,25 @@ def test_token_budget_mix_greedy_prefix_cut(spark):
     if nxt is not None:
         assert under + nxt > 500
     assert kept.count() * 7 == under
+
+
+def test_asof_join_null_payload_field_is_not_backfilled(spark):
+    """Row semantics: the left row gets the LATEST right row's payload
+    verbatim — a null field on that row must stay null, not resurrect
+    the previous right row's value (per-column ignorenulls fills would
+    stitch a row that never existed; `tool` is null on most rows of
+    this engine's schema, so stale-value resurrection would be
+    routine)."""
+    right = spark.createDataFrame(
+        [("c1", 1, "user", "calc"), ("c1", 2, "asst", None)],
+        "conv_id string, lsn long, role string, tool string",
+    )
+    left = spark.createDataFrame([("c1", 3)], "conv_id string, lsn long")
+    out = asof_join_log(
+        left, right, keys=["conv_id"], ord_col="lsn",
+        right_payload=["role", "tool"],
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["role_asof"] == "asst"
+    assert row["tool_asof"] is None  # NOT "calc"
