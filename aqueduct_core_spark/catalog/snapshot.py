@@ -167,18 +167,37 @@ class SnapshotCatalog:
             self._swap_version(snap["snapshot_id"])
         return snap
 
-    def _claim_decision(self, snap: dict, verb: str) -> None:
+    def _claim_decision(self, snap: dict, verb: str) -> str:
+        """Claim the single-winner publish/abandon decision for this
+        stage.  Returns the WINNING verb: ours when the claim lands, or
+        the verb already durably claimed — a crash between a past
+        claim and its pointer swap / manifest removal must be ROLLED
+        FORWARD by the caller, not wedge every recovery attempt in
+        CommitConflict until the decide-file sweep.  The claim is
+        content-atomic (write + fsync, then link), so an existing claim
+        always carries its verb."""
         sid = snap["summary"].get("aqueduct.stage-id", f"v{snap['snapshot_id']}")
         path = os.path.join(self._snap_dir, f".decide-{sid}")
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:
-            raise CommitConflict(
-                f"staged v{snap['snapshot_id']} already decided "
-                f"(racing {verb} lost)"
-            ) from e
-        with os.fdopen(fd, "w") as f:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
             f.write(verb)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return verb
+        except FileExistsError:
+            with open(path) as f:
+                winner = f.read().strip()
+            if not winner:
+                # pre-roll-forward claim torn mid-write: undecidable
+                raise CommitConflict(
+                    f"staged v{snap['snapshot_id']} carries an empty "
+                    "decision claim; manual repair required"
+                ) from None
+            return winner
+        finally:
+            os.remove(tmp)
 
     # -- write-audit-publish --------------------------------------------
     def staged_version(self) -> int | None:
@@ -203,7 +222,13 @@ class SnapshotCatalog:
                 "(only the staged head, head+1, is publishable)"
             )
         snap = self.load(version)  # raises if nothing staged
-        self._claim_decision(snap, "publish")
+        if self._claim_decision(snap, "publish") != "publish":
+            raise CommitConflict(
+                f"staged v{version} was decided abandon (racing or "
+                "crashed abandon won); restage the epoch"
+            )
+        # ours, or a crashed publisher's claim rolled forward — the
+        # swap is idempotent either way
         self._swap_version(version)
         return snap
 
@@ -221,7 +246,17 @@ class SnapshotCatalog:
             snap = self.load(version)
         except FileNotFoundError:
             return  # already abandoned
-        self._claim_decision(snap, "abandon")
+        if self._claim_decision(snap, "abandon") != "abandon":
+            # the decision is publish — a racer won, or a past publish
+            # crashed between its claim and the pointer swap.  Complete
+            # the publish (idempotent) so the sequence isn't wedged,
+            # then fail this abandon loudly: the stage is now the
+            # published head (a replay of its epoch skips as duplicate).
+            self._swap_version(version)
+            raise CommitConflict(
+                f"staged v{version} was decided publish; completed the "
+                "pointer swap instead of abandoning"
+            )
         try:
             os.remove(path)
         except FileNotFoundError:

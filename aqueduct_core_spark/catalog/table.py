@@ -204,8 +204,13 @@ class ParquetTranscriptTable:
             opts["parquet.bloom.filter.adaptive.enabled"] = "true"
         return opts
 
-    def schema(self) -> T.StructType:
-        snap = self.catalog.current()
+    def schema(self, snap: dict | None = None) -> T.StructType:
+        """Table schema — of ``snap`` when given, else of the current
+        snapshot.  Version-pinned readers must pass their pinned
+        manifest: the schema travels with the version (a time-travel
+        read must not see a later evolution's phantom column, and a
+        WAP audit must see the column its staged epoch added)."""
+        snap = snap or self.catalog.current()
         return T.StructType.fromJson({"type": "struct", "fields": snap["schema"]})
 
     def payload_columns(self) -> list[str]:
@@ -367,7 +372,7 @@ class ParquetTranscriptTable:
         """
         snap = self.catalog.current() if version is None else self.catalog.load(version)
         wanted = None if buckets is None else {str(int(b)) for b in buckets}
-        schema = schema or self.schema()
+        schema = schema or self.schema(snap)  # pinned version ⇒ ITS schema
         base = self._base_df(snap, wanted, schema)
 
         delta_files = []
@@ -582,30 +587,75 @@ class ParquetTranscriptTable:
 
         Zero extra bookkeeping at write time — the MOR delta files ARE
         the change feed (``operators/lww.py:unified_argmax`` output),
-        so this is a manifest diff plus a scan of only the new delta
-        files.  Requires an unfolded interval: ``fold_deltas`` clusters
-        deltas into the base and rewrites history, so a fold (or any
-        base rewrite) between the versions raises instead of silently
-        under-reporting.  Size retention windows (``mor_fold_every``,
+        so this is a manifest walk plus a scan of only the delta files
+        ADDED in the interval.  The walk may cross a **content-
+        preserving rewrite** (``fold_deltas`` / ``rewrite_data_files``
+        / z-order — stamped ``aqueduct.fold-snapshot`` with their own
+        commit id) as long as every delta it folded was already visible
+        at ``v_from``: a caught-up consumer keeps tailing across
+        scheduled folds instead of being forced into a full resync
+        every ``mor_fold_every`` epochs.  It still raises for (a) a
+        fold that consumed deltas this consumer never saw (it lagged
+        past retention), (b) any UNstamped base rewrite — erase/redact/
+        rebucket/rollback change history in ways no delta expresses —
+        and (c) an interval whose intermediate manifests are expired.
+        Size retention windows (``mor_fold_every``,
         ``expire_snapshots``) to the feed's consumer lag, exactly as
         Iceberg CDF does.
         """
+        v_to = self.catalog.current_version() if v_to is None else int(v_to)
         snap_a = self.catalog.load(v_from)
-        snap_b = self.catalog.current() if v_to is None else self.catalog.load(v_to)
-        if snap_a.get("files") != snap_b.get("files"):
-            raise ValueError(
-                "changes_between requires an unfolded interval: base files "
-                f"changed between v{v_from} and v{snap_b.get('version', v_to)} "
-                "(fold_deltas/compaction rewrote history)"
-            )
-        old = {f for fl in snap_a.get("delta_files", {}).values() for f in fl}
+        a_deltas = {f for fl in snap_a.get("delta_files", {}).values() for f in fl}
+        additions: list[str] = []
+        prev = snap_a
+        snap_b = snap_a
+        for v in range(int(v_from) + 1, v_to + 1):
+            try:
+                cur = self.catalog.load(v)
+            except (FileNotFoundError, OSError):
+                raise ValueError(
+                    f"changes_between: manifest v{v} inside (v{v_from}, "
+                    f"v{v_to}] is expired — the consumer lagged beyond "
+                    "snapshot retention; reset() and resync"
+                ) from None
+            prev_d = {f for fl in prev.get("delta_files", {}).values() for f in fl}
+            cur_d = {f for fl in cur.get("delta_files", {}).values() for f in fl}
+            removed = prev_d - cur_d
+            if cur.get("files") != prev.get("files"):
+                is_fold = (
+                    cur["summary"].get("aqueduct.fold-snapshot")
+                    == cur["snapshot_id"]
+                )
+                if not is_fold or not removed <= a_deltas:
+                    raise ValueError(
+                        "changes_between requires a delta-expressible "
+                        f"interval: base files changed at v{v} (between "
+                        f"v{v_from} and v{v_to}) by "
+                        + (
+                            "a fold consuming undelivered deltas"
+                            if is_fold
+                            else "a history rewrite (erase/redact/"
+                            "rebucket/rollback)"
+                        )
+                        + "; reset() and resync"
+                    )
+            elif not removed <= a_deltas:
+                raise ValueError(
+                    f"changes_between: deltas vanished at v{v} without a "
+                    f"stamped rewrite (between v{v_from} and v{v_to}); "
+                    "reset() and resync"
+                )
+            for fl in cur.get("delta_files", {}).values():
+                additions.extend(f for f in fl if f not in prev_d and f not in a_deltas)
+            prev = cur
+            snap_b = cur
+        seen: set[str] = set()
         new_files = [
             os.path.join(self.root, f)
-            for fl in snap_b.get("delta_files", {}).values()
-            for f in fl
-            if f not in old
+            for f in additions
+            if not (f in seen or seen.add(f))
         ]
-        schema = self.schema()
+        schema = self.schema(snap_b)
         payload = [
             f for f in schema.fields
             if f.name not in ("conv_id", "turn_idx", LSN_COLUMN)

@@ -231,7 +231,15 @@ def fold_deltas(
         snap,
         replaced_buckets=replaced,
         clear_delta_buckets=[str(b) for b in delta_buckets],
-        summary_updates={"aqueduct.delta-epochs": 0},
+        # content-preserving marker, stamped with THIS commit's id
+        # (summaries carry forward, so the id is what scopes it):
+        # changes_between may cross this commit when the folded deltas
+        # were already delivered — erase/redact/rollback never stamp it
+        # and stay feed-breaking by design
+        summary_updates={
+            "aqueduct.delta-epochs": 0,
+            "aqueduct.fold-snapshot": snap["snapshot_id"] + 1,
+        },
     )
     return {
         "folded": True,
@@ -261,6 +269,7 @@ def rewrite_data_files(
         summary_updates={
             "aqueduct.last-rewrite-snapshot": True,
             "aqueduct.delta-epochs": 0,
+            "aqueduct.fold-snapshot": base["snapshot_id"] + 1,
         },
     )
     return {"snapshot_id": snap["snapshot_id"], "buckets": len(new_files)}
@@ -347,6 +356,7 @@ def rewrite_zorder(
         summary_updates={
             "aqueduct.zorder": f"conv_id,{time_col}",
             "aqueduct.delta-epochs": 0,
+            "aqueduct.fold-snapshot": base["snapshot_id"] + 1,
         },
     )
     return {

@@ -41,6 +41,15 @@ from aqueduct_core_spark.schema import (
 )
 
 
+class EpochCollision(RuntimeError):
+    """An already-committed epoch number arrived carrying DIFFERENT
+    data than the committed epoch recorded — not a re-delivery, so the
+    idempotent skip would silently drop real events.  The classic
+    cause: a fresh streaming checkpoint pointed at an already-ingested
+    table (batch ids restart at 0).  Resume with the original
+    checkpoint, or continue the epoch sequence explicitly."""
+
+
 def merge_state(
     existing: DataFrame,
     winners: DataFrame,
@@ -169,9 +178,36 @@ def apply_batch(
     # ---- exactly-once guard (T5): replayed epoch is a no-op ----------
     last_epoch = table.last_committed_epoch()
     if epoch <= last_epoch:
-        # whole batch skipped idempotently; the batch is deliberately
-        # NOT scanned to count it, so applied/skipped are honest zeros
-        # and the condition rides in ``state`` (no magic sentinel —
+        # Before skipping, verify the batch holds nothing the table has
+        # not already applied: every lsn must sit at or below the
+        # committed watermark.  A batch with lsns BEYOND it under an
+        # already-committed epoch number is an epoch-number collision
+        # carrying new data — the classic mis-deployment is a fresh
+        # streaming checkpoint against an already-ingested table (batch
+        # ids restart at 0) — and silently skipping would drop those
+        # events.  The check is deliberately watermark-based, not
+        # per-epoch-range-based: a fresh-checkpoint re-drain of the
+        # SAME input may chunk files into different trigger boundaries
+        # (file-listing order is not contractual), which is a benign
+        # permutation of already-applied rows.  Cost: zero extra jobs
+        # on planned replays (the hint rides in), one max() on an
+        # unplanned skipped batch (skips are rare).
+        watermark = table.last_committed_lsn()
+        actual = batch_max_lsn
+        if actual is None:
+            row = batch.agg(F.max("lsn").alias("m")).collect()[0]
+            actual = None if row["m"] is None else int(row["m"])
+        if actual is not None and actual > watermark:
+            raise EpochCollision(
+                f"epoch {epoch} is already committed (head epoch "
+                f"{last_epoch}, lsn watermark {watermark}), but this "
+                f"batch carries lsns up to {actual} — NOT a re-delivery "
+                "of applied data (fresh checkpoint against an ingested "
+                "table?); refusing to silently skip real events"
+            )
+        # re-delivery of applied data (or an empty idle trigger on a
+        # colliding id): skipped idempotently with honest zero counts;
+        # the condition rides in ``state`` (no magic sentinel —
         # consumers summing ``skipped`` stay correct)
         return {
             "epoch": epoch,
@@ -265,13 +301,22 @@ def apply_audited(
     a DIFFERENT epoch is someone else's in-flight audit: fail loud
     rather than destroy their work (WAP is single-writer per table,
     like compaction)."""
+    from aqueduct_core_spark.catalog.snapshot import CommitConflict
+
     leftover = table.catalog.staged_version()
     if leftover is not None:
         staged_epoch = int(
             table.catalog.load(leftover)["summary"].get("aqueduct.epoch", -1)
         )
         if staged_epoch == int(epoch):
-            table.catalog.abandon(leftover)
+            try:
+                table.catalog.abandon(leftover)
+            except CommitConflict:
+                # our previous attempt DECIDED publish and crashed
+                # before the pointer swap; abandon just completed that
+                # swap — the epoch is committed, so fall through and
+                # let apply_batch skip it as a duplicate
+                pass
         else:
             raise RuntimeError(
                 f"staged snapshot v{leftover} (epoch {staged_epoch}) is "
@@ -285,6 +330,15 @@ def apply_audited(
     if m.get("state") == "SKIPPED_DUPLICATE_EPOCH":
         return m
     v = table.catalog.staged_version()
+    if v is None:
+        # nothing was staged: an idle/empty trigger, an all-quarantined
+        # envelope batch, or a no-effect slice that took the
+        # bookkeeping-only path — there is no snapshot to audit or
+        # publish, and publish(None)/abandon(None) would crash the
+        # stream on a harmless batch
+        m["published"] = False
+        m["audit_failures"] = []
+        return m
     staged = table.read_internal(version=v)
     failures = [name for name, fn in audits.items() if not fn(staged)]
     if failures:

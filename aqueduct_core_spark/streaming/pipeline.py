@@ -585,7 +585,10 @@ def _foreach_batch_fn(
             from aqueduct_core_spark.operators.merge import apply_audited
 
             m = apply_audited(table, batch_df, epoch=batch_id, audits=audits, cfg=cfg)
-            if m.get("published") is False:
+            # unpublished + named failures = a failed audit; an empty/
+            # no-effect batch also returns published=False but with no
+            # failures (nothing was staged) and must not kill the query
+            if m.get("audit_failures"):
                 raise AuditFailed(
                     f"epoch {batch_id} failed audits {m['audit_failures']}; "
                     "stage abandoned, checkpoint not advanced"
@@ -719,18 +722,9 @@ def start_stream(
         stream = parse_envelopes(reader.text(changes_dir))
         if dedup_within:
             # NULL-ts rows (dead letters, conv tombstones) bypass the
-            # stateful dedup — see dedup_redeliveries for why coalescing
-            # them to wall-clock would poison the watermark during a
-            # catch-up (the quarantine reader dedupes re-delivered dead
-            # letters on (epoch, raw) anyway)
-            timed = (
-                stream.where(F.col("ts").isNotNull())
-                .withColumn("_evt", F.col("ts"))
-                .withWatermark("_evt", dedup_within)
-                .dropDuplicatesWithinWatermark(["lsn"])
-                .drop("_evt")
-            )
-            stream = timed.unionByName(stream.where(F.col("ts").isNull()))
+            # stateful dedup inside the helper (the quarantine reader
+            # dedupes re-delivered dead letters on (epoch, raw) anyway)
+            stream = dedup_redeliveries(stream, dedup_within)
 
         inner = _foreach_batch_fn(table, cfg, record_metrics, rollup=rollup,
                                   audits=audits, maintainers=maintainers,
@@ -947,10 +941,18 @@ def bootstrap_from_state(
 
 def _state_as_events(state: DataFrame) -> DataFrame:
     """State-snapshot rows (``read_internal`` shape, ``_lsn`` or ``lsn``)
-    as ``'I'`` change events at their original lsn."""
+    as ``'I'`` change events at their original lsn.  Columns the
+    upstream table EVOLVED beyond the base change schema ride along —
+    each row re-enters at its original lsn, so the subsequent log tail
+    never re-delivers it: dropping an evolved column here would lose
+    its data on the replica permanently and silently (``apply_batch``
+    evolves the replica's schema from the extra columns, exactly as it
+    does for a log batch that first carries them)."""
     from aqueduct_core_spark.schema import CHANGES_SCHEMA, LSN_COLUMN
 
     lsn_col = LSN_COLUMN if LSN_COLUMN in state.columns else "lsn"
+    known = {f.name for f in CHANGES_SCHEMA.fields} | {LSN_COLUMN, "lsn"}
+    extras = [c for c in state.columns if c not in known]
     return state.select(
         F.col(lsn_col).cast("long").alias("lsn"),
         F.lit("I").alias("op"),
@@ -961,6 +963,7 @@ def _state_as_events(state: DataFrame) -> DataFrame:
             for f in CHANGES_SCHEMA.fields
             if f.name not in ("lsn", "op")
         ],
+        *[F.col(c) for c in extras],
     )
 
 

@@ -87,7 +87,7 @@ def test_cursor_fold_outruns_retention_then_reset(spark, tmp_path):
     cur = FeedCursor(primary, start_version=0)
 
     fold_deltas(primary)  # history rewritten past the cursor
-    with pytest.raises(ValueError, match="unfolded"):
+    with pytest.raises(ValueError, match="undelivered deltas"):
         cur.poll()
 
     # recovery: full resync — re-seed from state, cursor jumps to current
@@ -173,7 +173,7 @@ def test_publisher_downstream_site_converges(spark, tmp_path):
     )
     apply_batch(primary, nxt, epoch=10_000, cfg=cfg)
     fold_deltas(primary)
-    with pytest.raises(ValueError, match="unfolded"):
+    with pytest.raises(ValueError, match="undelivered deltas"):
         pub.publish()
 
 

@@ -318,7 +318,7 @@ def test_changes_between_refuses_folded_interval(spark, tmp_table_dir):
     replay(table, spark.createDataFrame(rows, CHANGES_SCHEMA), cfg,
            start_epoch=0, start_lsn=0, lsn_bounds=(1, 1))
     fold_deltas(table)
-    with pytest.raises(ValueError, match="unfolded"):
+    with pytest.raises(ValueError, match="undelivered deltas"):
         table.changes_between(v0)
 
 

@@ -208,6 +208,6 @@ def test_wap_publish_abandon_decision_is_single_winner(spark, tmp_path):
     v3 = t3.catalog.staged_version()
     snap = t3.catalog.load(v3)
     t3.catalog._claim_decision(snap, "abandon")  # simulate racing winner
-    with pytest.raises(CommitConflict, match="already decided"):
+    with pytest.raises(CommitConflict, match="decided abandon"):
         t3.catalog.publish(v3)
     log.unpersist()
