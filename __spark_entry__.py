@@ -2764,7 +2764,7 @@ WITH t AS (
 ),
 s AS (
   SELECT doc_id, toks,
-         unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start
+         unnest(generate_series(0, greatest(len(toks) - 8 - 1, 0), 24)) AS start
   FROM t
 )
 SELECT doc_id,
@@ -2836,7 +2836,9 @@ SELECT doc_id,
          '\\d{3}-\\d{3,4}-\\d{4}', '<PHONE>', 'g') AS text,
        CAST(len(regexp_extract_all(text,
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
-       CAST(len(regexp_extract_all(text,
+       CAST(len(regexp_extract_all(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          '\\d{3}-\\d{3,4}-\\d{4}')) AS INTEGER) AS n_phones
 FROM inj
 """,

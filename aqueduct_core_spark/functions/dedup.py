@@ -175,7 +175,26 @@ def lsh_candidate_pairs(
     band).  Detection costs one extra aggregate + join on the same
     (band, bucket) key the self-join already shuffles on.
     """
-    assert bands * rows_per_band <= 1024
+    need = bands * rows_per_band
+    # fail loud if the signatures are too short for the banding: sig
+    # indices past the end yield NULL, concat_ws skips them, and every
+    # document would share ONE bucket per excess band — a silent
+    # all-pairs (or star-pairs) blowup.  The length lives in the data,
+    # so the guard is a row-level raise inside the projection
+    # (whole-stage codegen; no extra job).
+    sigs = sigs.where(
+        F.when(F.size(F.col("sig")) >= F.lit(need), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"lsh_candidate_pairs: bands*rows_per_band={need} "
+                        "exceeds signature length "
+                    ),
+                    F.size(F.col("sig")).cast("string"),
+                )
+            )
+        )
+    )
     buckets = sigs.select(
         "id",
         F.explode(
@@ -391,16 +410,28 @@ def duplicate_spans(
         )
         .select("_id", "pos", hash64(F.col("gram"), method=hash_method).alias("h"))
     )
+    if max_occ is not None:
+        # the skew valve must engage BEFORE the per-hash window: an
+        # over-cap gram's full occurrence list in one window partition
+        # is exactly the straggler the cap exists to prevent, and the
+        # old post-window `_occ <= max_occ` filter paid it anyway.
+        # Semantics are identical — `_occ` was the hash's TOTAL count
+        # (constant per hash), so the filter always dropped over-cap
+        # grams wholesale; the anti-join does the same with a hash agg
+        # (map-side combine) on the key the window shuffles on anyway.
+        hot = (
+            grams.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .where(F.col("_occ") > max_occ)
+            .select("h")
+        )
+        grams = grams.join(hot, on="h", how="left_anti")
     wh = Window.partitionBy("h").orderBy("_id", "pos")
-    occ = Window.partitionBy("h")
     marked = grams.select(
         "_id",
         "pos",
         F.row_number().over(wh).alias("_rn"),
-        F.count(F.lit(1)).over(occ).alias("_occ"),
     ).where(F.col("_rn") > 1)
-    if max_occ is not None:
-        marked = marked.where(F.col("_occ") <= max_occ)
 
     wd = Window.partitionBy("_id").orderBy("pos")
     islands = (
@@ -501,6 +532,11 @@ def minhash_dedup(
     """End-to-end near-dup pipeline: minhash → LSH candidates → exact
     Jaccard verify.  Returns verified near-duplicate pairs.
     ``min_input_partitions``: see :func:`spread_small_input`."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) — "
+            "a remainder would silently ignore trailing hashes"
+        )
     df = spread_small_input(df, min_input_partitions)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hash_method)
     pairs = lsh_candidate_pairs(sigs, bands, num_hashes // bands, hash_method)

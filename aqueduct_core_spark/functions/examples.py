@@ -307,17 +307,34 @@ class PreferencePairsView:
             "epoch": int(hmeta["epoch"]),
         }
 
-    def expire(self) -> list[str]:
+    def expire(self, grace_s: float = 3600.0) -> list[str]:
         """Remove ``data-he*`` generation dirs no bucket references
-        anymore — superseded generations and crash debris (same
-        single-writer maintenance contract as ``ConvView.expire``)."""
+        anymore — superseded generations and crash debris.  An
+        unreferenced dir may also belong to an in-flight refresh whose
+        CAS commit hasn't landed: dirs stamped with a history epoch
+        ABOVE the view's are skipped structurally, and same-epoch dirs
+        (a post-erase refresh reuses the epoch) only sweep once older
+        than ``grace_s`` (pass 0 when refreshes are quiesced)."""
+        import time as _time
+
         meta = self._meta()
+        cur_epoch = int(meta["epoch"])
         live = set(meta["bucket_dirs"].values())
+        now = _time.time()
         removed = []
         for d in os.listdir(self.root):
-            if d.startswith("data-he") and d not in live:
-                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
-                removed.append(d)
+            if not d.startswith("data-he") or d in live:
+                continue
+            head = d.removeprefix("data-he").split("-", 1)[0]
+            if head.isdigit() and int(head) > cur_epoch:
+                continue  # in-flight refresh at a newer history epoch
+            try:
+                if now - os.path.getmtime(os.path.join(self.root, d)) < grace_s:
+                    continue  # possibly a racing same-epoch refresh
+            except FileNotFoundError:
+                continue
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+            removed.append(d)
         self._vm.cleanup()
         return removed
 

@@ -454,8 +454,12 @@ def sketch_topk(
         term = F.bit_count(F.col("sig").getItem(w).bitwiseXOR(F.lit(int(qw))))
         ham = term if ham is None else (ham + term)
 
+    # size the rerank from the INPUT's count, not the index's: counting
+    # a just-built lazy index would run the signature UDF over the
+    # whole corpus once for the count alone (the candidate scan runs it
+    # again); the row counts are identical either way
     m = rerank_limit if rerank_limit is not None else int(
-        -(-idx.count() * rerank_fraction // 1)
+        -(-df_or_index.count() * rerank_fraction // 1)
     )
     cand = (
         idx.select("id", ham.alias("_ham"))

@@ -313,8 +313,12 @@ def chunk_docs(
     Windows are ``size`` whitespace tokens with ``overlap`` tokens
     shared between consecutive chunks (stride ``size - overlap``); the
     final window is partial rather than dropped, so every token lands
-    in at least one chunk.  Output: one row per chunk with ``chunk_idx``
-    (0-based within the doc), ``chunk_text`` and ``chunk_tokens``.
+    in at least one chunk — but a window that would sit ENTIRELY inside
+    the previous chunk's overlap region is not emitted (start bound
+    ``n - overlap - 1``): it would duplicate text the corpus already
+    carries and double-count ``chunk_tokens``.  Output: one row per
+    chunk with ``chunk_idx`` (0-based within the doc), ``chunk_text``
+    and ``chunk_tokens``.
 
     Shape at scale: a single projection + ``explode`` — the window
     starts are generated per row with ``sequence`` and sliced from the
@@ -331,7 +335,9 @@ def chunk_docs(
     c = F.col(text_col)
     toks = tokens(c)
     n = token_count(c)
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
+    )
     out_cols = [col for col in df.columns if col != text_col]
     return (
         df.where(n > 0)
@@ -361,22 +367,23 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     lake: emails → ``<EMAIL>``, phone-shaped numbers → ``<PHONE>``,
     with per-doc hit counts for audit metrics.
 
-    Counts are taken on the ORIGINAL text (both patterns independently);
-    replacement is sequential (emails first — a phone-shaped substring
-    inside an email can't be double-counted because the email is gone
-    by the time phones are replaced).  One projection, JVM regex only —
-    no shuffle, no Python.
+    Replacement is sequential (emails first), and the counts mirror
+    what was actually replaced: emails are counted on the original
+    text, phones on the EMAIL-STRIPPED text — a phone-shaped substring
+    inside an email address is redacted as part of the email, so
+    counting it as a phone too would report phantom phone redactions
+    in the audit metrics.  One projection, JVM regex only — no shuffle,
+    no Python.
     """
     c = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
-    )
+    no_emails = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    redacted = F.regexp_replace(no_emails, PII_PHONE, "<PHONE>")
     return df.select(
         *[col for col in df.columns if col != text_col],
         redacted.alias(text_col),
         F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0)))
         .alias("n_emails"),
-        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), F.lit(0)))
+        F.size(F.regexp_extract_all(no_emails, F.lit(PII_PHONE), F.lit(0)))
         .alias("n_phones"),
     )
 
@@ -519,13 +526,20 @@ def unigram_logprob_scores(
     toks = df.where(token_count(F.col(text_col)) > 0).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     )
-    total = toks.count()
-    vocab = (
+    # one tokenization pass builds the per-token counts (map-side
+    # combine; |unique tokens| rows, tiny next to the corpus), then the
+    # corpus total AND the vocab both derive from that materialized
+    # table — left lazy, the total job, the vocab job and the returned
+    # plan would each re-tokenize the whole corpus (localCheckpoint
+    # rather than persist: the caller runs the returned plan after this
+    # function, past any unpersist we could place)
+    counts = (
         toks.groupBy("_t")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .orderBy(F.col("_c").desc(), F.col("_t").asc())
-        .limit(int(top_k))
+        .localCheckpoint(eager=True)
     )
+    total = counts.agg(F.sum("_c").alias("s")).collect()[0]["s"] or 0
+    vocab = counts.orderBy(F.col("_c").desc(), F.col("_t").asc()).limit(int(top_k))
     ln_n = F.log(F.lit(float(total) + 1.0))
     scored = (
         toks.join(F.broadcast(vocab), "_t", "left")

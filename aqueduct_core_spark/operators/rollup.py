@@ -159,8 +159,12 @@ class ConvView:
                     .distinct()
                 )
                 mode = "incremental"
-            except ValueError:
-                dirty = None  # interval folded/rewritten: CDF unavailable
+            except (ValueError, FileNotFoundError, OSError):
+                # interval folded/rewritten (ValueError) or the v0
+                # manifest itself expired (FileNotFoundError — e.g. an
+                # erase with purge=True ran expire_snapshots since the
+                # last refresh): CDF unavailable -> full recompute
+                dirty = None
 
         state = table.read()
         if dirty is not None:
@@ -216,14 +220,23 @@ class ConvView:
 
     def expire(self) -> list[str]:
         """Remove data-v* dirs no bucket references anymore (the
-        orphan-cleanup analog; same single-writer contract)."""
+        orphan-cleanup analog).  Dirs named for a table version ABOVE
+        the last refreshed one belong to an in-flight refresh whose CAS
+        commit hasn't landed yet (a generation dir is unreferenced
+        until its commit) and are skipped — sweeping one would let that
+        commit succeed referencing deleted files."""
         meta = self._meta()
+        last_v = int(meta.get("table_version", -1))
         live = set(meta["bucket_dirs"].values())
         removed = []
         for d in os.listdir(self.root):
-            if d.startswith("data-v") and d not in live:
-                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
-                removed.append(d)
+            if not d.startswith("data-v") or d in live:
+                continue
+            tail = d.removeprefix("data-v")
+            if tail.isdigit() and int(tail) > last_v:
+                continue  # in-flight refresh's generation
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+            removed.append(d)
         self._vm.cleanup()
         return removed
 

@@ -498,21 +498,46 @@ class Scd2History:
             return {"mode": "noop", "buckets_rewritten": 0}
         return {"mode": "redacted", "buckets_rewritten": len(touched)}
 
-    def expire(self) -> list[str]:
+    def expire(self, grace_s: float = 3600.0) -> list[str]:
         """Remove data-e*/prune-e*/erase-* generation dirs no bucket
         references anymore, and CAS claim files below the current meta
         version (the current claim stays: :meth:`_meta` may still need
-        it to roll a crashed pointer swap forward)."""
+        it to roll a crashed pointer swap forward).
+
+        Race guards (a generation dir is unreferenced between its write
+        and its writer's CAS commit — sweeping it would let the commit
+        succeed referencing deleted files): epoch-named dirs above the
+        committed epoch belong to an in-flight apply/prune and are
+        skipped structurally; uuid-named rewrite dirs (erase/redact)
+        carry no ordering, so they are only swept once older than
+        ``grace_s`` (pass 0 when the table is quiesced)."""
+        import time as _time
+
         meta = self._meta()
+        cur_epoch = int(meta["epoch"])
+        cur_prune = int(meta.get("prune_epoch", -1))
         live = set(meta["bucket_dirs"].values())
+        now = _time.time()
         removed = []
         for d in os.listdir(self.root):
-            if (
-                (d.startswith("data-e") or d.startswith("prune-e")
-                 or d.startswith("erase-") or d.startswith("redact-"))
-                and d not in live
-            ):
-                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
-                removed.append(d)
+            if d in live:
+                continue
+            if d.startswith(("data-e", "prune-e")):
+                # each namespace is guarded by ITS epoch counter (prune
+                # deliberately runs its own — see prune_closed_before)
+                ceiling = cur_epoch if d.startswith("data-e") else cur_prune
+                tail = d.split("-e", 1)[1]
+                if tail.isdigit() and int(tail) > ceiling:
+                    continue  # in-flight writer's generation
+            elif d.startswith(("erase-", "redact-")):
+                try:
+                    if now - os.path.getmtime(os.path.join(self.root, d)) < grace_s:
+                        continue  # possibly a racing rewrite mid-commit
+                except FileNotFoundError:
+                    continue
+            else:
+                continue
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+            removed.append(d)
         self._vm.cleanup()
         return removed

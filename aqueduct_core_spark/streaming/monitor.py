@@ -91,17 +91,29 @@ def fleet_status(tables: dict, changes_df=None, up_to_date_lag: int = 0) -> dict
         routes[k] = s
     out = {"routes": routes}
     if source_max is not None:
-        worst = max(routes, key=lambda k: routes[k]["lag_lsn"])
-        out.update(
-            {
-                "source_max_lsn": source_max,
-                "max_lag_lsn": routes[worst]["lag_lsn"],
-                "slowest_route": worst,
-                "all_up_to_date": all(
-                    r["state"] == PIPE_UP_TO_DATE for r in routes.values()
-                ),
-            }
-        )
+        if routes:
+            worst = max(routes, key=lambda k: routes[k]["lag_lsn"])
+            out.update(
+                {
+                    "source_max_lsn": source_max,
+                    "max_lag_lsn": routes[worst]["lag_lsn"],
+                    "slowest_route": worst,
+                    "all_up_to_date": all(
+                        r["state"] == PIPE_UP_TO_DATE for r in routes.values()
+                    ),
+                }
+            )
+        else:
+            # empty fleet (bootstrap, before any route table exists):
+            # a well-formed roll-up, not max() over an empty sequence
+            out.update(
+                {
+                    "source_max_lsn": source_max,
+                    "max_lag_lsn": source_max + 1,  # nothing ingested yet
+                    "slowest_route": None,
+                    "all_up_to_date": False,
+                }
+            )
     return out
 
 

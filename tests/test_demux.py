@@ -258,3 +258,14 @@ def test_demux_staged_strategy_resume_noops(spark, log, tmp_path):
     assert not m["even"] and not m["none"]  # no epochs re-applied
     for k, t in tables.items():
         assert t.catalog.current_version() == versions[k]
+
+
+def test_fleet_status_empty_fleet(spark, log):
+    """An empty fleet (bootstrap, before any route table exists) gets a
+    well-formed roll-up, not max() over an empty sequence."""
+    from aqueduct_core_spark.streaming.monitor import fleet_status
+
+    st = fleet_status({}, changes_df=log)
+    assert st["routes"] == {}
+    assert st["all_up_to_date"] is False and st["slowest_route"] is None
+    assert st["max_lag_lsn"] > 0

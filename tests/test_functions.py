@@ -477,9 +477,11 @@ def test_chunk_docs(spark, docs):
 
     d0 = out[out["doc_id"] == 0].sort_values("chunk_idx")
     words = "the cat sat on the mat and it was happy to be there".split()
-    # stride 3: starts 0,3,6,9,12 over 13 tokens
-    assert list(d0["chunk_idx"]) == [0, 1, 2, 3, 4]
-    for i, start in enumerate(range(0, len(words), 3)):
+    # stride 3 over 13 tokens: starts 0,3,6,9 — NOT 12, whose window
+    # (token 13 alone) sits entirely inside chunk 3's overlap region
+    # and would duplicate already-emitted text
+    assert list(d0["chunk_idx"]) == [0, 1, 2, 3]
+    for i, start in enumerate(range(0, len(words) - 2, 3)):
         assert d0.iloc[i]["chunk_text"] == " ".join(words[start:start + 5])
         assert d0.iloc[i]["chunk_tokens"] == min(5, len(words) - start)
     # consecutive chunks share exactly `overlap` tokens (full windows)
@@ -513,6 +515,15 @@ def test_redact_pii(spark):
     assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
     assert out[3]["text"] == "<EMAIL> and <PHONE> both"
     assert (out[3]["n_emails"], out[3]["n_phones"]) == (1, 1)
+
+    # a phone-shaped substring INSIDE an email is redacted as part of
+    # the email — it must not also count as a phone redaction
+    df2 = spark.createDataFrame(
+        [(9, "contact 555-123-4567@example.com now")], ["doc_id", "text"]
+    )
+    r9 = redact_pii(df2).collect()[0]
+    assert r9["text"] == "contact <EMAIL> now"
+    assert (r9["n_emails"], r9["n_phones"]) == (1, 0)
 
 
 def test_decontaminate_flags_ngram_overlap(spark):
@@ -825,3 +836,25 @@ def test_duplicate_spans_max_occ_skew_valve(spark):
     assert {r["doc_id"] for r in capped} == {101}
     uncapped = duplicate_spans(docs, k=7).collect()
     assert {r["doc_id"] for r in uncapped} == set(range(1, 10)) | {101}
+
+
+def test_lsh_candidate_pairs_rejects_short_signatures(spark):
+    """Banding past the signature end used to bucket every doc together
+    per excess band (NULL slices -> one shared hash) — now a loud
+    row-level error."""
+    from pyspark.sql.utils import AnalysisException
+    from py4j.protocol import Py4JJavaError
+
+    from aqueduct_core_spark.functions.dedup import (
+        lsh_candidate_pairs, minhash_dedup, minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"document body number {i} with several words") for i in range(6)],
+        "doc_id string, text string",
+    )
+    sigs = minhash_signatures(docs, num_hashes=8)
+    with pytest.raises(Exception, match="exceeds signature length"):
+        lsh_candidate_pairs(sigs, bands=8, rows_per_band=4).collect()
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_dedup(docs, num_hashes=64, bands=24)

@@ -5,6 +5,7 @@ conversations, and fall back to full recompute across a fold."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
 from aqueduct_core_spark.config import EngineConfig
@@ -163,3 +164,31 @@ def test_conversation_text_orders_and_joins(spark):
     assert out["c1"].n_turns == 3
     assert out["c1"].conv_text == "user: hello\nassistant: hey\nassistant: hi there"
     assert out["c2"].conv_text == "user: solo"
+
+
+def test_refresh_survives_expired_manifest(spark, tmp_path):
+    """A lagging view whose last-refreshed manifest was expired
+    (e.g. erase with purge=True ran expire_snapshots) must fall back
+    to full recompute, not crash the compliance sweep with
+    FileNotFoundError."""
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.operators.compact import expire_snapshots, fold_deltas
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    cfg = EngineConfig(num_buckets=4, max_events_per_trigger=10**9)
+    log = generate_changes(spark, n_convs=30, seed=33).cache()
+    mx = int(log.agg(F.max("lsn")).collect()[0][0])
+    table = ParquetTranscriptTable.create(spark, str(tmp_path / "t"), num_buckets=4)
+    replay(table, log.where(F.col("lsn") <= mx // 2), cfg)
+    rollup = ConvRollup.create(spark, str(tmp_path / "r"), num_buckets=4)
+    rollup.refresh(table)
+
+    replay(table, log.where(F.col("lsn") > mx // 2), cfg,
+           start_epoch=table.last_committed_epoch() + 1,
+           start_lsn=table.last_committed_lsn() + 1)
+    fold_deltas(table)
+    expire_snapshots(table, keep_last=1)  # the view's v0 manifest is gone
+
+    m = rollup.refresh(table)  # must not raise
+    assert m["mode"] == "full"
+    _assert_rollup_equal(rollup, table)

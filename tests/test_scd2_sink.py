@@ -298,3 +298,27 @@ def test_compliance_sweep_skips_inflight_epoch_dirs(spark, log, tmp_path):
     assert os.path.isdir(inflight)  # in-flight epoch dir untouched
     # while the superseded committed generation's copy was swept
     assert not os.path.isdir(src)
+
+
+def test_expire_spares_in_flight_generations(spark, log, tmp_path):
+    """A generation dir is unreferenced between its write and its
+    writer's CAS commit; expire() must not sweep it (the commit would
+    succeed referencing deleted files).  Epoch-named dirs above the
+    committed counter are skipped structurally; uuid-named rewrite dirs
+    are age-guarded."""
+    import os
+
+    h = Scd2History.create(spark, str(tmp_path / "h"), num_buckets=2)
+    h.apply(log, epoch=0)
+    # simulate in-flight writers: next apply epoch, next prune epoch,
+    # and a fresh erase rewrite dir
+    for d in ("data-e1", "prune-e0", "erase-deadbeef"):
+        os.makedirs(str(tmp_path / "h" / d))
+    gone = h.expire()
+    assert gone == []
+    for d in ("data-e1", "prune-e0", "erase-deadbeef"):
+        assert os.path.isdir(str(tmp_path / "h" / d)), d
+    # quiesced sweep (grace 0) reclaims the uuid-named debris;
+    # epoch-named dirs above the counters stay structurally protected
+    gone = h.expire(grace_s=0)
+    assert gone == ["erase-deadbeef"]
