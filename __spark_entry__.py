@@ -170,6 +170,26 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from aqueduct_core_spark.sources.events_cdc import load_changes, oracle
 
+
+def _workdir(prefix: str) -> str:
+    """Scratch dir for engine-path queries, under ONE per-process root
+    that is removed at interpreter exit.  Bare mkdtemp leaked a full
+    replayed table copy per call (x3 under bench best-of-K, never
+    reclaimed across verify/bench rounds); the returned DataFrame reads
+    the dir lazily, so cleanup must outlive the caller's collect — at
+    process exit, not per call."""
+    import atexit
+    import shutil
+
+    global _WORK_ROOT
+    if _WORK_ROOT is None:
+        _WORK_ROOT = tempfile.mkdtemp(prefix="aq-entry-work-")
+        atexit.register(shutil.rmtree, _WORK_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_WORK_ROOT)
+
+
+_WORK_ROOT = None
+
 # SQL fragment shared by every LWW-state oracle: winner per key, alive
 # iff not a tombstone and above the conversation-delete watermark.
 _STATE_BODY = """
@@ -236,7 +256,7 @@ def _q_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField(LSN_COLUMN, T.LongType(), False),
         ]
     )
-    root = tempfile.mkdtemp(prefix="aqueduct_apply_full_")
+    root = _workdir("aqueduct_apply_full_")
     table = ParquetTranscriptTable.create(spark, root, num_buckets=16, schema=epoch0_schema)
     cfg = EngineConfig(
         num_buckets=16,
@@ -272,7 +292,7 @@ def _q_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.streaming.pipeline import replay
 
     changes = load_changes(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="aqueduct_erasure_")
+    root = _workdir("aqueduct_erasure_")
     table = ParquetTranscriptTable.create(spark, root, num_buckets=16)
     cfg = EngineConfig(
         num_buckets=16,
@@ -306,7 +326,7 @@ def _q_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.streaming.pipeline import replay
 
     changes = load_changes(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="aqueduct_redact_")
+    root = _workdir("aqueduct_redact_")
     table = ParquetTranscriptTable.create(spark, root, num_buckets=16)
     cfg = EngineConfig(
         num_buckets=16,
@@ -336,7 +356,7 @@ def _q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     changes = load_changes(spark, sf_dir)
     split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
-    root = tempfile.mkdtemp(prefix="aqueduct_vdiff_")
+    root = _workdir("aqueduct_vdiff_")
     table = ParquetTranscriptTable.create(spark, root, num_buckets=16)
     cfg = EngineConfig(
         num_buckets=16,
@@ -359,7 +379,7 @@ def _q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     changes = load_changes(spark, sf_dir)
     split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
-    root = tempfile.mkdtemp(prefix="aqueduct_scd2_hist_")
+    root = _workdir("aqueduct_scd2_hist_")
     h = Scd2History.create(spark, root, num_buckets=16)
     h.apply(changes.where(F.col("lsn") < split), epoch=0)
     h.apply(changes.where(F.col("lsn") >= split), epoch=1)
@@ -405,7 +425,7 @@ def _q_pref_pairs_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     changes = load_changes(spark, sf_dir)
     split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
-    root = tempfile.mkdtemp(prefix="aqueduct_pref_view_")
+    root = _workdir("aqueduct_pref_view_")
     h = Scd2History.create(spark, f"{root}/hist", num_buckets=16)
     v = PreferencePairsView.create(spark, f"{root}/pairs")
     h.apply(changes.where(F.col("lsn") < split), epoch=0)
@@ -473,7 +493,7 @@ def _q_demux_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.streaming.pipeline import replay_demux
 
     changes = load_changes(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="aqueduct_demux_")
+    root = _workdir("aqueduct_demux_")
     cfg = EngineConfig(
         num_buckets=16,
         max_events_per_trigger=150_000,
@@ -508,7 +528,7 @@ def _q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     changes = load_changes(spark, sf_dir)
     split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
-    root = tempfile.mkdtemp(prefix="aqueduct_rollback_")
+    root = _workdir("aqueduct_rollback_")
     table = ParquetTranscriptTable.create(spark, root, num_buckets=16)
     cfg = EngineConfig(
         num_buckets=16,
@@ -537,7 +557,7 @@ def _q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueduct_core_spark.streaming.pipeline import replay
 
     changes = load_changes(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="aqueduct_point_lookup_")
+    root = _workdir("aqueduct_point_lookup_")
     table = ParquetTranscriptTable.create(spark, root, num_buckets=16)
     replay(table, changes, EngineConfig(
         num_buckets=16,
@@ -641,7 +661,7 @@ def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = load_changes(spark, sf_dir)
     split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
 
-    root = tempfile.mkdtemp(prefix="aqueduct_time_travel_")
+    root = _workdir("aqueduct_time_travel_")
     table = ParquetTranscriptTable.create(spark, root, num_buckets=16)
     cfg = EngineConfig(
         num_buckets=16,
@@ -674,7 +694,7 @@ def _q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = load_changes(spark, sf_dir)
     split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
 
-    root = tempfile.mkdtemp(prefix="aqueduct_table_changes_")
+    root = _workdir("aqueduct_table_changes_")
     table = ParquetTranscriptTable.create(spark, root, num_buckets=16)
     # single-epoch halves (the oracle models per-key winners per half);
     # fold disabled so the interval stays unfolded
@@ -786,7 +806,7 @@ def _q_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = load_changes(spark, sf_dir)
     split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
 
-    root = tempfile.mkdtemp(prefix="aqueduct_rename_")
+    root = _workdir("aqueduct_rename_")
     table = ParquetTranscriptTable.create(spark, root, num_buckets=16)
     cfg = EngineConfig(
         num_buckets=16,
@@ -888,7 +908,7 @@ def _q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = load_changes(spark, sf_dir)
     split = int(changes.agg(F.max("lsn")).collect()[0][0]) // 2
 
-    root = tempfile.mkdtemp(prefix="aqueduct_conv_rollup_")
+    root = _workdir("aqueduct_conv_rollup_")
     # fold disabled so the second refresh exercises the incremental path
     cfg = EngineConfig(
         num_buckets=16,
@@ -1197,7 +1217,7 @@ def _q_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = docs.where(F.col("doc_id") % 3 != 0)
     inc = docs.where(F.col("doc_id") % 3 == 0)
     ix = DedupIndex.create(
-        spark, tempfile.mkdtemp(prefix="aq-dedup-ix-"),
+        spark, _workdir("aq-dedup-ix-"),
         hash_method="md5", num_parts=4,
     )
     ix.add(hist)
@@ -2478,12 +2498,13 @@ ORDER BY lsn LIMIT 500
 page AS (SELECT * FROM changes WHERE lsn >= 0 ORDER BY lsn LIMIT 2000),
 r AS (
   SELECT *, sum(event_size) OVER (ORDER BY lsn
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+    row_number() OVER (ORDER BY lsn) AS rn
   FROM page
 )
 SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts, event_size, cluster_id,
        location_group
-FROM r WHERE running <= 100000
+FROM r WHERE running <= 100000 OR rn = 1
 """
     )
 

@@ -33,13 +33,20 @@ def cut_page_by_bytes(
     page: DataFrame, max_batch_size: int, overhead_per_msg: int = 89
 ) -> DataFrame:
     """W1: keep the longest lsn-prefix whose cumulative serialized size
-    (plus per-message overhead) fits the byte budget."""
+    (plus per-message overhead) fits the byte budget — but ALWAYS at
+    least the first row.  A single event larger than the whole budget
+    must still be delivered as its own page (the reference behaves the
+    same, and ``plan_triggers`` documents the identical rule): an empty
+    page would never advance a polling consumer's cursor, livelocking
+    it on the oversized event forever."""
     w = Window.orderBy("lsn").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     running = F.sum(F.col("event_size") + F.lit(overhead_per_msg)).over(w)
+    rn = F.row_number().over(Window.orderBy("lsn"))
     return (
         page.withColumn("_running_size", running)
-        .where(F.col("_running_size") <= max_batch_size)
-        .drop("_running_size")
+        .withColumn("_rn", rn)
+        .where((F.col("_running_size") <= max_batch_size) | (F.col("_rn") == 1))
+        .drop("_running_size", "_rn")
     )
 
 

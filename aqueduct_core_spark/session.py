@@ -2,8 +2,11 @@
 
 AQE on (runtime re-plan + skew-join splitting), Arrow on (vectorized
 pandas UDF transfer), small-dim broadcast on.  These are the settings
-you would ship in ``spark-defaults.conf`` on the 1000-executor cluster;
-``master`` defaults to ``local[*]`` only for the sandbox.
+you would ship in ``spark-defaults.conf`` on the 1000-executor cluster.
+In the sandbox, ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``
+(the harness's core budget, default 32) — pass ``master`` explicitly,
+or set ``AQUEDUCT_MASTER``/``SPARK_GRAFT_CPUS``, on hosts with fewer
+cores.
 """
 
 from __future__ import annotations

@@ -53,8 +53,14 @@ def routing_filter(
     cluster_ids: list[int] | None,
     location_groups: list[int] | None = None,
 ) -> DataFrame:
-    """F3: only rows for your clusters, plus group-targeted rows."""
-    if cluster_ids:
+    """F3: only rows for your clusters, plus group-targeted rows.
+
+    ``None`` means "no cluster routing configured" (all rows, like
+    F2's empty type filter); an EMPTY list is honored literally — a
+    consumer that owns zero clusters gets zero cluster rows, not the
+    whole multi-tenant log (the falsy-check shortcut silently inverted
+    the routing contract for that consumer)."""
+    if cluster_ids is not None:
         df = df.where(F.col("cluster_id").isin([int(c) for c in cluster_ids]))
     if location_groups is not None and "location_group" in df.columns:
         df = df.where(

@@ -59,9 +59,16 @@ def processing_time_trigger(
     pool_size: int = 1,
     floor_ms: int = 100,
     cap_ms: int = DEFAULT_CAP_MS,
+    jitter_unit: float = 0.0,
 ) -> str:
     """The Structured Streaming ``processingTime`` string for the
     computed pacing — feed to
-    :func:`aqueduct_core_spark.streaming.pipeline.start_stream`."""
-    ms = retry_after_ms(query_time_ms, node_count, pool_size, floor_ms, cap_ms)
+    :func:`aqueduct_core_spark.streaming.pipeline.start_stream`.
+    Pass each consumer's deterministic ``jitter_unit`` (as for
+    :func:`retry_after_ms`): without it, N concurrent streams sharing
+    a source compute IDENTICAL intervals and poll in lockstep — the
+    thundering herd the ±10% jitter exists to spread."""
+    ms = retry_after_ms(
+        query_time_ms, node_count, pool_size, floor_ms, cap_ms, jitter_unit
+    )
     return f"{ms} milliseconds"

@@ -12,7 +12,9 @@ prints ONE JSON line::
 
 Flags:
   --replay-only      only the replay benchmark (used by bench/scaling.py)
-  --convs N          conversations for the replay log (default 6000)
+  --convs N          conversations for the replay log (default 200000,
+                     ~5.7M events — sized for sustained-throughput
+                     measurement; pass a smaller N for a smoke run)
 
 Timing notes: queries are materialized with a noop-format write so
 every output column is computed (a bare .count() would let Catalyst
@@ -352,7 +354,10 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    try:  # cosmetic metadata — never gate the run on a path spelling
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.1
 
     from aqueduct_core_spark.session import get_spark
 

@@ -115,7 +115,13 @@ def main() -> None:
             "cpus": args.cpus,
             "modes": out,
             "steady_mean": {
-                k: round(sum(v["epoch_secs"][1:]) / max(1, len(v["epoch_secs"]) - 1), 3)
+                # single-epoch runs fall back to the full list — the
+                # [1:] slice alone would report a fabricated 0.0
+                k: round(
+                    sum(s := (v["epoch_secs"][1:] or v["epoch_secs"]))
+                    / max(1, len(s)),
+                    3,
+                )
                 for k, v in out.items()
             },
         }))

@@ -40,7 +40,9 @@ def run_level(procs: int, secs: float) -> float:
     for i in range(procs):
         cmd = [sys.executable, "-c", LOOP, str(secs)]
         if os.path.exists("/usr/bin/taskset"):
-            cmd = ["taskset", "-c", str(ncpu - 1 - i), *cmd]
+            # wrap around rather than index below core 0 when procs
+            # exceeds the host core count
+            cmd = ["taskset", "-c", str(ncpu - 1 - (i % ncpu)), *cmd]
         ps.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
     total = 0
     for p in ps:

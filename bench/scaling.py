@@ -51,6 +51,10 @@ def run_level(cpus: int, convs: int, work: str, input_path: str,
         # pairing, per lscpu), so the choice of physical cores does not
         # change the engine comparison — only the collision rate.
         ncpu = os.cpu_count() or 32
+        if cpus > ncpu:  # e.g. --n 8 on a 16-core host: 4N = 32
+            print(f"[scaling] clamping level {cpus} to host cores {ncpu}",
+                  file=sys.stderr)
+            cpus = ncpu
         cmd = ["taskset", "-c", f"{ncpu - cpus}-{ncpu - 1}"] + cmd
     out = subprocess.run(
         cmd,

@@ -104,3 +104,35 @@ def test_normalize_text_vectorized(spark):
 
     sized = with_event_size(df).collect()
     assert all(r["event_size"] > 89 for r in sized)
+
+
+def test_cut_page_by_bytes_delivers_oversized_first_event(spark):
+    """A single event larger than the whole byte budget must still ship
+    as its own page — an empty page never advances a polling consumer's
+    cursor (livelock on the oversized event)."""
+    from aqueduct_core_spark.operators.batching import cut_page_by_bytes
+
+    rows = [(1, 2_000_000), (2, 10), (3, 10)]
+    df = spark.createDataFrame(rows, "lsn long, event_size int")
+    got = cut_page_by_bytes(df, max_batch_size=1_000_000)
+    assert [r["lsn"] for r in got.collect()] == [1]
+    # and the normal prefix rule is unchanged when the first row fits
+    got2 = cut_page_by_bytes(
+        spark.createDataFrame([(1, 10), (2, 10), (3, 2_000_000)],
+                              "lsn long, event_size int"),
+        max_batch_size=1_000,
+    )
+    assert [r["lsn"] for r in got2.collect()] == [1, 2]
+
+
+def test_routing_filter_empty_cluster_list_is_literal(spark):
+    """None = routing not configured (all rows); an EMPTY owned-cluster
+    list yields zero cluster rows — not the whole multi-tenant log."""
+    from aqueduct_core_spark.sources import changes as src
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2)], "lsn long, cluster_id long"
+    )
+    assert src.routing_filter(df, cluster_ids=None).count() == 3
+    assert src.routing_filter(df, cluster_ids=[]).count() == 0
+    assert src.routing_filter(df, cluster_ids=[1]).count() == 1
