@@ -47,6 +47,12 @@ cdc_cluster_lookup          J4 cluster uuid→id broadcast lookup
 cdc_max_offset_for_types    A6 max offset for consumer types
 cdc_ttl_marked              F6/J1 two-phase TTL compaction, mark phase
 cdc_hourly_throughput       A3×A5/T3 event-time windowed throughput
+cdc_log_audit               change-log integrity: duplicate offsets +
+                            offset holes in one aggregation
+cdc_turn_integrity          hierarchical-contiguity audit: conversations
+                            with non-dense live turn sequences
+emb_decontaminate           embedding-similarity test-set decontamination
+                            (broadcast benchmark, per-vector attribution)
 emb_lsh_indexed             precomputed-bucket LSH index scan path
 emb_sketch_topk             Hamming-sketch scan + exact rerank (the
                             recall-engineered ANN path)
@@ -2376,6 +2382,47 @@ FROM h
 """
 
 
+def _q_log_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log integrity summary: event/offset counts, duplicate
+    offsets, and offset holes inside the observed lsn range — the gap
+    audit a consumer runs before trusting a replay window."""
+    from aqueduct_core_spark.verify import log_audit
+
+    return log_audit(load_changes(spark, sf_dir))
+
+
+def _q_turn_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical-contiguity audit: conversations whose live merged
+    state does NOT hold a dense 0..max turn sequence (turn tombstones
+    punched holes) — the rows a prefix-rendering exporter must repair
+    or drop."""
+    from aqueduct_core_spark.operators import lww
+    from aqueduct_core_spark.schema import OP_DELETE
+    from aqueduct_core_spark.verify import turn_integrity
+
+    winners, _ = lww.resolve_batch(
+        load_changes(spark, sf_dir), ["role", "text", "tool", "ts"]
+    )
+    state = winners.where(F.col("op") != OP_DELETE)
+    return turn_integrity(state).orderBy("conv_id")
+
+
+def _q_emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-similarity decontamination: corpus = vec_id % 10 != 0,
+    benchmark = the other 10%; per corpus vector the max cosine vs the
+    broadcast benchmark with nearest-item attribution and a
+    ``contaminated`` flag at 0.35 — the semantic leakage rule the
+    k-gram overlap (doc_decontaminate) cannot catch."""
+    from aqueduct_core_spark.functions.similarity import (
+        decontaminate_embeddings,
+    )
+
+    embs = _embs(spark, sf_dir)
+    corpus = embs.where(F.col("vec_id") % 10 != 0)
+    bench = embs.where(F.col("vec_id") % 10 == 0)
+    return decontaminate_embeddings(corpus, bench, threshold=0.35, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2466,6 +2513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_max_offset_for_types": _q_max_offset_for_types,
         "cdc_ttl_marked": _q_ttl_marked,
         "cdc_hourly_throughput": _q_hourly_throughput,
+        "cdc_log_audit": _q_log_audit,
+        "cdc_turn_integrity": _q_turn_integrity,
+        "emb_decontaminate": _q_emb_decontaminate,
     }
 
 
@@ -3436,6 +3486,58 @@ SELECT date_trunc('hour', ts) AS hour, op,
 FROM changes GROUP BY 1, 2
 """
         ),
+        "cdc_log_audit": oracle(
+            """
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT lsn) AS BIGINT) AS n_lsns,
+       CAST(count(*) - count(DISTINCT lsn) AS BIGINT) AS dup_lsns,
+       CAST(min(lsn) AS BIGINT) AS min_lsn,
+       CAST(max(lsn) AS BIGINT) AS max_lsn,
+       CAST(max(lsn) - min(lsn) + 1 - count(DISTINCT lsn) AS BIGINT)
+         AS missing_lsns
+FROM changes
+"""
+        ),
+        "cdc_turn_integrity": oracle(
+            _STATE_BODY
+            + """
+SELECT conv_id,
+       CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_turns,
+       min(turn_idx) AS min_turn,
+       max(turn_idx) AS max_turn,
+       CAST(max(turn_idx) - min(turn_idx) + 1
+            - count(DISTINCT turn_idx) AS BIGINT) AS missing_turns
+FROM state GROUP BY conv_id
+HAVING missing_turns > 0 OR min_turn > 0
+ORDER BY conv_id
+"""
+        ),
+        "emb_decontaminate": """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 10 <> 0
+),
+bench AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+scored AS (
+  SELECT c.vec_id AS vec_id, b.vec_id AS bench_id,
+    floor((list_inner_product(c.v, b.v)
+           / (sqrt(list_inner_product(c.v, c.v))
+              * sqrt(list_inner_product(b.v, b.v))))
+          * 1000000 + 0.5) / 1000000 AS sim
+  FROM corpus c CROSS JOIN bench b
+),
+best AS (
+  SELECT vec_id, bench_id, sim,
+    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id ASC)
+      AS rn
+  FROM scored
+)
+SELECT vec_id, sim AS max_sim, bench_id, sim >= 0.35 AS contaminated
+FROM best WHERE rn = 1
+""",
     }
     # the incremental view must equal the batch operator bit-for-bit —
     # same oracle, different engine path (dirty-bucket refresh)

@@ -886,3 +886,55 @@ def semantic_dedup(
         "dup_of",
         F.col("dup_of").isNull().alias("keep"),
     )
+
+
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-similarity test-set decontamination: flag every corpus
+    vector whose cosine against ANY benchmark vector reaches
+    ``threshold`` — the semantic companion to the k-gram-overlap rule
+    (:func:`aqueduct_core_spark.functions.dedup.decontaminate`), which
+    paraphrased eval leakage evades but an embedding match catches.
+
+    Returns one row per corpus vector: ``(id, max_sim, bench_id,
+    contaminated)`` where ``bench_id`` is the nearest benchmark item
+    (ties broken toward the smaller benchmark id) — the attribution a
+    leakage report needs, not just a drop flag.
+
+    Scale shape: the benchmark side is an eval set (≤10⁵ rows) and is
+    explicitly broadcast; the corpus side is scored in place — one
+    scan, |bench| codegen'd dot products per row, no corpus shuffle for
+    the join.  The per-id argmax collapses map-side (each corpus row
+    lives in exactly one partition, so the partial aggregation already
+    holds the final max and the exchange moves one narrow struct per
+    id, never the |corpus|×|bench| cross product).  Similarities are
+    rounded to 6 dp (:func:`round6`) BEFORE the argmax and the
+    threshold compare so the result is reproducible bit-for-bit across
+    engines and plans.
+    """
+    b = benchmark.select(
+        F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec")
+    )
+    sim = round6(cosine_sim(vec_col, "_bvec", dim=dim))
+    scored = corpus.crossJoin(F.broadcast(b)).select(
+        F.col(id_col).alias("id"),
+        F.col("_bid"),
+        sim.alias("_s"),
+    )
+    best = scored.groupBy("id").agg(
+        F.max(
+            F.struct(F.col("_s").alias("s"), (-F.col("_bid")).alias("nb"))
+        ).alias("m")
+    )
+    return best.select(
+        F.col("id").alias(id_col),
+        F.col("m.s").alias("max_sim"),
+        (-F.col("m.nb")).cast("long").alias("bench_id"),
+        (F.col("m.s") >= F.lit(threshold)).alias("contaminated"),
+    )

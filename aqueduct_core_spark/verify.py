@@ -81,6 +81,79 @@ def ts_lsn_inversions(changes: DataFrame, block_bits: int = 14) -> int:
     return viol.count()
 
 
+def log_audit(changes: DataFrame, lsn_col: str = "lsn") -> DataFrame:
+    """One-row change-log integrity summary — the binlog/WAL gap audit
+    a CDC consumer runs before trusting a replay window.
+
+    Columns: ``n_events``, ``n_lsns`` (distinct), ``dup_lsns``
+    (re-delivered or mis-assigned offsets), ``min_lsn``/``max_lsn``,
+    and ``missing_lsns`` — how many offsets inside the observed range
+    never arrived.  The reference's BIGSERIAL offsets legitimately skip
+    values on rollback (SURVEY §1.2), so ``missing_lsns`` is a signal
+    to reconcile against the source's own gap accounting, while
+    ``dup_lsns > 0`` is always a transport bug (offsets are unique —
+    reference ``Message.java`` identity).
+
+    Scale: one hash aggregation; the exact distinct count runs as
+    Spark's standard two-stage partial aggregation (shuffle carries
+    distinct lsns once, never rows).
+    """
+    lsn = F.col(lsn_col)
+    return (
+        changes.agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(lsn).alias("n_lsns"),
+            F.min(lsn).cast("long").alias("min_lsn"),
+            F.max(lsn).cast("long").alias("max_lsn"),
+        )
+        .select(
+            "n_events",
+            "n_lsns",
+            (F.col("n_events") - F.col("n_lsns")).alias("dup_lsns"),
+            "min_lsn",
+            "max_lsn",
+            (F.col("max_lsn") - F.col("min_lsn") + 1 - F.col("n_lsns"))
+            .alias("missing_lsns"),
+        )
+    )
+
+
+def turn_integrity(state: DataFrame) -> DataFrame:
+    """Hierarchical-contiguity audit over a merged transcript state:
+    conversations whose live turn set is NOT ``0..max_turn`` dense.
+
+    A transcript's parent→child contract says turns are an ordered
+    dense sequence; a hole means a turn-level tombstone (or a lost
+    event) punched out a middle turn while later turns survived —
+    exactly the rows a training-data exporter must either repair or
+    drop, since a prefix render (``functions.examples.sft_examples``)
+    would silently stitch non-adjacent turns together.
+
+    Returns ``(conv_id, n_turns, min_turn, max_turn, missing_turns)``
+    for offending conversations only (``min_turn > 0`` or
+    ``missing_turns > 0``).  One hash aggregation with map-side
+    combine; ``countDistinct`` is exact and bounded by
+    turns-per-conversation.
+    """
+    return (
+        state.groupBy("conv_id")
+        .agg(
+            F.countDistinct("turn_idx").alias("n_turns"),
+            F.min("turn_idx").alias("min_turn"),
+            F.max("turn_idx").alias("max_turn"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            "min_turn",
+            "max_turn",
+            (F.col("max_turn") - F.col("min_turn") + 1 - F.col("n_turns"))
+            .alias("missing_turns"),
+        )
+        .where((F.col("missing_turns") > 0) | (F.col("min_turn") > 0))
+    )
+
+
 def states_equal(a: DataFrame, b: DataFrame, cols: list[str] | None = None) -> bool:
     """Exact set equality via symmetric anti-joins (null-safe)."""
     cols = cols or sorted(set(a.columns) & set(b.columns))

@@ -1,0 +1,112 @@
+"""Log/turn integrity audits and embedding decontamination.
+
+Planted-defect tests: each audit must find exactly the defects the
+fixture plants and nothing else, and the decontamination flag must
+fire exactly on the planted near-duplicate of a benchmark vector.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from aqueduct_core_spark.verify import log_audit, turn_integrity
+
+TS = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        [(int(lsn), cid, t) for lsn, cid, t in rows],
+        T.StructType(
+            [
+                T.StructField("lsn", T.LongType(), False),
+                T.StructField("conv_id", T.StringType(), False),
+                T.StructField("turn_idx", T.IntegerType(), True),
+            ]
+        ),
+    )
+
+
+def test_log_audit_clean(spark):
+    df = _log(spark, [(i, "c", 0) for i in range(5, 10)])
+    row = log_audit(df).collect()[0]
+    assert row.n_events == 5 and row.n_lsns == 5
+    assert row.dup_lsns == 0 and row.missing_lsns == 0
+    assert row.min_lsn == 5 and row.max_lsn == 9
+
+
+def test_log_audit_holes_and_dups(spark):
+    # lsns 1,2,2,5 → one duplicate, holes {3,4}
+    df = _log(spark, [(1, "c", 0), (2, "c", 1), (2, "c", 1), (5, "c", 2)])
+    row = log_audit(df).collect()[0]
+    assert row.n_events == 4 and row.n_lsns == 3
+    assert row.dup_lsns == 1
+    assert row.missing_lsns == 2
+
+
+def test_turn_integrity_flags_only_defects(spark):
+    state = _log(
+        spark,
+        # ok: dense 0..2
+        [(1, "ok", 0), (2, "ok", 1), (3, "ok", 2)]
+        # hole: turn 1 missing
+        + [(4, "hole", 0), (5, "hole", 2)]
+        # offset: starts at 1 (dense but no turn 0)
+        + [(6, "offset", 1), (7, "offset", 2)],
+    )
+    got = {r.conv_id: r for r in turn_integrity(state).collect()}
+    assert set(got) == {"hole", "offset"}
+    assert got["hole"].missing_turns == 1 and got["hole"].min_turn == 0
+    assert got["offset"].missing_turns == 0 and got["offset"].min_turn == 1
+
+
+def test_decontaminate_embeddings_flags_planted_dup(spark):
+    from aqueduct_core_spark.functions.similarity import (
+        decontaminate_embeddings,
+    )
+
+    dim = 8
+    bench_vec = [1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0]
+    # corpus: one near-copy of the benchmark vector, one orthogonal
+    near = [0.9, 0.1, 1.1, 0.0, 0.9, 0.0, 1.0, 0.1]
+    orth = [0.0, 1.0, 0.0, -1.0, 0.0, 1.0, 0.0, -1.0]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    corpus = spark.createDataFrame([(1, near), (2, orth)], schema)
+    bench = spark.createDataFrame([(100, bench_vec)], schema)
+    got = {
+        r.vec_id: r
+        for r in decontaminate_embeddings(
+            corpus, bench, threshold=0.8, dim=dim
+        ).collect()
+    }
+    assert got[1].contaminated and got[1].bench_id == 100
+    assert got[1].max_sim > 0.95
+    assert not got[2].contaminated
+    assert abs(got[2].max_sim) < 0.01
+
+
+def test_decontaminate_tiebreak_smallest_bench_id(spark):
+    from aqueduct_core_spark.functions.similarity import (
+        decontaminate_embeddings,
+    )
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    corpus = spark.createDataFrame([(1, v)], schema)
+    # two identical benchmark vectors → equal sim; smaller id must win
+    bench = spark.createDataFrame([(20, v), (10, v)], schema)
+    row = decontaminate_embeddings(corpus, bench, threshold=0.5, dim=4).collect()[0]
+    assert row.bench_id == 10 and row.contaminated
