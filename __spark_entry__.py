@@ -51,6 +51,9 @@ cdc_log_audit               change-log integrity: duplicate offsets +
                             offset holes in one aggregation
 cdc_turn_integrity          hierarchical-contiguity audit: conversations
                             with non-dense live turn sequences
+cdc_turn_loops              degenerate-generation detector: runs of
+                            consecutive turns with identical normalized
+                            text (gaps-and-islands per conversation)
 emb_decontaminate           embedding-similarity test-set decontamination
                             (broadcast benchmark, per-vector attribution)
 emb_lsh_indexed             precomputed-bucket LSH index scan path
@@ -2407,6 +2410,24 @@ def _q_turn_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_integrity(state).orderBy("conv_id")
 
 
+def _q_turn_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-generation detector: maximal runs of consecutive
+    turns whose digit-stripped text is identical (an agent looping the
+    same reply), ≥2 turns long, over the merged state — the repetition
+    failure corpus-level dedup can't see because each document is
+    unique."""
+    from aqueduct_core_spark.operators import lww
+    from aqueduct_core_spark.operators.temporal import turn_runs
+    from aqueduct_core_spark.schema import OP_DELETE
+
+    winners, _ = lww.resolve_batch(
+        load_changes(spark, sf_dir), ["role", "text", "tool", "ts"]
+    )
+    state = winners.where(F.col("op") != OP_DELETE)
+    key = F.regexp_replace(F.col("text"), "[0-9]+", "")
+    return turn_runs(state, key, min_run=2)
+
+
 def _q_emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-similarity decontamination: corpus = vec_id % 10 != 0,
     benchmark = the other 10%; per corpus vector the max cosine vs the
@@ -2515,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hourly_throughput": _q_hourly_throughput,
         "cdc_log_audit": _q_log_audit,
         "cdc_turn_integrity": _q_turn_integrity,
+        "cdc_turn_loops": _q_turn_loops,
         "emb_decontaminate": _q_emb_decontaminate,
     }
 
@@ -3496,6 +3518,37 @@ SELECT CAST(count(*) AS BIGINT) AS n_events,
        CAST(max(lsn) - min(lsn) + 1 - count(DISTINCT lsn) AS BIGINT)
          AS missing_lsns
 FROM changes
+"""
+        ),
+        "cdc_turn_loops": oracle(
+            _STATE_BODY
+            + """
+, n AS (
+  SELECT conv_id, turn_idx,
+         regexp_replace(text, '[0-9]+', '', 'g') AS k
+  FROM state
+),
+o AS (
+  SELECT conv_id, turn_idx, k,
+    CASE WHEN row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) = 1
+           THEN 1
+         WHEN lag(k) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              IS NOT DISTINCT FROM k THEN 0
+         ELSE 1 END AS chg
+  FROM n
+),
+r AS (
+  SELECT conv_id, turn_idx, k,
+    sum(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS UNBOUNDED PRECEDING) AS run
+  FROM o
+)
+SELECT conv_id, k AS key,
+       min(turn_idx) AS from_turn, max(turn_idx) AS to_turn,
+       CAST(count(*) AS BIGINT) AS run_len
+FROM r GROUP BY conv_id, run, k
+HAVING count(*) >= 2
+ORDER BY conv_id, from_turn
 """
         ),
         "cdc_turn_integrity": oracle(

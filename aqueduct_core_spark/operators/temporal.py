@@ -230,3 +230,66 @@ def state_at_lsn(
         *payload_cols,
         F.col("valid_from_lsn").alias("lsn"),
     )
+
+
+def turn_runs(
+    state: DataFrame,
+    key,
+    min_run: int = 2,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Consecutive-run (gaps-and-islands) analysis over each
+    conversation's turn order: maximal runs of turns sharing the same
+    ``key`` value, filtered to runs of at least ``min_run``.
+
+    The degenerate-generation detector for agent transcripts: with
+    ``key`` = normalized text it finds looping assistants (the same
+    reply emitted turn after turn — the repetition failure mode
+    corpus-level dedup cannot see because each *document* is unique);
+    with ``key`` = role it audits strict user/assistant alternation
+    (two same-role turns in a row = a broken transcript assembly).
+
+    Returns ``(conv_id, key, from_turn, to_turn, run_len)`` ordered
+    deterministically.  ``key``: a column name or Column expression
+    evaluated per turn; NULL keys compare null-safely (a run of NULLs
+    is a run).
+
+    Shape at scale: one shuffle on ``conv_col`` (the table's own
+    bucket key, so reads off the transcript table are co-partitioned),
+    two window passes over the same per-conversation sort (Spark plans
+    one sort), one hash aggregation with map-side combine.  Runs are
+    bounded by turns-per-conversation, never by corpus size.
+    """
+    k = key if not isinstance(key, str) else F.col(key)
+    w = Window.partitionBy("conv_id").orderBy("_t")
+    cum = (
+        Window.partitionBy("conv_id")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    new_run = (
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .when(F.lag(F.col("_k")).over(w).eqNullSafe(F.col("_k")), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    tagged = (
+        state.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(order_col).alias("_t"),
+            k.alias("_k"),
+        )
+        .withColumn("_run", F.sum(new_run).over(cum).cast("int"))
+    )
+    return (
+        tagged.groupBy("conv_id", "_run")
+        .agg(
+            F.first("_k").alias("key"),
+            F.min("_t").alias("from_turn"),
+            F.max("_t").alias("to_turn"),
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+        )
+        .where(F.col("run_len") >= min_run)
+        .select("conv_id", "key", "from_turn", "to_turn", "run_len")
+        .orderBy("conv_id", "from_turn")
+    )

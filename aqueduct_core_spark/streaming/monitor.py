@@ -280,3 +280,117 @@ def attach_progress_listener(spark: SparkSession, out_path: str):
     listener = _Listener()
     spark.streams.addListener(listener)
     return listener
+
+
+def epoch_lineage_audit(table_or_offsets) -> "DataFrame":
+    """Audit the exactly-once bookkeeping itself: violations over the
+    ``_offsets`` table's epoch sequence and per-bucket lineage.
+
+    Checks (one row per violation — empty result = healthy):
+
+    - ``duplicate_epoch_row`` — the same epoch committed twice (the
+      invariant the duplicate-epoch skip + ``EpochCollision`` guard
+      protect; two rows would mean the commit protocol was bypassed).
+    - ``watermark_regression`` — ``last_lsn`` strictly decreased from
+      one epoch to the next (replay order violated).
+    - ``lineage_beyond_watermark`` — a batch-scope bucket's lineage
+      ``max_lsn`` exceeds its epoch's committed watermark (bookkeeping
+      claims events the watermark says were never applied).
+    - ``lineage_below_prev_watermark`` — a batch-scope bucket's
+      ``min_lsn`` is at or below the PREVIOUS epoch's watermark: the
+      epoch re-applied events an earlier epoch already owned
+      (exactly-once double-apply evidence).  Table-scope lineage
+      (inline copy-on-write rewrites the full layout) legitimately
+      spans old lsns and is exempt from the two range rules.
+
+    Accepts a table (anything with ``read_offsets``) or an offsets
+    DataFrame directly.  The offsets table is bounded — one row per
+    epoch, kept small by ``compact_offsets`` — so the single
+    unpartitioned window here sorts thousands of rows, not data.
+
+    Scope: single-log tables.  ``replay_multi_source`` interleaves
+    epochs from independent lsn spaces into one offsets table (each
+    source's watermark lives in its own summary key), so the two
+    cross-epoch range rules don't apply there — filter the offsets
+    frame to one source's epochs before auditing a multi-log table.
+    """
+    from pyspark.sql import DataFrame
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    off = (
+        table_or_offsets.read_offsets()
+        if hasattr(table_or_offsets, "read_offsets")
+        else table_or_offsets
+    )
+    lineage_schema = T.StructType(
+        [
+            T.StructField("scope", T.StringType()),
+            T.StructField(
+                "buckets",
+                T.MapType(
+                    T.StringType(),
+                    T.StructType(
+                        [
+                            T.StructField("keys", T.LongType()),
+                            T.StructField("min_lsn", T.LongType()),
+                            T.StructField("max_lsn", T.LongType()),
+                        ]
+                    ),
+                ),
+            ),
+        ]
+    )
+    parsed = off.select(
+        "epoch",
+        "last_lsn",
+        F.from_json("partition_lineage", lineage_schema).alias("_pl"),
+    )
+    dup = (
+        parsed.groupBy("epoch")
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("last_lsn").alias("last_lsn"))
+        .where(F.col("_n") > 1)
+        .select(
+            "epoch",
+            F.lit("duplicate_epoch_row").alias("reason"),
+            F.concat(F.lit("rows="), F.col("_n")).alias("detail"),
+        )
+    )
+    w = Window.orderBy("epoch")
+    seq = parsed.withColumn("_prev", F.lag("last_lsn").over(w))
+    reg = seq.where(F.col("last_lsn") < F.col("_prev")).select(
+        "epoch",
+        F.lit("watermark_regression").alias("reason"),
+        F.concat(
+            F.lit("last_lsn="), F.col("last_lsn"), F.lit(" prev="), F.col("_prev")
+        ).alias("detail"),
+    )
+    buckets = seq.where(F.col("_pl.scope") == "batch").select(
+        "epoch",
+        "last_lsn",
+        "_prev",
+        F.explode(F.col("_pl.buckets")).alias("bucket", "rng"),
+    )
+    beyond = buckets.where(F.col("rng.max_lsn") > F.col("last_lsn")).select(
+        "epoch",
+        F.lit("lineage_beyond_watermark").alias("reason"),
+        F.concat(
+            F.lit("bucket="), F.col("bucket"),
+            F.lit(" max_lsn="), F.col("rng.max_lsn"),
+            F.lit(" watermark="), F.col("last_lsn"),
+        ).alias("detail"),
+    )
+    below = buckets.where(
+        F.col("_prev").isNotNull() & (F.col("rng.min_lsn") <= F.col("_prev"))
+    ).select(
+        "epoch",
+        F.lit("lineage_below_prev_watermark").alias("reason"),
+        F.concat(
+            F.lit("bucket="), F.col("bucket"),
+            F.lit(" min_lsn="), F.col("rng.min_lsn"),
+            F.lit(" prev_watermark="), F.col("_prev"),
+        ).alias("detail"),
+    )
+    return dup.unionByName(reg).unionByName(beyond).unionByName(below).orderBy(
+        "epoch", "reason", "detail"
+    )

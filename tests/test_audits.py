@@ -110,3 +110,111 @@ def test_decontaminate_tiebreak_smallest_bench_id(spark):
     bench = spark.createDataFrame([(20, v), (10, v)], schema)
     row = decontaminate_embeddings(corpus, bench, threshold=0.5, dim=4).collect()[0]
     assert row.bench_id == 10 and row.contaminated
+
+
+def test_turn_runs_islands(spark):
+    from aqueduct_core_spark.operators.temporal import turn_runs
+
+    state = _log(
+        spark,
+        # conv "a": turns 0-1 same key, 2 different, 3-5 same again
+        [(1, "a", 0), (2, "a", 1), (3, "a", 2), (4, "a", 3), (5, "a", 4), (6, "a", 5)]
+        # conv "b": all distinct keys → no runs
+        + [(7, "b", 0), (8, "b", 1)],
+    ).withColumn(
+        "k",
+        F.when(F.col("conv_id") == "b", F.concat(F.lit("u"), F.col("turn_idx")))
+        .when(F.col("turn_idx") <= 1, F.lit("x"))
+        .when(F.col("turn_idx") == 2, F.lit("y"))
+        .otherwise(F.lit("x")),
+    )
+    got = turn_runs(state, "k", min_run=2).collect()
+    assert [(r.conv_id, r.key, r.from_turn, r.to_turn, r.run_len) for r in got] == [
+        ("a", "x", 0, 1, 2),
+        ("a", "x", 3, 5, 3),
+    ]
+
+
+def test_turn_runs_null_keys_are_a_run(spark):
+    from aqueduct_core_spark.operators.temporal import turn_runs
+
+    state = _log(spark, [(1, "a", 0), (2, "a", 1), (3, "a", 2)]).withColumn(
+        "k", F.lit(None).cast("string")
+    )
+    got = turn_runs(state, "k", min_run=2).collect()
+    assert len(got) == 1 and got[0].run_len == 3 and got[0].key is None
+
+
+def _offsets(spark, rows):
+    import datetime as dt
+
+    from aqueduct_core_spark.schema import OFFSETS_SCHEMA
+
+    return spark.createDataFrame(
+        [
+            (int(e), int(lsn), 10, 0, pl, TS, "UP_TO_DATE")
+            for e, lsn, pl in rows
+        ],
+        OFFSETS_SCHEMA,
+    )
+
+
+def _pl(buckets):
+    import json
+
+    return json.dumps({"scope": "batch", "buckets": buckets})
+
+
+def test_epoch_lineage_audit_healthy_replay(spark, tmp_path):
+    from aqueduct_core_spark.catalog.table import ParquetTranscriptTable
+    from aqueduct_core_spark.config import EngineConfig
+    from aqueduct_core_spark.generator import generate_changes
+    from aqueduct_core_spark.streaming.monitor import epoch_lineage_audit
+    from aqueduct_core_spark.streaming.pipeline import replay
+
+    work = str(tmp_path)
+    generate_changes(spark, n_convs=60, seed=7).write.parquet(f"{work}/log")
+    table = ParquetTranscriptTable.create(spark, f"{work}/t", num_buckets=4)
+    log = spark.read.parquet(f"{work}/log")
+    replay(
+        table,
+        log,
+        EngineConfig(num_buckets=4, max_events_per_trigger=500),
+    )
+    assert table.last_committed_epoch() >= 1  # multi-epoch replay
+    assert epoch_lineage_audit(table).count() == 0
+
+
+def test_epoch_lineage_audit_detects_violations(spark):
+    from aqueduct_core_spark.streaming.monitor import epoch_lineage_audit
+
+    healthy = _offsets(
+        spark,
+        [
+            (0, 100, _pl({"3": {"keys": 5, "min_lsn": 1, "max_lsn": 100}})),
+            (1, 200, _pl({"1": {"keys": 5, "min_lsn": 101, "max_lsn": 200}})),
+        ],
+    )
+    assert epoch_lineage_audit(healthy).count() == 0
+
+    bad = _offsets(
+        spark,
+        [
+            (0, 100, _pl({"3": {"keys": 5, "min_lsn": 1, "max_lsn": 100}})),
+            # watermark went backwards AND lineage dips below epoch 0
+            (1, 90, _pl({"1": {"keys": 5, "min_lsn": 50, "max_lsn": 90}})),
+            # lineage claims beyond its own watermark
+            (2, 300, _pl({"1": {"keys": 5, "min_lsn": 201, "max_lsn": 400}})),
+            # duplicate epoch row
+            (2, 300, None),
+        ],
+    )
+    reasons = sorted(
+        r.reason for r in epoch_lineage_audit(bad).collect()
+    )
+    assert reasons == [
+        "duplicate_epoch_row",
+        "lineage_below_prev_watermark",
+        "lineage_beyond_watermark",
+        "watermark_regression",
+    ]
