@@ -56,6 +56,8 @@ HEADLINE = [
     "emb_near_dup",
     "emb_semantic_dedup",
     "cdc_preference_pairs",
+    "cdc_turn_loops",
+    "emb_decontaminate",
 ]
 
 
