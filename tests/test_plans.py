@@ -392,3 +392,58 @@ def test_semantic_dedup_joins_within_cell_only(spark):
     # cartesian over the corpus
     assert "CartesianProduct" not in plan
     assert "cell" in plan
+
+
+def test_decontaminate_broadcasts_and_partial_aggs(spark):
+    """The benchmark side must broadcast (never shuffle the corpus for
+    the join) and the per-id argmax must partially aggregate map-side
+    before its exchange."""
+    import pyspark.sql.types as T
+
+    from aqueduct_core_spark.functions.similarity import (
+        decontaminate_embeddings,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    vecs = [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(20)]
+    corpus = spark.createDataFrame(vecs[2:], schema)
+    bench = spark.createDataFrame(vecs[:2], schema)
+    plan = _plan(decontaminate_embeddings(corpus, bench, dim=4))
+    assert "Broadcast" in plan, plan
+    # printed top-down as final-agg → exchange → partial-agg: the
+    # partial max below the exchange is the map-side combine
+    partial, exchange = plan.find("partial_max"), plan.find("Exchange hashpartitioning")
+    assert partial != -1 and exchange != -1
+    assert partial > exchange, plan
+
+
+def test_log_audit_is_one_aggregation(spark, log_path):
+    """One scan, no joins, no windows: the audit is a pure aggregate
+    with Spark's two-stage distinct expansion."""
+    from aqueduct_core_spark.verify import log_audit
+
+    plan = _plan(log_audit(spark.read.parquet(log_path)))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_turn_runs_single_conv_shuffle(spark, log_path):
+    """The islands pass shuffles ONCE on the conversation key; both
+    window functions and the run aggregation reuse that partitioning
+    (no second exchange on a different key)."""
+    from aqueduct_core_spark.operators.temporal import turn_runs
+
+    state = spark.read.parquet(log_path).where(F.col("turn_idx").isNotNull())
+    plan = _plan(turn_runs(state, F.col("role"), min_run=2))
+    # exactly one hashpartitioning exchange keyed on conv_id for the
+    # window; the groupBy(conv_id, _run) agg reuses it (partial+final
+    # without a new exchange on other keys); the final orderBy adds one
+    # rangepartitioning
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges == 1, plan
+    assert "Window" in plan
