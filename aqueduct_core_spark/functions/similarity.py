@@ -917,7 +917,17 @@ def decontaminate_embeddings(
     rounded to 6 dp (:func:`round6`) BEFORE the argmax and the
     threshold compare so the result is reproducible bit-for-bit across
     engines and plans.
+
+    An EMPTY benchmark yields an empty result (max-over-nothing is
+    undefined per row) — callers treating "no benchmark" as "nothing
+    contaminated" should skip the call, not feed an empty frame.
     """
+    # The tempting "precompute norms per side before the join" variant
+    # (one dot per pair instead of three) measured STRICTLY SLOWER —
+    # 6.5 s vs 4.1 s warm best-of-3 at sf0.1 local[32]: projecting the
+    # norm column ahead of the BroadcastNestedLoopJoin costs more in
+    # lost expression fusion than the redundant dots cost in
+    # arithmetic.  Keep the fused per-pair cosine.
     b = benchmark.select(
         F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec")
     )
