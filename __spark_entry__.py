@@ -54,6 +54,8 @@ cdc_turn_integrity          hierarchical-contiguity audit: conversations
 cdc_turn_loops              degenerate-generation detector: runs of
                             consecutive turns with identical normalized
                             text (gaps-and-islands per conversation)
+cdc_turn_latency            per-conversation inter-turn latency profile
+                            (gap seconds between LWW turn timestamps)
 emb_decontaminate           embedding-similarity test-set decontamination
                             (broadcast benchmark, per-vector attribution)
 emb_lsh_indexed             precomputed-bucket LSH index scan path
@@ -2428,6 +2430,22 @@ def _q_turn_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_runs(state, key, min_run=2)
 
 
+def _q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation inter-turn latency profile over the merged
+    state: gap seconds between consecutive turns' LWW timestamps in
+    turn order (negative gap = out-of-order final edits, an auditable
+    signal), aggregated per conversation."""
+    from aqueduct_core_spark.operators import lww
+    from aqueduct_core_spark.operators.temporal import turn_latency
+    from aqueduct_core_spark.schema import OP_DELETE
+
+    winners, _ = lww.resolve_batch(
+        load_changes(spark, sf_dir), ["role", "text", "tool", "ts"]
+    )
+    state = winners.where(F.col("op") != OP_DELETE)
+    return turn_latency(state)
+
+
 def _q_emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-similarity decontamination: corpus = vec_id % 10 != 0,
     benchmark = the other 10%; per corpus vector the max cosine vs the
@@ -2537,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_log_audit": _q_log_audit,
         "cdc_turn_integrity": _q_turn_integrity,
         "cdc_turn_loops": _q_turn_loops,
+        "cdc_turn_latency": _q_turn_latency,
         "emb_decontaminate": _q_emb_decontaminate,
     }
 
@@ -3518,6 +3537,22 @@ SELECT CAST(count(*) AS BIGINT) AS n_events,
        CAST(max(lsn) - min(lsn) + 1 - count(DISTINCT lsn) AS BIGINT)
          AS missing_lsns
 FROM changes
+"""
+        ),
+        "cdc_turn_latency": oracle(
+            _STATE_BODY
+            + """
+, g AS (
+  SELECT conv_id,
+    epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+      AS gap
+  FROM state
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_gaps,
+  floor(avg(gap) * 1000000 + 0.5) / 1000000 AS mean_gap_s,
+  floor(min(gap) * 1000000 + 0.5) / 1000000 AS min_gap_s,
+  floor(max(gap) * 1000000 + 0.5) / 1000000 AS max_gap_s
+FROM g WHERE gap IS NOT NULL GROUP BY conv_id
 """
         ),
         "cdc_turn_loops": oracle(

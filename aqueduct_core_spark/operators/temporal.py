@@ -293,3 +293,44 @@ def turn_runs(
         .select("conv_id", "key", "from_turn", "to_turn", "run_len")
         .orderBy("conv_id", "from_turn")
     )
+
+
+def turn_latency(
+    state: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation inter-turn latency profile: the gap in seconds
+    between consecutive turns' event times, aggregated per conversation
+    — the agent-responsiveness view of a transcript corpus ("how long
+    did each reply take", "which conversations stalled").
+
+    Gaps are computed in TURN order using each turn's LWW-resolved
+    timestamp, so a NEGATIVE gap is itself a signal: a later turn whose
+    final write predates an earlier turn's (out-of-order edits — the
+    auditable cousin of :func:`turn_runs`' loop detection).  Returns
+    ``(conv_id, n_gaps, mean_gap_s, min_gap_s, max_gap_s)`` for every
+    conversation with at least two timestamped turns; seconds carry
+    microsecond precision, rounded to 6 dp for engine-reproducible
+    values.
+
+    Shape at scale: the same single conversation-key shuffle as every
+    per-conv operator here (one window pass + one map-side-combined
+    aggregation); cost bounded by turns-per-conversation.
+    """
+    from aqueduct_core_spark.functions.text import round6
+
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast(
+        "double"
+    )
+    per = state.select(F.col(conv_col).alias("conv_id"), gap.alias("_g")).where(
+        F.col("_g").isNotNull()
+    )
+    return per.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        round6(F.avg("_g")).alias("mean_gap_s"),
+        round6(F.min("_g")).alias("min_gap_s"),
+        round6(F.max("_g")).alias("max_gap_s"),
+    )

@@ -218,3 +218,31 @@ def test_epoch_lineage_audit_detects_violations(spark):
         "lineage_beyond_watermark",
         "watermark_regression",
     ]
+
+
+def test_turn_latency_gaps_and_negative_signal(spark):
+    from aqueduct_core_spark.operators.temporal import turn_latency
+
+    rows = [
+        # conv "a": ts gaps of +60s then -30s (out-of-order final edit)
+        ("a", 0, TS),
+        ("a", 1, TS + dt.timedelta(seconds=60)),
+        ("a", 2, TS + dt.timedelta(seconds=30)),
+        # conv "b": single turn → no gaps, absent from output
+        ("b", 0, TS),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+    )
+    got = {r.conv_id: r for r in turn_latency(
+        spark.createDataFrame(rows, schema)
+    ).collect()}
+    assert set(got) == {"a"}
+    a = got["a"]
+    assert a.n_gaps == 2
+    assert a.min_gap_s == -30.0 and a.max_gap_s == 60.0
+    assert a.mean_gap_s == 15.0
