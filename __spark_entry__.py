@@ -56,6 +56,8 @@ cdc_turn_loops              degenerate-generation detector: runs of
                             text (gaps-and-islands per conversation)
 cdc_turn_latency            per-conversation inter-turn latency profile
                             (gap seconds between LWW turn timestamps)
+cdc_edit_magnitude          edit-size analytics over preference pairs
+                            (Levenshtein, length delta, edit ratio)
 emb_decontaminate           embedding-similarity test-set decontamination
                             (broadcast benchmark, per-vector attribution)
 emb_lsh_indexed             precomputed-bucket LSH index scan path
@@ -218,6 +220,54 @@ state AS (
   FROM w LEFT JOIN conv_del ON w.conv_id = conv_del.conv_id
   WHERE rn = 1 AND op <> 'D'
     AND (conv_del_lsn IS NULL OR w.lsn > conv_del_lsn)
+)
+"""
+
+#: SCD2-history → (rejected, chosen) preference pairs, as reusable CTEs
+#: ending in ``pairs`` — shared by cdc_preference_pairs (verbatim),
+#: cdc_pref_pairs_inc (same result via the incremental view) and
+#: cdc_edit_magnitude (per-pair edit analytics).
+_PREF_PAIRS_CTES = """
+turns AS (SELECT * FROM changes WHERE turn_idx IS NOT NULL),
+seq AS (
+  SELECT conv_id, turn_idx, lsn, op, role, text,
+         lead(lsn) OVER w AS turn_to, lead(op) OVER w AS next_op
+  FROM turns WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY lsn)
+),
+vers AS (SELECT * FROM seq WHERE op IN ('I','U')),
+tomb AS (SELECT conv_id, lsn FROM changes WHERE turn_idx IS NULL AND op = 'D'),
+cc AS (
+  SELECT v.conv_id, v.turn_idx, v.lsn, min(t.lsn) AS conv_close
+  FROM vers v LEFT JOIN tomb t ON v.conv_id = t.conv_id AND t.lsn >= v.lsn
+  GROUP BY 1, 2, 3
+),
+hist AS (
+  SELECT v.conv_id, v.turn_idx, v.lsn AS valid_from_lsn,
+         CASE WHEN cc.conv_close IS NOT NULL
+                   AND (v.turn_to IS NULL OR cc.conv_close < v.turn_to)
+              THEN 'conv_delete'
+              WHEN v.next_op = 'D' THEN 'delete'
+              WHEN v.turn_to IS NOT NULL THEN 'update' END AS end_reason,
+         least(v.turn_to, cc.conv_close) IS NULL AS is_current,
+         v.role, v.text
+  FROM vers v JOIN cc USING (conv_id, turn_idx, lsn)
+),
+r AS (
+  SELECT conv_id, turn_idx, valid_from_lsn, end_reason, role, text,
+         row_number() OVER w AS rn,
+         first_value(valid_from_lsn) OVER w AS chosen_lsn,
+         first_value(role) OVER w AS chosen_role,
+         first_value(text) OVER w AS chosen_text,
+         first_value(is_current) OVER w AS latest_current,
+         count(*) OVER (PARTITION BY conv_id, turn_idx) AS n_versions
+  FROM hist
+  WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY valid_from_lsn DESC)
+),
+pairs AS (
+  SELECT conv_id, turn_idx, valid_from_lsn AS rejected_lsn,
+         role AS rejected_role, text AS rejected_text,
+         chosen_lsn, chosen_role, chosen_text, n_versions
+  FROM r WHERE rn > 1 AND latest_current AND end_reason = 'update'
 )
 """
 
@@ -2430,6 +2480,19 @@ def _q_turn_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_runs(state, key, min_run=2)
 
 
+def _q_edit_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-size analytics over the CDC preference pairs: Levenshtein
+    distance, signed length delta and 6-dp edit ratio per (rejected,
+    chosen) pair — the features separating typo fixes from full
+    rewrites when curating preference data."""
+    from aqueduct_core_spark.functions.examples import (
+        edit_magnitude,
+        preference_pairs,
+    )
+
+    return edit_magnitude(preference_pairs(load_changes(spark, sf_dir)))
+
+
 def _q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation inter-turn latency profile over the merged
     state: gap seconds between consecutive turns' LWW timestamps in
@@ -2556,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_turn_integrity": _q_turn_integrity,
         "cdc_turn_loops": _q_turn_loops,
         "cdc_turn_latency": _q_turn_latency,
+        "cdc_edit_magnitude": _q_edit_magnitude,
         "emb_decontaminate": _q_emb_decontaminate,
     }
 
@@ -3122,46 +3186,18 @@ FROM ctx WHERE role = 'purchase' AND n_context_turns >= 1
 """
         ),
         "cdc_preference_pairs": oracle(
-            """
-turns AS (SELECT * FROM changes WHERE turn_idx IS NOT NULL),
-seq AS (
-  SELECT conv_id, turn_idx, lsn, op, role, text,
-         lead(lsn) OVER w AS turn_to, lead(op) OVER w AS next_op
-  FROM turns WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY lsn)
-),
-vers AS (SELECT * FROM seq WHERE op IN ('I','U')),
-tomb AS (SELECT conv_id, lsn FROM changes WHERE turn_idx IS NULL AND op = 'D'),
-cc AS (
-  SELECT v.conv_id, v.turn_idx, v.lsn, min(t.lsn) AS conv_close
-  FROM vers v LEFT JOIN tomb t ON v.conv_id = t.conv_id AND t.lsn >= v.lsn
-  GROUP BY 1, 2, 3
-),
-hist AS (
-  SELECT v.conv_id, v.turn_idx, v.lsn AS valid_from_lsn,
-         CASE WHEN cc.conv_close IS NOT NULL
-                   AND (v.turn_to IS NULL OR cc.conv_close < v.turn_to)
-              THEN 'conv_delete'
-              WHEN v.next_op = 'D' THEN 'delete'
-              WHEN v.turn_to IS NOT NULL THEN 'update' END AS end_reason,
-         least(v.turn_to, cc.conv_close) IS NULL AS is_current,
-         v.role, v.text
-  FROM vers v JOIN cc USING (conv_id, turn_idx, lsn)
-),
-r AS (
-  SELECT conv_id, turn_idx, valid_from_lsn, end_reason, role, text,
-         row_number() OVER w AS rn,
-         first_value(valid_from_lsn) OVER w AS chosen_lsn,
-         first_value(role) OVER w AS chosen_role,
-         first_value(text) OVER w AS chosen_text,
-         first_value(is_current) OVER w AS latest_current,
-         count(*) OVER (PARTITION BY conv_id, turn_idx) AS n_versions
-  FROM hist
-  WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY valid_from_lsn DESC)
-)
-SELECT conv_id, turn_idx, valid_from_lsn AS rejected_lsn,
-       role AS rejected_role, text AS rejected_text,
-       chosen_lsn, chosen_role, chosen_text, n_versions
-FROM r WHERE rn > 1 AND latest_current AND end_reason = 'update'
+            _PREF_PAIRS_CTES + "SELECT * FROM pairs"
+        ),
+        "cdc_edit_magnitude": oracle(
+            _PREF_PAIRS_CTES
+            + """
+SELECT conv_id, turn_idx, rejected_lsn, chosen_lsn,
+  CAST(levenshtein(rejected_text, chosen_text) AS BIGINT) AS edit_distance,
+  CAST(length(chosen_text) - length(rejected_text) AS BIGINT) AS len_delta,
+  floor(CAST(levenshtein(rejected_text, chosen_text) AS DOUBLE)
+        / greatest(length(rejected_text), length(chosen_text), 1)
+        * 1000000 + 0.5) / 1000000 AS edit_ratio
+FROM pairs
 """
         ),
         "cdc_conv_near_dup": _conv_near_dup_oracle(),

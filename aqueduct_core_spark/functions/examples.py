@@ -47,6 +47,7 @@ __all__ = [
     "sft_examples_view",
     "preference_pairs",
     "pairs_from_history",
+    "edit_magnitude",
     "PreferencePairsView",
 ]
 
@@ -376,3 +377,37 @@ def sft_examples_view(
     if create:
         return ConvView.create(spark, root, _tf, _SFT_SCHEMA, num_buckets)
     return ConvView(spark, root, _tf, _SFT_SCHEMA)
+
+
+def edit_magnitude(pairs: DataFrame) -> DataFrame:
+    """Edit-size analytics over (rejected, chosen) preference pairs:
+    how BIG was each regeneration.  Per pair: the Levenshtein distance
+    between the superseded and final text, the signed length delta, and
+    the edit ratio (distance / longer length, 6-dp rounded) — the
+    features that separate typo fixes from full rewrites when curating
+    preference data (tiny-edit pairs teach noise; whole-rewrite pairs
+    carry the strongest signal).
+
+    Cost model: ``levenshtein`` is O(len_a·len_b) per pair JVM-side —
+    fine for turn-sized texts; for pathological lengths cap the inputs
+    upstream (``substring``) or pre-filter on ``abs(len_delta)``, which
+    is O(1) and lower-bounds the distance.  No shuffle: a pure
+    projection over the pairs frame.
+    """
+    from aqueduct_core_spark.functions.text import round6
+
+    d = F.levenshtein("rejected_text", "chosen_text")
+    denom = F.greatest(
+        F.length("rejected_text"), F.length("chosen_text"), F.lit(1)
+    )
+    return pairs.select(
+        "conv_id",
+        "turn_idx",
+        "rejected_lsn",
+        "chosen_lsn",
+        d.cast("long").alias("edit_distance"),
+        (F.length("chosen_text") - F.length("rejected_text"))
+        .cast("long")
+        .alias("len_delta"),
+        round6(d.cast("double") / denom).alias("edit_ratio"),
+    )

@@ -246,3 +246,36 @@ def test_turn_latency_gaps_and_negative_signal(spark):
     assert a.n_gaps == 2
     assert a.min_gap_s == -30.0 and a.max_gap_s == 60.0
     assert a.mean_gap_s == 15.0
+
+
+def test_edit_magnitude_planted_pair(spark):
+    from aqueduct_core_spark.functions.examples import edit_magnitude
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("rejected_lsn", T.LongType(), False),
+            T.StructField("rejected_role", T.StringType(), False),
+            T.StructField("rejected_text", T.StringType(), False),
+            T.StructField("chosen_lsn", T.LongType(), False),
+            T.StructField("chosen_role", T.StringType(), False),
+            T.StructField("chosen_text", T.StringType(), False),
+            T.StructField("n_versions", T.LongType(), False),
+        ]
+    )
+    pairs = spark.createDataFrame(
+        [
+            # one substitution: kitten → sitten? use classic kitten/sitting = 3
+            ("a", 0, 1, "r", "kitten", 9, "r", "sitting", 2),
+            # identical texts → zero edit
+            ("a", 1, 2, "r", "same", 8, "r", "same", 2),
+        ],
+        schema,
+    )
+    got = {(r.conv_id, r.turn_idx): r for r in edit_magnitude(pairs).collect()}
+    k = got[("a", 0)]
+    assert k.edit_distance == 3 and k.len_delta == 1
+    assert abs(k.edit_ratio - 3 / 7) < 1e-6
+    z = got[("a", 1)]
+    assert z.edit_distance == 0 and z.len_delta == 0 and z.edit_ratio == 0.0
