@@ -58,6 +58,8 @@ cdc_turn_latency            per-conversation inter-turn latency profile
                             (gap seconds between LWW turn timestamps)
 cdc_edit_magnitude          edit-size analytics over preference pairs
                             (Levenshtein, length delta, edit ratio)
+cdc_op_transitions          CDC protocol-order profile: per-key op
+                            transition matrix with strictness flags
 emb_decontaminate           embedding-similarity test-set decontamination
                             (broadcast benchmark, per-vector attribution)
 emb_lsh_indexed             precomputed-bucket LSH index scan path
@@ -2480,6 +2482,16 @@ def _q_turn_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_runs(state, key, min_run=2)
 
 
+def _q_op_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC protocol-order profile: per-key (prev_op → op) transition
+    counts with a strict-semantics flag — surfaces producers emitting
+    update-before-insert, double-insert or post-delete mutations, all
+    of which the LWW merge absorbs but an operator wants reported."""
+    from aqueduct_core_spark.verify import op_transitions
+
+    return op_transitions(load_changes(spark, sf_dir))
+
+
 def _q_edit_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-size analytics over the CDC preference pairs: Levenshtein
     distance, signed length delta and 6-dp edit ratio per (rejected,
@@ -2620,6 +2632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_turn_loops": _q_turn_loops,
         "cdc_turn_latency": _q_turn_latency,
         "cdc_edit_magnitude": _q_edit_magnitude,
+        "cdc_op_transitions": _q_op_transitions,
         "emb_decontaminate": _q_emb_decontaminate,
     }
 
@@ -3573,6 +3586,26 @@ SELECT CAST(count(*) AS BIGINT) AS n_events,
        CAST(max(lsn) - min(lsn) + 1 - count(DISTINCT lsn) AS BIGINT)
          AS missing_lsns
 FROM changes
+"""
+        ),
+        "cdc_op_transitions": oracle(
+            """
+turns AS (SELECT * FROM changes WHERE turn_idx IS NOT NULL),
+t AS (
+  SELECT coalesce(
+           lag(op) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn),
+           'START') AS prev_op,
+         op
+  FROM turns
+)
+SELECT prev_op, op, CAST(count(*) AS BIGINT) AS n_events,
+  CASE WHEN prev_op = 'START' AND op = 'I' THEN TRUE
+       WHEN prev_op = 'I' AND op IN ('U','D') THEN TRUE
+       WHEN prev_op = 'U' AND op IN ('U','D') THEN TRUE
+       WHEN prev_op = 'D' AND op = 'I' THEN TRUE
+       ELSE FALSE END AS protocol_ok
+FROM t GROUP BY prev_op, op
+ORDER BY prev_op, op
 """
         ),
         "cdc_turn_latency": oracle(

@@ -163,3 +163,47 @@ def states_equal(a: DataFrame, b: DataFrame, cols: list[str] | None = None) -> b
     cond = [aa[c].eqNullSafe(bb[c]) for c in cols]
     only_a = aa.join(bb, cond, "left_anti").count()
     return only_a == 0
+
+
+def op_transitions(changes: DataFrame) -> DataFrame:
+    """CDC protocol-order profile: per-key op-sequence transition
+    counts over the turn-keyed change stream, with a strictness flag.
+
+    For every (conv_id, turn_idx) key the events sort by lsn; each
+    event contributes one ``(prev_op → op)`` transition (first event:
+    ``'START' → op``).  Returns ``(prev_op, op, n_events,
+    protocol_ok)`` — the tiny matrix that characterizes a feed's shape
+    and surfaces producers that violate strict CDC semantics:
+    ``START→U`` (update before any insert — an out-of-retention
+    snapshot or a lost insert), ``I→I`` (double insert), ``D→U``/
+    ``D→D`` (mutating a deleted key without re-insert).  The engine's
+    LWW merge absorbs all of these deterministically (lsn order wins
+    regardless), so the audit is diagnostic, not corrective — the
+    reference's storage likewise upserts any op order
+    (PostgresqlStorage.java upsert semantics) while its producers are
+    expected to emit strict I/U/D sequences.
+
+    Scale: one window over the key shuffle (the table's own bucket
+    key) + a ≤16-row aggregation with map-side combine.
+    """
+    from pyspark.sql.window import Window
+
+    turns = changes.where(F.col("turn_idx").isNotNull())
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("lsn")
+    t = turns.select(
+        F.coalesce(F.lag("op").over(w), F.lit("START")).alias("prev_op"),
+        "op",
+    )
+    ok = (
+        F.when((F.col("prev_op") == "START") & (F.col("op") == "I"), True)
+        .when((F.col("prev_op") == "I") & F.col("op").isin("U", "D"), True)
+        .when((F.col("prev_op") == "U") & F.col("op").isin("U", "D"), True)
+        .when((F.col("prev_op") == "D") & (F.col("op") == "I"), True)
+        .otherwise(False)
+    )
+    return (
+        t.groupBy("prev_op", "op")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .withColumn("protocol_ok", ok)
+        .orderBy("prev_op", "op")
+    )

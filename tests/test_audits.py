@@ -279,3 +279,35 @@ def test_edit_magnitude_planted_pair(spark):
     assert abs(k.edit_ratio - 3 / 7) < 1e-6
     z = got[("a", 1)]
     assert z.edit_distance == 0 and z.len_delta == 0 and z.edit_ratio == 0.0
+
+
+def test_op_transitions_matrix(spark):
+    from aqueduct_core_spark.verify import op_transitions
+
+    rows = [
+        # key (c,0): I → U → D   (all strict)
+        (1, "c", 0, "I"), (2, "c", 0, "U"), (3, "c", 0, "D"),
+        # key (c,1): U first (update before insert) then I after... I→I
+        (4, "c", 1, "U"), (5, "c", 1, "I"), (6, "c", 1, "I"),
+        # conversation-level row must be ignored
+        (7, "c", None, "D"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("lsn", T.LongType(), False),
+                T.StructField("conv_id", T.StringType(), False),
+                T.StructField("turn_idx", T.IntegerType(), True),
+                T.StructField("op", T.StringType(), False),
+            ]
+        ),
+    )
+    got = {(r.prev_op, r.op): r for r in op_transitions(df).collect()}
+    assert got[("START", "I")].protocol_ok and got[("START", "I")].n_events == 1
+    assert got[("I", "U")].protocol_ok
+    assert got[("U", "D")].protocol_ok
+    assert not got[("START", "U")].protocol_ok  # update before insert
+    assert not got[("I", "I")].protocol_ok      # double insert
+    assert got[("U", "I")].protocol_ok is False  # re-insert without delete
+    assert sum(r.n_events for r in got.values()) == 6  # conv-level row excluded
