@@ -3580,7 +3580,8 @@ FROM changes GROUP BY 1, 2
             """
 SELECT CAST(count(*) AS BIGINT) AS n_events,
        CAST(count(DISTINCT lsn) AS BIGINT) AS n_lsns,
-       CAST(count(*) - count(DISTINCT lsn) AS BIGINT) AS dup_lsns,
+       CAST(count(lsn) - count(DISTINCT lsn) AS BIGINT) AS dup_lsns,
+       CAST(count(*) - count(lsn) AS BIGINT) AS null_lsns,
        CAST(min(lsn) AS BIGINT) AS min_lsn,
        CAST(max(lsn) AS BIGINT) AS max_lsn,
        CAST(max(lsn) - min(lsn) + 1 - count(DISTINCT lsn) AS BIGINT)

@@ -931,7 +931,18 @@ def decontaminate_embeddings(
     b = benchmark.select(
         F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec")
     )
-    sim = round6(cosine_sim(vec_col, "_bvec", dim=dim))
+    # A zero-norm vector on either side makes the cosine 0/0 — NaN with
+    # ANSI off (and NaN sorts ABOVE every number in Spark's struct max,
+    # so one degenerate benchmark vector would become every corpus row's
+    # nearest match, silently masking real contamination), a hard
+    # DIVIDE_BY_ZERO error with ANSI on (Spark 4 default).  try_divide
+    # maps the degenerate pair to NULL either way; nulls sort below
+    # numbers in max, so such pairs are ignored instead of winning.
+    raw = F.try_divide(
+        _dot(vec_col, "_bvec", dim=dim),
+        _norm(vec_col, dim) * _norm("_bvec", dim),
+    )
+    sim = round6(raw)  # round6 passes NULL through
     scored = corpus.crossJoin(F.broadcast(b)).select(
         F.col(id_col).alias("id"),
         F.col("_bid"),
@@ -946,5 +957,9 @@ def decontaminate_embeddings(
         F.col("id").alias(id_col),
         F.col("m.s").alias("max_sim"),
         (-F.col("m.nb")).cast("long").alias("bench_id"),
-        (F.col("m.s") >= F.lit(threshold)).alias("contaminated"),
+        # a zero-norm CORPUS vector has no defined cosine to anything:
+        # max_sim stays NULL and the row reports not-contaminated
+        F.coalesce(F.col("m.s") >= F.lit(threshold), F.lit(False)).alias(
+            "contaminated"
+        ),
     )

@@ -356,7 +356,12 @@ def epoch_lineage_audit(table_or_offsets) -> "DataFrame":
             F.concat(F.lit("rows="), F.col("_n")).alias("detail"),
         )
     )
-    w = Window.orderBy("epoch")
+    # (epoch, last_lsn) — epoch alone is a NON-total order exactly when
+    # duplicate epoch rows exist (the corruption this audit targets), and
+    # lag() between the duplicates would then be nondeterministic: the
+    # same corrupt offsets table could emit different watermark_regression
+    # / lineage_below_prev_watermark detail rows run to run.
+    w = Window.orderBy("epoch", "last_lsn")
     seq = parsed.withColumn("_prev", F.lag("last_lsn").over(w))
     reg = seq.where(F.col("last_lsn") < F.col("_prev")).select(
         "epoch",

@@ -85,14 +85,18 @@ def log_audit(changes: DataFrame, lsn_col: str = "lsn") -> DataFrame:
     """One-row change-log integrity summary — the binlog/WAL gap audit
     a CDC consumer runs before trusting a replay window.
 
-    Columns: ``n_events``, ``n_lsns`` (distinct), ``dup_lsns``
-    (re-delivered or mis-assigned offsets), ``min_lsn``/``max_lsn``,
-    and ``missing_lsns`` — how many offsets inside the observed range
-    never arrived.  The reference's BIGSERIAL offsets legitimately skip
-    values on rollback (SURVEY §1.2), so ``missing_lsns`` is a signal
-    to reconcile against the source's own gap accounting, while
-    ``dup_lsns > 0`` is always a transport bug (offsets are unique —
-    reference ``Message.java`` identity).
+    Columns: ``n_events``, ``n_lsns`` (distinct non-null), ``dup_lsns``
+    (re-delivered or mis-assigned offsets), ``null_lsns`` (events that
+    arrived with NO offset at all — a different defect class),
+    ``min_lsn``/``max_lsn``, and ``missing_lsns`` — how many offsets
+    inside the observed range never arrived.  The reference's BIGSERIAL
+    offsets legitimately skip values on rollback (SURVEY §1.2), so
+    ``missing_lsns`` is a signal to reconcile against the source's own
+    gap accounting, while ``dup_lsns > 0`` is always a transport bug
+    (offsets are unique — reference ``Message.java`` identity).
+    ``dup_lsns`` counts only non-null offsets (``count(lsn)``, not
+    ``count(*)``) so a feed with null offsets reports ``null_lsns``
+    instead of being misdiagnosed as re-delivery.
 
     Scale: one hash aggregation; the exact distinct count runs as
     Spark's standard two-stage partial aggregation (shuffle carries
@@ -102,6 +106,7 @@ def log_audit(changes: DataFrame, lsn_col: str = "lsn") -> DataFrame:
     return (
         changes.agg(
             F.count(F.lit(1)).alias("n_events"),
+            F.count(lsn).alias("_n_nonnull"),
             F.countDistinct(lsn).alias("n_lsns"),
             F.min(lsn).cast("long").alias("min_lsn"),
             F.max(lsn).cast("long").alias("max_lsn"),
@@ -109,7 +114,8 @@ def log_audit(changes: DataFrame, lsn_col: str = "lsn") -> DataFrame:
         .select(
             "n_events",
             "n_lsns",
-            (F.col("n_events") - F.col("n_lsns")).alias("dup_lsns"),
+            (F.col("_n_nonnull") - F.col("n_lsns")).alias("dup_lsns"),
+            (F.col("n_events") - F.col("_n_nonnull")).alias("null_lsns"),
             "min_lsn",
             "max_lsn",
             (F.col("max_lsn") - F.col("min_lsn") + 1 - F.col("n_lsns"))

@@ -44,7 +44,30 @@ def test_log_audit_holes_and_dups(spark):
     row = log_audit(df).collect()[0]
     assert row.n_events == 4 and row.n_lsns == 3
     assert row.dup_lsns == 1
+    assert row.null_lsns == 0
     assert row.missing_lsns == 2
+
+
+def test_log_audit_null_lsns_not_counted_as_dups(spark):
+    # a feed with NULL offsets is a different defect class than
+    # re-delivered offsets — it must report null_lsns, not dup_lsns
+    # (ADVICE r3: count(*) - count(DISTINCT lsn) counted every NULL
+    # as a duplicate)
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), True),
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "c", 0), (None, "c", 1), (None, "c", 2), (4, "c", 3)], schema
+    )
+    row = log_audit(df).collect()[0]
+    assert row.n_events == 4 and row.n_lsns == 2
+    assert row.dup_lsns == 0
+    assert row.null_lsns == 2
+    assert row.missing_lsns == 2  # holes {2,3} inside [1,4]
 
 
 def test_turn_integrity_flags_only_defects(spark):
@@ -110,6 +133,38 @@ def test_decontaminate_tiebreak_smallest_bench_id(spark):
     bench = spark.createDataFrame([(20, v), (10, v)], schema)
     row = decontaminate_embeddings(corpus, bench, threshold=0.5, dim=4).collect()[0]
     assert row.bench_id == 10 and row.contaminated
+
+
+def test_decontaminate_zero_norm_benchmark_ignored(spark):
+    # ADVICE r3: a zero-norm benchmark vector yields NaN cosine, and NaN
+    # sorts above every number in Spark's struct max — it must NOT
+    # become every corpus row's nearest match / mask real contamination
+    from aqueduct_core_spark.functions.similarity import (
+        decontaminate_embeddings,
+    )
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    zero = [0.0, 0.0, 0.0, 0.0]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    corpus = spark.createDataFrame([(1, v), (2, zero)], schema)
+    bench = spark.createDataFrame([(5, zero), (10, v)], schema)
+    got = {
+        r.vec_id: r
+        for r in decontaminate_embeddings(
+            corpus, bench, threshold=0.5, dim=4
+        ).collect()
+    }
+    # real contamination still detected, attributed to the REAL vector
+    assert got[1].contaminated and got[1].bench_id == 10
+    assert abs(got[1].max_sim - 1.0) < 1e-6
+    # zero-norm corpus vector: no defined cosine → NULL max_sim, not
+    # contaminated, and the row is still present (one row per vector)
+    assert got[2].max_sim is None and got[2].contaminated is False
 
 
 def test_turn_runs_islands(spark):
