@@ -29,6 +29,17 @@ Mapping rules (all deterministic, no randomness):
 - ``event_size`` = payload length + 89 B fixed overhead (reference
   MAX_OVERHEAD_SIZE, pipe-api/.../Message.java:27-31)
 - ``cluster_id`` = ``user_id % 8`` (routing partition analog)
+- **forked conversations**: users with ``user_id % 25 IN (7, 8)`` form
+  adjacent FORK PAIRS (25g+7, 25g+8) whose turn payloads are canonical
+  per (pair-group, turn) instead of per-event — two conversations
+  replaying the same transcript, the near-duplicate shape a real
+  multi-client CDC feed produces (retries, copied sessions).  This is
+  what makes ``cdc_conv_near_dup`` exercise its positive path: without
+  seeded forks the corpus has no conversation pair above the 0.5
+  Jaccard threshold and the correctness row is vacuously green on
+  0 rows (r3 verdict).  Roles and liveness still come from each
+  conversation's own events, so fork pairs are NEAR-duplicates, not
+  byte-identical.
 """
 
 from __future__ import annotations
@@ -51,18 +62,28 @@ changes AS (
          ELSE CAST(event_id % 4 AS INTEGER) END AS turn_idx,
     CASE WHEN event_id % 97 = 0 OR event_type = 'error' THEN NULL
          ELSE event_type END AS role,
-    CASE WHEN event_id % 97 = 0 OR event_type = 'error' THEN NULL
-         ELSE 'evt ' || CAST(event_id AS VARCHAR) || ' :: ' || props END AS text,
+    _text AS text,
     CASE WHEN event_type = 'purchase' AND event_id % 97 <> 0 THEN 'checkout'
          ELSE NULL END AS tool,
     ts,
-    CAST(CASE WHEN event_id % 97 = 0 OR event_type = 'error' THEN 89
-              ELSE length('evt ' || CAST(event_id AS VARCHAR) || ' :: ' || props) + 89
-         END AS INTEGER) AS event_size,
+    CAST(COALESCE(length(_text), 0) + 89 AS INTEGER) AS event_size,
     CAST(user_id % 8 AS BIGINT) AS cluster_id,
     CASE WHEN user_id % 3 = 0 THEN NULL
          ELSE CAST(user_id % 5 AS BIGINT) END AS location_group
-  FROM events
+  FROM (
+    SELECT *,
+      CASE WHEN event_id % 97 = 0 OR event_type = 'error' THEN NULL
+           WHEN user_id % 25 IN (7, 8)
+             THEN 'fork turn ' || CAST(event_id % 4 AS VARCHAR)
+                  || ' the g' || CAST(CAST(floor(user_id / 25.0) AS BIGINT) AS VARCHAR)
+                  || ' session replays the g' || CAST(CAST(floor(user_id / 25.0) AS BIGINT) AS VARCHAR)
+                  || ' support thread about the g' || CAST(CAST(floor(user_id / 25.0) AS BIGINT) AS VARCHAR)
+                  || ' password reset on the g' || CAST(CAST(floor(user_id / 25.0) AS BIGINT) AS VARCHAR)
+                  || ' mobile app'
+           ELSE 'evt ' || CAST(event_id AS VARCHAR) || ' :: ' || props
+      END AS _text
+    FROM events
+  )
 )
 """
 
@@ -72,7 +93,25 @@ def changes_from_events(events: DataFrame) -> DataFrame:
     :data:`CHANGES_CTE_SQL`."""
     conv_del = F.col("event_id") % 97 == 0
     is_tomb = conv_del | (F.col("event_type") == "error")
-    text = F.concat(F.lit("evt "), F.col("event_id").cast("string"), F.lit(" :: "), F.col("props"))
+    fork = (F.col("user_id") % 25).isin(7, 8)
+    # the group token g<g> recurs every ~3 words so EVERY word 3-shingle
+    # contains it — fork pairs within a group are near-identical while
+    # cross-group Jaccard collapses to ~0 (no quadratic all-fork clique)
+    g = F.floor(F.col("user_id") / 25).cast("long").cast("string")
+    fork_text = F.concat(
+        F.lit("fork turn "), (F.col("event_id") % 4).cast("string"),
+        F.lit(" the g"), g,
+        F.lit(" session replays the g"), g,
+        F.lit(" support thread about the g"), g,
+        F.lit(" password reset on the g"), g,
+        F.lit(" mobile app"),
+    )
+    text = F.when(fork, fork_text).otherwise(
+        F.concat(
+            F.lit("evt "), F.col("event_id").cast("string"),
+            F.lit(" :: "), F.col("props"),
+        )
+    )
     return events.select(
         F.col("event_id").alias("lsn"),
         F.when(is_tomb, "D")
