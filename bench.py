@@ -58,6 +58,9 @@ HEADLINE = [
     "cdc_preference_pairs",
     "cdc_turn_loops",
     "emb_decontaminate",
+    "emb_ivf_forest",
+    "cdc_scd2_incremental",
+    "cdc_sessionize",
 ]
 
 
@@ -322,7 +325,7 @@ def bench_ann_recall(spark, sf_dir: str, k: int = 20) -> dict:
     trained = {
         r["vec_id"] for r in qs["emb_ivf_trained"](spark, sf_dir).collect()
     }
-    return {
+    out = {
         "lsh_recall": round(len(exact & sketch) / len(exact), 3),
         "lsh_scanned_fraction": 0.15,
         "lsh_bucket_recall": round(len(exact & bucket) / len(exact), 3),
@@ -331,6 +334,60 @@ def bench_ann_recall(spark, sf_dir: str, k: int = 20) -> dict:
         # same probe budget over the spherical-k-means codebook (one
         # Lloyd iteration trained in-engine)
         "ivf_trained_recall": round(len(exact & trained) / len(exact), 3),
+    }
+    out.update(bench_forest_recall(spark, sf_dir, k=k))
+    return out
+
+
+def bench_forest_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 10) -> dict:
+    """recall@k of the PRUNED IVF-forest path over ``n_queries`` query
+    vectors (not just vec_id 0 — a single query's recall is ±0.1 noise
+    against the published ≥ 0.8 operating point), with the index built
+    ONCE and probed per query, the deployment shape.  Also measures the
+    realized scanned fraction (distinct candidates / corpus) instead of
+    assuming the probe budget."""
+    from pyspark.sql import functions as F
+
+    from aqueduct_core_spark.functions.similarity import (
+        cosine_topk,
+        forest_index,
+        forest_probes,
+        forest_topk,
+        forest_train,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = embs.count()
+    if n == 0:
+        return {}
+    qrows = embs.where(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
+    dim = len(qrows[0]["embedding"])
+    cbs = forest_train(embs, dim)
+    idx = forest_index(embs, cbs).persist()
+    idx.count()
+    recs, scans = [], []
+    try:
+        for r in qrows:
+            qv, qid = list(r["embedding"]), r["vec_id"]
+            ex = [
+                x.vec_id
+                for x in cosine_topk(embs, qv, k=k + 1).collect()
+                if x.vec_id != qid
+            ][:k]
+            got = {x.vec_id for x in forest_topk(idx, qv, cbs, k=k + 1).collect()}
+            recs.append(len(set(ex) & got) / len(ex))
+            pred = None
+            for t, cells in enumerate(forest_probes(qv, cbs)):
+                h = (F.col("tbl") == t) & F.col("cell").isin(cells)
+                pred = h if pred is None else pred | h
+            scans.append(idx.where(pred).select("id").distinct().count() / n)
+    finally:
+        idx.unpersist()
+    return {
+        "ivf_forest_recall": round(sum(recs) / len(recs), 3),
+        "ivf_forest_recall_min": round(min(recs), 3),
+        "ivf_forest_scanned_fraction": round(sum(scans) / len(scans), 3),
+        "ivf_forest_scanned_max": round(max(scans), 3),
     }
 
 

@@ -186,3 +186,98 @@ def test_semantic_dedup_cap_matches_uncapped_on_small_cells(spark):
     b = semantic_dedup(df, dim=2, threshold=0.95, centroids=cents,
                        persist_assign=False, max_cell=100).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --------------------------------------------------------------------------
+# Trained IVF forest (the pruned recall-target path)
+# --------------------------------------------------------------------------
+
+
+def test_forest_assign_matches_driver_probe_ranking(spark, embs):
+    """The Arrow-batched assignment kernel and the driver-side integer
+    probe ranking share one arithmetic: for any vector, the cell the
+    kernel assigns in table t must be the #1 probe forest_probes ranks
+    for that same vector in table t (both are argmax of the identical
+    exact integer dot)."""
+    from aqueduct_core_spark.functions.similarity import (
+        forest_index,
+        forest_probes,
+        forest_train,
+    )
+
+    cbs = forest_train(embs, 32, n_tables=3, n_cells=8)
+    idx = forest_index(embs, cbs)
+    rows = idx.where(F.col("id") < 5).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["id"], {})[r["tbl"]] = (r["cell"], list(r["vec"]))
+    for vid, tbls in by_vec.items():
+        assert len(tbls) == 3  # one cell per table, every table
+        for t, (cell, vec) in tbls.items():
+            top = forest_probes(vec, cbs, n_probes=1)[t][0]
+            assert cell == top, (vid, t)
+
+
+def test_forest_topk_beats_single_table_and_meets_floor(spark, embs):
+    """On the planted-neighborhood corpus the forest must recover the
+    exact top-k nearly perfectly (the neighborhood is dense, every
+    table sees it) — and must include the planted neighbors."""
+    from aqueduct_core_spark.functions.similarity import (
+        forest_index,
+        forest_topk,
+        forest_train,
+    )
+
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    exact = [r["vec_id"] for r in cosine_topk(embs, q, k=20).collect()]
+    cbs = forest_train(embs, 32, n_tables=6, n_cells=16)
+    idx = forest_index(embs, cbs)
+    got = {r["vec_id"] for r in forest_topk(idx, q, cbs, k=20, n_probes=2).collect()}
+    rec = len(set(exact) & got) / 20
+    assert rec >= 0.8, f"forest recall {rec}"
+
+
+def test_forest_deterministic_across_parallelism(spark, embs):
+    """Quantized integer arithmetic end-to-end: training sums, cell
+    assignment and probe ranking are exact in any partial-aggregation
+    order, so repartitioning cannot change the result."""
+    from aqueduct_core_spark.functions.similarity import (
+        forest_index,
+        forest_topk,
+        forest_train,
+    )
+
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    outs = []
+    for parts in (1, 13):
+        df = embs.repartition(parts)
+        cbs = forest_train(df, 32, n_tables=4, n_cells=8)
+        idx = forest_index(df, cbs)
+        outs.append(
+            [(r.vec_id, r.sim) for r in forest_topk(idx, q, cbs, k=15).collect()]
+        )
+    assert outs[0] == outs[1]
+
+
+def test_forest_train_empty_cell_keeps_normalized_init(spark):
+    """A cell no vector lands in falls back to its NORMALIZED init
+    centroid (the COALESCE rule the SQL oracle applies)."""
+    from aqueduct_core_spark.functions.similarity import (
+        _unit_quant,
+        forest_init_codebooks,
+        forest_train,
+    )
+
+    # 3 identical vectors -> every table has exactly one occupied cell
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(3)], ["vec_id", "embedding"]
+    )
+    cbs = forest_train(df, 4, n_tables=2, n_cells=4)
+    init = forest_init_codebooks(4, n_tables=2, n_cells=4)
+    for t in range(2):
+        unchanged = sum(
+            1
+            for ci in range(4)
+            if cbs[t][ci] == _unit_quant(init[t][ci])
+        )
+        assert unchanged == 3  # the 1 occupied cell trained; 3 fell back
