@@ -65,7 +65,8 @@ emb_decontaminate           embedding-similarity test-set decontamination
 emb_lsh_indexed             precomputed-bucket LSH index scan path
 emb_sketch_topk             Hamming-sketch scan + exact rerank (the
                             recall-engineered ANN path)
-media_real_decode           REAL WAV (RIFF/PCM) byte decode vs an
+media_real_decode           REAL WAV (RIFF/PCM) + PNG (inflate/unfilter)
+                            + JPEG (SOF marker walk) byte decode vs an
                             arithmetic oracle
 cdc_time_travel             snapshot time travel (VERSION AS OF analog):
                             historical read from an immutable manifest
@@ -1519,10 +1520,14 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode check: WAV payloads are genuine RIFF/PCM bytes
-    (stdlib-built square waves), parsed back by the mapInPandas decoder;
-    the oracle predicts every feature arithmetically from the synthesis
-    parameters without seeing the bytes — a parser bug hash-mismatches."""
+    """REAL media decode check across all three byte formats: WAV
+    payloads are genuine RIFF/PCM bytes (stdlib-built square waves),
+    PNGs are spec-valid zlib-compressed images (full chunk-walk +
+    inflate + unfilter decode), JPEGs are real marker-segment streams
+    (SOF frame + table walk); one mapInPandas kernel sniffs and parses
+    all three, and the oracle predicts every decoded field
+    arithmetically from the synthesis parameters without seeing the
+    bytes — any parser bug hash-mismatches."""
     from aqueduct_core_spark.functions.multimodal import (
         real_decode_summary,
         synthetic_real_media,
@@ -2527,21 +2532,45 @@ FROM cand ORDER BY sim DESC, vec_id LIMIT {kk}
 
 
 def _media_real_decode_oracle(n: int = 32) -> str:
-    """Arithmetic prediction of the real WAV decode (never parses
-    bytes): rate/samples/amplitude/half-period are pure functions of
-    media_id; square-wave RMS = amp/32768 (exact IEEE: power-of-two
-    denominator), zero crossings = floor((n-1)/half)."""
+    """Arithmetic prediction of the real MIXED media decode (never
+    parses bytes) — kind by media_id % 3, per-kind index j = i // 3:
+    WAV square-wave RMS = amp/32768 (exact IEEE: power-of-two
+    denominator) and zero crossings = floor((n-1)/half); PNG solid-fill
+    pixel mean = (w·h·(r+g+b)) / (w·h·3) with the engine's exact
+    division operands; JPEG frame/table fields verbatim from the
+    synthesis parameters."""
     return f"""
 SELECT
   CAST(i AS BIGINT) AS media_id,
-  CAST(8000 + 100 * i AS INTEGER) AS sample_rate,
-  CAST(1 AS INTEGER) AS channels,
-  CAST(((400 + 10 * i) * 1000) // (8000 + 100 * i) AS INTEGER) AS duration_ms,
-  floor((CAST(1000 + i AS DOUBLE) / 32768.0) * 1000000 + 0.5) / 1000000 AS rms,
-  floor((CAST((400 + 10 * i - 1) // (4 + (i % 5)) AS DOUBLE)
-         / CAST(400 + 10 * i - 1 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS zcr,
-  CAST(44 + 2 * (400 + 10 * i) AS INTEGER) AS n_bytes
-FROM generate_series(0, {n - 1}) t(i)
+  CASE i % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'png' ELSE 'jpeg' END AS kind,
+  CAST(CASE i % 3 WHEN 1 THEN 16 + (j % 8) WHEN 2 THEN 320 + j END AS INTEGER)
+    AS width,
+  CAST(CASE i % 3 WHEN 1 THEN 8 + (j % 5) WHEN 2 THEN 240 + j END AS INTEGER)
+    AS height,
+  CAST(CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 1 + (j % 3) END AS INTEGER)
+    AS components,
+  CAST(CASE WHEN i % 3 = 0 THEN 8000 + 100 * j END AS INTEGER) AS sample_rate,
+  CAST(CASE WHEN i % 3 = 0
+            THEN ((400 + 10 * j) * 1000) // (8000 + 100 * j) END AS INTEGER)
+    AS duration_ms,
+  CASE WHEN i % 3 = 2 THEN (j % 2 = 1) END AS progressive,
+  CAST(CASE WHEN i % 3 = 2 THEN 1 + (j % 2) END AS INTEGER) AS n_quant_tables,
+  CAST(CASE WHEN i % 3 = 2 THEN 1 + (j % 3) END AS INTEGER) AS n_huffman_tables,
+  CASE WHEN i % 3 = 1 THEN
+    floor((CAST((16 + (j % 8)) * (8 + (j % 5))
+                * ((j % 256) + ((2 * j) % 256) + ((3 * j) % 256)) AS DOUBLE)
+           / CAST((16 + (j % 8)) * (8 + (j % 5)) * 3 AS DOUBLE))
+          * 1000000 + 0.5) / 1000000 END AS px_mean,
+  CASE WHEN i % 3 = 0 THEN
+    floor((CAST(1000 + j AS DOUBLE) / 32768.0) * 1000000 + 0.5) / 1000000
+  END AS rms,
+  CASE WHEN i % 3 = 0 THEN
+    floor((CAST((400 + 10 * j - 1) // (4 + (j % 5)) AS DOUBLE)
+           / CAST(400 + 10 * j - 1 AS DOUBLE)) * 1000000 + 0.5) / 1000000
+  END AS zcr,
+  CAST(CASE WHEN i % 3 = 0 THEN 44 + 2 * (400 + 10 * j) END AS INTEGER)
+    AS n_bytes
+FROM (SELECT i, i // 3 AS j FROM generate_series(0, {n - 1}) t(i))
 """
 
 

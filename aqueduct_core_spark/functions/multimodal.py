@@ -451,63 +451,147 @@ def make_wav(
     return hdr + data
 
 
+def make_jpeg(
+    width: int,
+    height: int,
+    components: int = 3,
+    progressive: bool = False,
+    n_dqt: int = 1,
+    n_dht: int = 2,
+) -> bytes:
+    """A minimal spec-shaped JPEG header stream (SOI → DQT/DHT tables →
+    SOF0/SOF2 → SOS → entropy junk → EOI).  The entropy-coded body is
+    not valid DCT data — no dependency-free encoder exists — but every
+    STRUCTURAL field the marker-walk parser reads (dimensions,
+    components, precision, mode, table counts) is real and exercises
+    the same segment arithmetic a camera JPEG does."""
+    sof = 0xC2 if progressive else 0xC0
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(components))
+    sof_body = (
+        bytes([8]) + struct.pack(">HH", height, width) + bytes([components]) + comps
+    )
+    out = b"\xff\xd8"  # SOI
+    for _ in range(n_dqt):
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes(65)
+    for _ in range(n_dht):
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 19) + bytes(19)
+    out += bytes([0xFF, sof]) + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    out += b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"  # SOS
+    return out + b"entropy-coded-payload" + b"\xff\xd9"
+
+
 def synthetic_real_media(spark, n: int = 32) -> DataFrame:
-    """Deterministic table of REAL WAV payloads (construction parameters
-    are pure functions of ``media_id``, so an oracle can predict every
-    decoded feature arithmetically without ever seeing the bytes)."""
+    """Deterministic MIXED table of real media payloads — WAV (i%3=0),
+    PNG (i%3=1), JPEG headers (i%3=2), parameters pure functions of
+    ``media_id`` (j = i//3 is the per-kind index), so an oracle can
+    predict every decoded field arithmetically without seeing bytes."""
     rows = []
     for i in range(n):
-        rate = 8000 + 100 * i
-        n_samples = 400 + 10 * i
-        amp = 1000 + i
-        half = 4 + (i % 5)
-        rows.append((i, "audio", make_wav(rate, n_samples, amp, half), None))
+        j = i // 3
+        if i % 3 == 0:
+            payload = make_wav(8000 + 100 * j, 400 + 10 * j, 1000 + j, 4 + (j % 5))
+            kind = "audio"
+        elif i % 3 == 1:
+            payload = make_png(
+                16 + (j % 8), 8 + (j % 5),
+                (j % 256, (2 * j) % 256, (3 * j) % 256),
+            )
+            kind = "image"
+        else:
+            payload = make_jpeg(
+                320 + j, 240 + j,
+                components=1 + (j % 3),
+                progressive=(j % 2 == 1),
+                n_dqt=1 + (j % 2),
+                n_dht=1 + (j % 3),
+            )
+            kind = "image"
+        rows.append((i, kind, payload, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(2)
 
 
 def real_decode_summary(media: DataFrame) -> DataFrame:
-    """Contract view of the REAL WAV decode: scalar features parsed
-    from the actual RIFF/PCM bytes in the mapInPandas kernel.  Columns
-    are chosen to be exactly predictable from the synthesis parameters
-    (square-wave RMS = amplitude, zero crossings = floor((n-1)/half)),
-    so the DuckDB oracle is an independent arithmetic check: if the
-    parser misreads any header field or sample, the hash mismatches."""
+    """Contract view of the REAL media decode across all three byte
+    formats: each payload is sniffed by magic and parsed by the
+    matching stdlib decoder (RIFF/PCM, PNG chunk-walk + inflate, JPEG
+    marker walk) inside ONE mapInPandas kernel.  Columns are chosen to
+    be exactly predictable from the synthesis parameters — WAV
+    square-wave RMS = amp/32768, PNG solid-fill pixel mean =
+    (r+g+b)/3, JPEG frame/table fields verbatim — so the DuckDB
+    oracle is an independent arithmetic check: if any parser misreads
+    a header field, a sample or a pixel, the hash mismatches.
+    (``n_bytes`` is WAV-only: PNG length depends on zlib's compressor
+    and JPEG length on table counts — not arithmetic contracts.)"""
     from aqueduct_core_spark.functions.text import round6
+
+    cols = [
+        "media_id", "kind", "width", "height", "components",
+        "sample_rate", "duration_ms", "progressive",
+        "n_quant_tables", "n_huffman_tables",
+        "px_mean", "rms", "zcr", "n_bytes",
+    ]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                d = decode_wav(payload)
-                if d is None:
+                row = {c: None for c in cols}
+                row["media_id"] = int(mid)
+                w = decode_wav(payload)
+                if w is not None:
+                    s = w["samples"]
+                    zc = int(
+                        np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1]))
+                    )
+                    row.update(
+                        kind="wav",
+                        components=int(w["channels"]),
+                        sample_rate=int(w["sample_rate"]),
+                        duration_ms=int(w["duration_ms"]),
+                        rms=float(np.sqrt(np.mean(s**2))),
+                        zcr=float(zc) / max(1, len(s) - 1),
+                        n_bytes=int(len(payload)),
+                    )
+                    out.append(row)
                     continue
-                s = d["samples"]
-                zc = int(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
-                out.append(
-                    {
-                        "media_id": int(mid),
-                        "sample_rate": int(d["sample_rate"]),
-                        "channels": int(d["channels"]),
-                        "duration_ms": int(d["duration_ms"]),
-                        "rms": float(np.sqrt(np.mean(s**2))),
-                        "zcr": float(zc) / max(1, len(s) - 1),
-                        "n_bytes": int(len(payload)),
-                    }
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "sample_rate", "channels", "duration_ms",
-                    "rms", "zcr", "n_bytes",
-                ],
-            )
+                p = decode_png(payload)
+                if p is not None:
+                    row.update(
+                        kind="png",
+                        width=int(p["width"]),
+                        height=int(p["height"]),
+                        components=int(p["channels"]),
+                        px_mean=float(np.mean(p["pixels"])),
+                    )
+                    out.append(row)
+                    continue
+                j = decode_jpeg(payload)
+                if j is not None:
+                    row.update(
+                        kind="jpeg",
+                        width=int(j["width"]),
+                        height=int(j["height"]),
+                        components=int(j["components"]),
+                        progressive=bool(j["progressive"]),
+                        n_quant_tables=int(j["n_quant_tables"]),
+                        n_huffman_tables=int(j["n_huffman_tables"]),
+                    )
+                    out.append(row)
+            yield pd.DataFrame(out, columns=cols)
 
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("components", T.IntegerType(), True),
             T.StructField("sample_rate", T.IntegerType(), True),
-            T.StructField("channels", T.IntegerType(), True),
             T.StructField("duration_ms", T.IntegerType(), True),
+            T.StructField("progressive", T.BooleanType(), True),
+            T.StructField("n_quant_tables", T.IntegerType(), True),
+            T.StructField("n_huffman_tables", T.IntegerType(), True),
+            T.StructField("px_mean", T.DoubleType(), True),
             T.StructField("rms", T.DoubleType(), True),
             T.StructField("zcr", T.DoubleType(), True),
             T.StructField("n_bytes", T.IntegerType(), True),
@@ -515,8 +599,12 @@ def real_decode_summary(media: DataFrame) -> DataFrame:
     )
     decoded = media.mapInPandas(kernel, schema=schema)
     return decoded.select(
-        "media_id", "sample_rate", "channels", "duration_ms",
-        round6(F.col("rms")).alias("rms"), round6(F.col("zcr")).alias("zcr"),
+        "media_id", "kind", "width", "height", "components",
+        "sample_rate", "duration_ms", "progressive",
+        "n_quant_tables", "n_huffman_tables",
+        round6(F.col("px_mean")).alias("px_mean"),
+        round6(F.col("rms")).alias("rms"),
+        round6(F.col("zcr")).alias("zcr"),
         "n_bytes",
     )
 

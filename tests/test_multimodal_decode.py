@@ -164,22 +164,40 @@ def test_extract_features_mixed_kinds(spark):
 
 
 def test_real_decode_summary_matches_arithmetic(spark):
-    """End-to-end: bytes built → parsed in the kernel → equals the
+    """End-to-end over the MIXED corpus (WAV/PNG/JPEG by media_id % 3):
+    bytes built → sniffed + parsed in the kernel → equals the
     closed-form prediction (what the DuckDB oracle recomputes)."""
     got = {
         r["media_id"]: r
-        for r in real_decode_summary(synthetic_real_media(spark, n=8)).collect()
+        for r in real_decode_summary(synthetic_real_media(spark, n=12)).collect()
     }
-    assert len(got) == 8
-    for i in range(8):
-        rate, n, amp, half = 8000 + 100 * i, 400 + 10 * i, 1000 + i, 4 + (i % 5)
-        r = got[i]
-        assert r["sample_rate"] == rate
-        assert r["duration_ms"] == n * 1000 // rate
-        assert r["n_bytes"] == 44 + 2 * n
-        assert abs(r["rms"] - amp / 32768.0) < 1e-6
-        zc = (n - 1) // half
-        assert abs(r["zcr"] - zc / (n - 1)) < 1e-6
+    assert len(got) == 12
+    for i in range(12):
+        r, j = got[i], i // 3
+        if i % 3 == 0:
+            rate, n, amp, half = 8000 + 100 * j, 400 + 10 * j, 1000 + j, 4 + (j % 5)
+            assert r["kind"] == "wav"
+            assert r["sample_rate"] == rate
+            assert r["duration_ms"] == n * 1000 // rate
+            assert r["n_bytes"] == 44 + 2 * n
+            assert abs(r["rms"] - amp / 32768.0) < 1e-6
+            assert abs(r["zcr"] - ((n - 1) // half) / (n - 1)) < 1e-6
+            assert r["width"] is None and r["progressive"] is None
+        elif i % 3 == 1:
+            w, h = 16 + (j % 8), 8 + (j % 5)
+            rgb = (j % 256, (2 * j) % 256, (3 * j) % 256)
+            assert r["kind"] == "png"
+            assert (r["width"], r["height"], r["components"]) == (w, h, 3)
+            assert abs(r["px_mean"] - sum(rgb) / 3) < 1e-5
+            assert r["rms"] is None and r["n_bytes"] is None
+        else:
+            assert r["kind"] == "jpeg"
+            assert (r["width"], r["height"]) == (320 + j, 240 + j)
+            assert r["components"] == 1 + (j % 3)
+            assert r["progressive"] is (j % 2 == 1)
+            assert r["n_quant_tables"] == 1 + (j % 2)
+            assert r["n_huffman_tables"] == 1 + (j % 3)
+            assert r["px_mean"] is None and r["sample_rate"] is None
 
 
 def _jpeg_bytes(width, height, components=3, progressive=False):
