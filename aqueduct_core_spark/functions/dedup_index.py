@@ -193,7 +193,12 @@ class DedupIndex:
 
     # -- maintenance ------------------------------------------------------
     def _stage_add(
-        self, meta: dict, docs: DataFrame, text_col: str, id_col: str
+        self,
+        meta: dict,
+        docs: DataFrame,
+        text_col: str,
+        id_col: str,
+        buckets: DataFrame | None = None,
     ) -> int:
         """Write a batch's membership rows under a fresh label dir and
         fold the file list + ``n_docs`` estimate into ``meta`` (no
@@ -206,7 +211,7 @@ class DedupIndex:
             return 0
         n_parts = meta["num_parts"]
         rows = (
-            self._buckets(docs, text_col, id_col)
+            (buckets if buckets is not None else self._buckets(docs, text_col, id_col))
             .withColumn("v", F.lit(meta["version"] + 1).cast("int"))
             .withColumn(_PART, F.pmod(F.col("bucket"), F.lit(n_parts)).cast("int"))
         )
@@ -274,6 +279,37 @@ class DedupIndex:
             return {"version": meta["version"], "files_added": 0}
         meta = self._vm.commit(meta, int(meta["version"]))
         return {"version": meta["version"], "files_added": added}
+
+    def ingest(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        corpus: DataFrame | None = None,
+        threshold: float = 0.0,
+    ) -> tuple[DataFrame, dict]:
+        """:meth:`check` + :meth:`add` in ONE signature pass — the
+        admission-control cadence (gate the incoming batch against
+        history, then index it) pays shingling + minhash + banding once
+        instead of twice: the checkpointed bucket frame feeds both the
+        candidate join and the part-partitioned append.
+
+        Returns ``(pairs, add_metrics)``.  ``pairs`` is evaluated
+        against the PRE-add index state (a batch never matches itself
+        through the index; intra-batch duplicates are the batch
+        pipeline's own job) and stays valid after the add — it reads
+        the pre-add file list, and index files are only ever deleted by
+        :meth:`compact`."""
+        meta = self._meta()
+        inc = self._buckets(docs, text_col, id_col).localCheckpoint(eager=True)
+        pairs = self._candidates(
+            meta, inc, docs, text_col, id_col, corpus, threshold
+        )
+        added = self._stage_add(meta, docs, text_col, id_col, buckets=inc)
+        if added == 0:
+            return pairs, {"version": meta["version"], "files_added": 0}
+        meta = self._vm.commit(meta, int(meta["version"]))
+        return pairs, {"version": meta["version"], "files_added": added}
 
     def remove(self, ids: DataFrame, id_col: str = "doc_id") -> dict:
         """Retract documents (tombstone append): their membership rows
@@ -415,6 +451,21 @@ class DedupIndex:
         # returned frame is lazy, so an unpersist here would land
         # before the caller ever runs the join)
         inc = self._buckets(docs, text_col, id_col).localCheckpoint(eager=True)
+        return self._candidates(m, inc, docs, text_col, id_col, corpus, threshold)
+
+    def _candidates(
+        self,
+        m: dict,
+        inc: DataFrame,
+        docs: DataFrame,
+        text_col: str,
+        id_col: str,
+        corpus: DataFrame | None,
+        threshold: float,
+    ) -> DataFrame:
+        """Candidate (+ optionally verified) pairs of a checkpointed
+        bucket frame ``inc`` against the index state described by ``m``
+        — the shared body of :meth:`check` and :meth:`ingest`."""
         parts = self.touched_parts(inc)
         idx = self._read_parts(parts)
         pairs = (

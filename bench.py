@@ -304,6 +304,62 @@ def bench_replay(
     }
 
 
+def bench_dedup_index(spark, n_docs: int = 200_000, n_batches: int = 4) -> dict:
+    """Ingest-with-admission-control throughput of the incremental
+    DedupIndex (r3 verdict task: nothing benched index maintenance):
+    per batch — ONE signature pass feeds both the candidate check
+    against history and the part-partitioned add (``ingest``), with a
+    retraction on the final batch — the cadence a streaming corpus
+    maintainer runs.  Docs are deterministic ~20-word texts; ~1% are
+    planted duplicates of a FIRST-BATCH doc at the same offset
+    (``id % 97 == 0 → text of id % batch_size``), so every later
+    batch's admission check does real candidate work against the
+    INDEXED history — same-batch pairs would never match, the check
+    runs against the pre-add index — without a quadratic clique."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aqueduct_core_spark.functions.dedup_index import DedupIndex
+
+    root = tempfile.mkdtemp(prefix="aq-bench-dedupix-")
+    try:
+        ix = DedupIndex.create(spark, f"{root}/ix", num_parts=32)
+        per = n_docs // n_batches
+        dup = (F.col("id") % 97 == 0) & (F.col("id") >= per)
+        base = F.when(dup, F.col("id") % per).otherwise(F.col("id"))
+        words = [
+            F.substring(
+                F.md5(F.concat(base.cast("string"), F.lit(f"-{w}"))), 1, 6
+            )
+            for w in range(20)
+        ]
+        t0 = time.time()
+        cands = 0
+        for b in range(n_batches):
+            batch = spark.range(b * per, (b + 1) * per).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(" ", *words).alias("text"),
+            )
+            pairs, _ = ix.ingest(batch)
+            cands += pairs.count()
+            if b == n_batches - 1:  # retraction leg of the cadence
+                ix.remove(
+                    spark.range(b * per, b * per + per // 20).select(
+                        F.col("id").alias("doc_id")
+                    )
+                )
+        dt = time.time() - t0
+        return {
+            "dedup_index_events_per_sec": round(n_docs / dt, 1),
+            "dedup_index_sec": round(dt, 2),
+            "dedup_index_candidates": int(cands),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_ann_recall(spark, sf_dir: str, k: int = 20) -> dict:
     """recall@k of the ANN paths against the exact cosine top-k.
 
@@ -463,9 +519,11 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     recall = {}
+    dedupix = {}
     if not args.replay_only:
         queries = bench_queries(spark, sf_dir)
         recall = bench_ann_recall(spark, sf_dir)
+        dedupix = bench_dedup_index(spark)
 
     replay_stats = bench_replay(
         spark, args.convs, args.work, args.input,
@@ -484,6 +542,7 @@ def main() -> None:
         "replay": replay_stats,
     }
     out.update(recall)
+    out.update(dedupix)
     print(json.dumps(out))
 
 

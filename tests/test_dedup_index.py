@@ -297,3 +297,30 @@ def test_compact_sweep_spares_racing_adds_files(spark, tmp_path):
     # and the raced add is queryable
     hits = final.check(_docs(spark, [("q", fresh[0][1])]))
     assert ("q", "f1") in {tuple(r) for r in hits.collect()}
+
+
+def test_ingest_equals_check_then_add(spark, tmp_path):
+    """ingest() (one signature pass) must equal check()-then-add():
+    same candidate pairs, same post-add index answers — and the pairs
+    frame must stay valid when consumed AFTER the add (pinned to the
+    pre-add file list)."""
+    a = DedupIndex.create(spark, str(tmp_path / "a"), num_parts=4)
+    b = DedupIndex.create(spark, str(tmp_path / "b"), num_parts=4)
+    base, inc = _docs(spark, BASE), _docs(spark, INCOMING)
+    a.add(base)
+    b.add(base)
+
+    expected = {(r.id_in, r.id_indexed) for r in a.check(inc).collect()}
+    a.add(inc)
+
+    pairs, m = b.ingest(inc)
+    assert m["files_added"] > 0
+    # consume AFTER the add — a batch must not match itself via the index
+    got = {(r.id_in, r.id_indexed) for r in pairs.collect()}
+    assert got == expected and len(got) > 0
+
+    probe = _docs(spark, [("p1", BASE[0][1])])
+    assert (
+        {r.id_indexed for r in a.check(probe).collect()}
+        == {r.id_indexed for r in b.check(probe).collect()}
+    )
