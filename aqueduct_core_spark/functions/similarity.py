@@ -751,12 +751,16 @@ def near_dup_pairs(
         # scan per join side; ReuseExchange does not apply across
         # self-join scans.  The projection is three narrow columns
         # (id, table, bucket — no vectors), so materializing it is
-        # cheap at any corpus size.  The cache lives for the session
-        # (the result is lazy, so it cannot be unpersisted here);
-        # callers doing one-shot batch jobs can pass False or
-        # `spark.catalog.clearCache()` afterwards.
-        b = b.persist()
-        b.count()
+        # cheap at any corpus size.  localCheckpoint rather than
+        # persist: the returned frame is lazy, so an unpersist here
+        # would land before the caller's action — persist() therefore
+        # meant a cache pinned for the SESSION (r3 demerit: a
+        # long-lived driver running many dedup jobs accumulates
+        # blocks).  Checkpoint blocks are instead released by the
+        # ContextCleaner as soon as the result frame is garbage
+        # collected — same reuse win, bounded lifetime (the
+        # convention `DedupIndex.check` established).
+        b = b.localCheckpoint(eager=True)
     cand = (
         b.alias("a")
         .join(
@@ -846,8 +850,10 @@ def semantic_dedup(
         ivf_assign(F.col(vec_col), cents).alias("cell"),
     )
     if persist_assign:
-        asg = asg.persist()
-        asg.count()
+        # localCheckpoint, not persist: blocks are released by the
+        # ContextCleaner when the result frame is GC'd instead of
+        # pinning a session-lifetime cache (see near_dup_pairs)
+        asg = asg.localCheckpoint(eager=True)
     small = asg
     gdup = None
     if max_cell:

@@ -139,6 +139,31 @@ def test_dup_clusters(spark):
     assert all(r["rep"] == 0 for r in out)
 
 
+def test_dup_clusters_large_chain_bounded_plan(spark):
+    """10⁴-edge chain (deep component → many star rounds): must
+    converge correctly AND with a bounded physical plan — the per-round
+    eager localCheckpoint truncates lineage, so the final plan's depth
+    reflects ONE round, not the whole iteration history (r3 verdict
+    task: label-propagation rounds on a big pair set must not grow the
+    plan without bound)."""
+    from aqueduct_core_spark.functions.dedup import dup_clusters
+
+    n = 10_000
+    chain = spark.range(n).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = dup_clusters(chain)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    depth = max(
+        (len(line) - len(line.lstrip())) for line in plan.splitlines() if line
+    )
+    assert depth < 60, f"plan depth {depth} — lineage not truncated"
+    assert plan.count("\n") < 80, "plan node count grew with iterations"
+    rows = out.collect()
+    assert len(rows) == n + 1
+    assert all(r["rep"] == 0 for r in rows)
+
+
 def test_minhash_near_dup(spark, docs):
     from aqueduct_core_spark.functions.dedup import minhash_dedup
 
