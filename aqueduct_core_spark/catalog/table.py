@@ -988,21 +988,27 @@ class IcebergTranscriptTable:
     def read_internal(self, buckets=None) -> DataFrame:
         return self.spark.table(self.identifier)
 
-    def merge_sql(self) -> str:
+    def merge_sql(
+        self, payload_cols: tuple[str, ...] = ("role", "text", "tool", "ts")
+    ) -> str:
         """The key-level upsert MERGE (statement text exposed so the
         jar-less sandbox can at least parse-validate what will run on
-        the cluster)."""
+        the cluster).  ``payload_cols`` narrows the column set for
+        pre-evolution epochs (e.g. before ``tool`` exists) — the same
+        statement shape, fewer SET/INSERT columns."""
+        sets = ", ".join(f"t.{c} = s.{c}" for c in payload_cols)
+        cols = ", ".join(payload_cols)
+        vals = ", ".join(f"s.{c}" for c in payload_cols)
         return f"""
             MERGE INTO {self.identifier} t
             USING _aq_src s
             ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
             WHEN MATCHED AND s.op = 'D' AND s.{LSN_COLUMN} >= t.{LSN_COLUMN} THEN DELETE
             WHEN MATCHED AND s.op <> 'D' AND s.{LSN_COLUMN} >= t.{LSN_COLUMN} THEN
-              UPDATE SET t.role = s.role, t.text = s.text, t.tool = s.tool,
-                         t.ts = s.ts, t.{LSN_COLUMN} = s.{LSN_COLUMN}
+              UPDATE SET {sets}, t.{LSN_COLUMN} = s.{LSN_COLUMN}
             WHEN NOT MATCHED AND s.op <> 'D' THEN
-              INSERT (conv_id, turn_idx, role, text, tool, ts, {LSN_COLUMN})
-              VALUES (s.conv_id, s.turn_idx, s.role, s.text, s.tool, s.ts, s.{LSN_COLUMN})
+              INSERT (conv_id, turn_idx, {cols}, {LSN_COLUMN})
+              VALUES (s.conv_id, s.turn_idx, {vals}, s.{LSN_COLUMN})
             """
 
     def evolve_sql(
@@ -1036,10 +1042,15 @@ class IcebergTranscriptTable:
             WHEN MATCHED AND t.{LSN_COLUMN} <= d.conv_del_lsn THEN DELETE
             """
 
-    def merge_resolved(self, winners: DataFrame, conv_del: DataFrame) -> None:
+    def merge_resolved(
+        self,
+        winners: DataFrame,
+        conv_del: DataFrame,
+        payload_cols: tuple[str, ...] = ("role", "text", "tool", "ts"),
+    ) -> None:
         """Native MERGE INTO: one row per key guaranteed by the LWW
         resolve step (Iceberg cardinality requirement)."""
         winners.createOrReplaceTempView("_aq_src")
         conv_del.createOrReplaceTempView("_aq_conv_del")
-        self.spark.sql(self.merge_sql())
+        self.spark.sql(self.merge_sql(payload_cols))
         self.spark.sql(self.conv_delete_merge_sql())

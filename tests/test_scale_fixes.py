@@ -357,8 +357,15 @@ def test_iceberg_merge_sql_parses(spark):
 
     t = IcebergTranscriptTable(spark, "cat.db.transcripts")
     parser = spark._jsparkSession.sessionState().sqlParser()
-    for sql in (t.merge_sql(), t.conv_delete_merge_sql()):
+    for sql in (
+        t.merge_sql(),
+        # the pre-evolution narrowing tools/iceberg_integration.py uses
+        t.merge_sql(payload_cols=("role", "text", "ts")),
+        t.conv_delete_merge_sql(),
+        *t.evolve_sql(added=[("tool", "string")], widened=[("turn_idx", "bigint")]),
+    ):
         parser.parsePlan(sql)  # raises ParseException on bad syntax
+    assert "s.tool" not in t.merge_sql(payload_cols=("role", "text", "ts"))
     # the conv-delete MERGE must be an equi-ON (portability guard)
     assert "ON t.conv_id = d.conv_id\n" in t.conv_delete_merge_sql().replace(
         "            ", ""
