@@ -188,6 +188,7 @@ def bench_replay(
     # + 8 absent-key single-conversation reads, driver-collected like a
     # serving call.
     point_lookup_ms = None
+    point_lookup_direct_ms = None
     if point_lookups:  # skipped under --replay-only (scaling harness)
         ids = [
             r["conv_id"]
@@ -200,6 +201,19 @@ def bench_replay(
             lat.append(time.time() - t_pl)
         lat.sort()
         point_lookup_ms = round(1000 * lat[len(lat) // 2], 1)
+
+        # The DIRECT (zero-Spark-job) serving hatch on the same keys:
+        # manifest + bucket math + pyarrow row-group-pruned reads +
+        # pandas MOR resolve (read_conversation_direct).  One warmup
+        # call first so the pyarrow import doesn't land in the median.
+        table.read_conversation_direct(ids[0])
+        lat_d = []
+        for cid in ids + [f"absent-{i}" for i in range(8)]:
+            t_pl = time.time()
+            table.read_conversation_direct(cid)
+            lat_d.append(time.time() - t_pl)
+        lat_d.sort()
+        point_lookup_direct_ms = round(1000 * lat_d[len(lat_d) // 2], 2)
 
     # MOR fold (periodic compaction) timed separately — sustained
     # ingest must account for it, amortized over mor_fold_every epochs
@@ -292,6 +306,7 @@ def bench_replay(
         "sec": round(dt, 3),
         "events_per_sec": round(timed_events / dt, 1),
         "point_lookup_ms_median": point_lookup_ms,
+        "point_lookup_direct_ms_median": point_lookup_direct_ms,
         "fold_sec": round(fold_sec, 3) if folded.get("folded") else 0.0,
         "read_with_deltas_sec": round(read_with_deltas_sec, 3),
         "read_after_fold_sec": round(read_after_fold_sec, 3),

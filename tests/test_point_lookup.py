@@ -134,3 +134,157 @@ def test_read_conversations_multi_get(spark, lookup_table):
     slim = lookup_table.read_conversations(cids, columns=["text"])
     assert set(slim.columns) == {"conv_id", "turn_idx", "text"}
     assert lookup_table.read_conversations([]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Zero-Spark-job direct read (the serving escape hatch)
+# ---------------------------------------------------------------------------
+
+
+def _normalize(df):
+    """pandas frame → comparable list of tuples (timestamps unified)."""
+    import pandas as pd
+
+    out = []
+    for _, row in df.sort_values("turn_idx").iterrows():
+        vals = []
+        for c in df.columns:
+            v = row[c]
+            if pd.isna(v):
+                vals.append(None)
+            elif c == "ts":
+                vals.append(pd.Timestamp(v))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return out
+
+
+def test_direct_read_equals_spark_read(spark, lookup_table):
+    """read_conversation_direct must return the identical rows the
+    Spark read does — over a table with BOTH folded base files and
+    live MOR deltas — including a missing key (empty frame)."""
+    cids = [
+        r["conv_id"]
+        for r in lookup_table.read().select("conv_id").distinct().limit(6).collect()
+    ]
+    for cid in cids + ["conv-never-existed"]:
+        direct = lookup_table.read_conversation_direct(cid)
+        via = lookup_table.read_conversation(cid).toPandas()
+        assert list(direct.columns) == list(via.columns)
+        assert _normalize(direct) == _normalize(via), cid
+
+
+def test_direct_read_respects_conversation_delete(spark, tmp_path):
+    """A conversation-level tombstone in a live delta must kill every
+    turn at-or-below its watermark in the direct read too."""
+    import pyspark.sql.types as T
+
+    root = str(tmp_path / "t")
+    table = ParquetTranscriptTable.create(spark, root, num_buckets=4)
+    cfg = EngineConfig(num_buckets=4)
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), True),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("event_size", T.IntegerType(), True),
+        ]
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, "I", "keep", 0, "user", "hello", None, t0, 10),
+        (2, "I", "dead", 0, "user", "bye", None, t0, 10),
+        (3, "D", "dead", None, None, None, None, t0, 10),  # conv delete
+        (4, "I", "dead", 1, "user", "resurrected", None, t0, 10),  # post-delete turn
+    ]
+    replay(table, spark.createDataFrame(rows, schema), cfg)
+    alive = table.read_conversation_direct("keep")
+    assert len(alive) == 1 and alive.iloc[0]["text"] == "hello"
+    dead = table.read_conversation_direct("dead")
+    # only the post-watermark turn survives
+    assert len(dead) == 1 and dead.iloc[0]["text"] == "resurrected"
+
+
+def test_direct_read_evolution_null_fill_and_columns(spark, tmp_path):
+    """Files written before an additive evolution lack the new column:
+    the direct reader must null-fill it per file (no schema
+    unification), and the columns= prune must work."""
+    import datetime as dt
+
+    import pyspark.sql.types as T
+
+    root = str(tmp_path / "t")
+    table = ParquetTranscriptTable.create(
+        spark, root, num_buckets=4,
+        schema=T.StructType(
+            [
+                T.StructField("conv_id", T.StringType(), False),
+                T.StructField("turn_idx", T.IntegerType(), False),
+                T.StructField("role", T.StringType(), True),
+                T.StructField("text", T.StringType(), True),
+                T.StructField("ts", T.TimestampType(), True),
+                T.StructField("_lsn", T.LongType(), False),
+            ]
+        ),
+    )
+    cfg = EngineConfig(num_buckets=4)
+    t0 = dt.datetime(2026, 1, 1)
+    sch0 = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+            "text string, ts timestamp, event_size int")
+    replay(
+        table,
+        spark.createDataFrame([(1, "I", "c1", 0, "user", "old", t0, 10)], sch0),
+        cfg,
+    )
+    # epoch 1: additive evolution — 'tool' appears
+    sch1 = sch0 + ", tool string"
+    replay(
+        table,
+        spark.createDataFrame(
+            [(2, "I", "c1", 1, "assistant", "new", t0, 10, "search")], sch1
+        ),
+        cfg,
+    )
+    got = table.read_conversation_direct("c1")
+    assert list(got["text"]) == ["old", "new"]
+    assert got.iloc[0]["tool"] is None and got.iloc[1]["tool"] == "search"
+    pruned = table.read_conversation_direct("c1", columns=["text"])
+    assert list(pruned.columns) == ["conv_id", "turn_idx", "text"]
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        table.read_conversation_direct("c1", columns=["nope"])
+
+
+def test_direct_read_sees_renamed_columns_logically(spark, tmp_path):
+    """After a metadata-only rename the direct read must surface the
+    LOGICAL name, like every Spark read boundary."""
+    import datetime as dt
+
+    root = str(tmp_path / "t")
+    table = ParquetTranscriptTable.create(spark, root, num_buckets=4)
+    cfg = EngineConfig(num_buckets=4)
+    t0 = dt.datetime(2026, 1, 1)
+    sch = (
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp, event_size int"
+    )
+    replay(
+        table,
+        spark.createDataFrame([(1, "I", "c1", 0, "user", "hi", None, t0, 10)], sch),
+        cfg,
+    )
+    from aqueduct_core_spark.operators.evolve import rename_column
+
+    rename_column(table, "text", "content")
+    got = table.read_conversation_direct("c1")
+    assert "content" in got.columns and "text" not in got.columns
+    assert got.iloc[0]["content"] == "hi"
