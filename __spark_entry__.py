@@ -60,6 +60,10 @@ cdc_edit_magnitude          edit-size analytics over preference pairs
                             (Levenshtein, length delta, edit ratio)
 cdc_op_transitions          CDC protocol-order profile: per-key op
                             transition matrix with strictness flags
+cdc_epoch_audit             exactly-once bookkeeping audit with forged
+                            violations (dup epoch / watermark regression
+                            / lineage range breaches) — positive path
+                            for every violation class
 emb_decontaminate           embedding-similarity test-set decontamination
                             (broadcast benchmark, per-vector attribution)
 emb_lsh_indexed             precomputed-bucket LSH index scan path
@@ -2647,6 +2651,149 @@ def _q_turn_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_runs(state, key, min_run=2)
 
 
+def _q_epoch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once bookkeeping audit with a REAL positive path: a
+    synthetic ``_offsets`` table is constructed deterministically from
+    the change log (epoch = lsn DIV 2000, per-epoch watermark, per-
+    (epoch, cluster) lineage ranges serialized as the engine's
+    partition_lineage JSON), then FOUR corruptions are forged —
+    a duplicate epoch-2 row at watermark−5, epoch 4's watermark
+    regressed by 3000, epoch-1/bucket-3's lineage max pushed past its
+    watermark, epoch-3/bucket-5's lineage min pushed below the previous
+    watermark — and ``epoch_lineage_audit`` must flag every planted
+    violation class (and the cascade each one implies) with
+    deterministic detail strings.  The oracle recomputes the audit's
+    output relationally from the same construction — including the
+    (epoch, last_lsn) sequence ordering over the duplicate rows, the
+    determinism fix from the r3 ADVICE."""
+    from aqueduct_core_spark.streaming.monitor import epoch_lineage_audit
+
+    ch = load_changes(spark, sf_dir)
+    ep = F.expr("lsn DIV 2000").alias("epoch")
+    wm = (
+        ch.groupBy(ep)
+        .agg(F.max("lsn").alias("_wm"))
+        .withColumn(
+            "last_lsn",
+            F.when(F.col("epoch") == 4, F.col("_wm") - 3000).otherwise(
+                F.col("_wm")
+            ),
+        )
+        .drop("_wm")
+    )
+    lin = (
+        ch.groupBy(ep, F.col("cluster_id").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("keys"),
+            F.min("lsn").alias("_mn"),
+            F.max("lsn").alias("_mx"),
+        )
+        .withColumn(
+            "min_lsn",
+            F.when(
+                (F.col("epoch") == 3) & (F.col("bucket") == 5),
+                F.col("_mn") - 2500,
+            ).otherwise(F.col("_mn")),
+        )
+        .withColumn(
+            "max_lsn",
+            F.when(
+                (F.col("epoch") == 1) & (F.col("bucket") == 3),
+                F.col("_mx") + 50,
+            ).otherwise(F.col("_mx")),
+        )
+    )
+    linj = lin.groupBy("epoch").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("bucket").cast("string").alias("k"),
+                    F.struct(
+                        F.col("keys").cast("long").alias("keys"),
+                        F.col("min_lsn").cast("long").alias("min_lsn"),
+                        F.col("max_lsn").cast("long").alias("max_lsn"),
+                    ).alias("v"),
+                )
+            )
+        ).alias("buckets")
+    )
+    off = wm.join(linj, "epoch").select(
+        "epoch",
+        "last_lsn",
+        F.to_json(
+            F.struct(
+                F.lit("batch").alias("scope"), F.col("buckets").alias("buckets")
+            )
+        ).alias("partition_lineage"),
+    )
+    dup = off.where(F.col("epoch") == 2).withColumn(
+        "last_lsn", F.col("last_lsn") - 5
+    )
+    return epoch_lineage_audit(off.unionByName(dup))
+
+
+def _epoch_audit_oracle() -> str:
+    """The audit's violation set recomputed relationally from the same
+    deterministic construction (no JSON round-trip needed: the oracle
+    joins each physical offsets row to its epoch's lineage directly,
+    exactly what the engine's per-row exploded JSON does)."""
+    return oracle(
+        """
+e AS (SELECT lsn // 2000 AS epoch, lsn, cluster_id FROM changes),
+wm AS (
+  SELECT epoch,
+         CASE WHEN epoch = 4 THEN max(lsn) - 3000 ELSE max(lsn) END AS last_lsn
+  FROM e GROUP BY epoch
+),
+rows_ AS (
+  SELECT epoch, last_lsn FROM wm
+  UNION ALL SELECT epoch, last_lsn - 5 FROM wm WHERE epoch = 2
+),
+lin AS (
+  SELECT epoch, cluster_id AS bucket,
+         CASE WHEN epoch = 3 AND cluster_id = 5 THEN min(lsn) - 2500
+              ELSE min(lsn) END AS min_lsn,
+         CASE WHEN epoch = 1 AND cluster_id = 3 THEN max(lsn) + 50
+              ELSE max(lsn) END AS max_lsn
+  FROM e GROUP BY epoch, cluster_id
+),
+seq AS (
+  SELECT epoch, last_lsn,
+         lag(last_lsn) OVER (ORDER BY epoch, last_lsn) AS prev
+  FROM rows_
+),
+bk AS (
+  SELECT s.epoch, s.last_lsn, s.prev, l.bucket, l.min_lsn, l.max_lsn
+  FROM seq s JOIN lin l ON s.epoch = l.epoch
+),
+viol AS (
+  SELECT epoch, 'duplicate_epoch_row' AS reason,
+         'rows=' || CAST(count(*) AS VARCHAR) AS detail
+  FROM rows_ GROUP BY epoch HAVING count(*) > 1
+  UNION ALL
+  SELECT epoch, 'watermark_regression',
+         'last_lsn=' || CAST(last_lsn AS VARCHAR)
+           || ' prev=' || CAST(prev AS VARCHAR)
+  FROM seq WHERE last_lsn < prev
+  UNION ALL
+  SELECT epoch, 'lineage_beyond_watermark',
+         'bucket=' || CAST(bucket AS VARCHAR)
+           || ' max_lsn=' || CAST(max_lsn AS VARCHAR)
+           || ' watermark=' || CAST(last_lsn AS VARCHAR)
+  FROM bk WHERE max_lsn > last_lsn
+  UNION ALL
+  SELECT epoch, 'lineage_below_prev_watermark',
+         'bucket=' || CAST(bucket AS VARCHAR)
+           || ' min_lsn=' || CAST(min_lsn AS VARCHAR)
+           || ' prev_watermark=' || CAST(prev AS VARCHAR)
+  FROM bk WHERE prev IS NOT NULL AND min_lsn <= prev
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, reason, detail
+FROM viol ORDER BY epoch, reason, detail
+"""
+    )
+
+
 def _q_op_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC protocol-order profile: per-key (prev_op → op) transition
     counts with a strict-semantics flag — surfaces producers emitting
@@ -2799,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_turn_latency": _q_turn_latency,
         "cdc_edit_magnitude": _q_edit_magnitude,
         "cdc_op_transitions": _q_op_transitions,
+        "cdc_epoch_audit": _q_epoch_audit,
         "emb_decontaminate": _q_emb_decontaminate,
     }
 
@@ -3756,6 +3904,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_events,
 FROM changes
 """
         ),
+        "cdc_epoch_audit": _epoch_audit_oracle(),
         "cdc_op_transitions": oracle(
             """
 turns AS (SELECT * FROM changes WHERE turn_idx IS NOT NULL),

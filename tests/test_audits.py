@@ -366,3 +366,27 @@ def test_op_transitions_matrix(spark):
     assert not got[("I", "I")].protocol_ok      # double insert
     assert got[("U", "I")].protocol_ok is False  # re-insert without delete
     assert sum(r.n_events for r in got.values()) == 6  # conv-level row excluded
+
+
+def test_epoch_audit_query_flags_every_planted_class(spark):
+    """The driver-row query (cdc_epoch_audit) forges all four violation
+    classes into a synthetic offsets table; the audit must flag each —
+    including the cascades the forgeries imply (the dup row shifts the
+    real epoch-2 row's prev-watermark; the regressed epoch-4 watermark
+    puts its own lineage maxima beyond it)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    rows = e.queries()["cdc_epoch_audit"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    reasons = {r.reason for r in rows}
+    assert reasons == {
+        "duplicate_epoch_row",
+        "watermark_regression",
+        "lineage_beyond_watermark",
+        "lineage_below_prev_watermark",
+    }
+    assert len(rows) > 4  # cascades present, not just 1 row per class
