@@ -322,3 +322,52 @@ def test_dedup_blocking_cache_is_not_session_lifetime(spark):
     # caches; what must not happen is +2 per call (un-fixed persist()
     # behavior adds 14 over 7 iterations; the cleaner keeps it ~0-2)
     assert counts[-1] - counts[0] <= 4, counts
+
+
+def test_forest_index_persisted_layout_prunes_partitions(spark, embs, tmp_path):
+    """The 100 TB claim in the forest docstrings: persist the index
+    clustered by (tbl, cell) and a probe becomes PARTITION PRUNING —
+    the probed query's scan must list only files under the probed
+    (tbl, cell) directories, not the whole index."""
+    from aqueduct_core_spark.functions.similarity import (
+        forest_probes,
+        forest_index,
+        forest_topk,
+        forest_train,
+    )
+
+    cbs = forest_train(embs, 32, n_tables=3, n_cells=8)
+    root = str(tmp_path / "fidx")
+    forest_index(embs, cbs).write.partitionBy("tbl", "cell").parquet(root)
+    idx = spark.read.parquet(root)
+
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    top = forest_topk(idx, q, cbs, k=10, n_probes=2)
+    # the probe predicate is entirely over partition columns, so it
+    # must land in the scan's PartitionFilters (directory pruning —
+    # inputFiles() lists pre-pruning files, so inspect the plan)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan, plan
+    assert "PartitionFilters: []" not in scan[0], scan[0]
+    assert "tbl" in scan[0] and "cell" in scan[0], scan[0]
+    # and the pruned row count equals the probed cells' membership
+    probed = {
+        (t, c) for t, cells in enumerate(forest_probes(q, cbs, 2)) for c in cells
+    }
+    mem_idx = forest_index(embs, cbs)
+    expect_rows = sum(
+        mem_idx.where((F.col("tbl") == t) & (F.col("cell") == c)).count()
+        for t, c in probed
+    )
+    pred = None
+    for t, cells in enumerate(forest_probes(q, cbs, 2)):
+        h = (F.col("tbl") == t) & F.col("cell").isin(cells)
+        pred = h if pred is None else pred | h
+    assert idx.where(pred).count() == expect_rows
+    # and the pruned scan still returns the same rows as the in-memory
+    # index (partition columns come back as strings/ints — results equal)
+    mem = forest_topk(forest_index(embs, cbs), q, cbs, k=10, n_probes=2)
+    assert [(r.vec_id, r.sim) for r in top.collect()] == [
+        (r.vec_id, r.sim) for r in mem.collect()
+    ]
