@@ -172,6 +172,10 @@ emb_ivf_forest              trained IVF FOREST (18 tables × 128 cells,
                             path at recall ≥ 0.8 @ ≤ 25% scanned —
                             integer-quantized training + assignment
                             replayed bit-identically in SQL
+emb_forest_index_inc        the forest index PERSISTED and maintained
+                            incrementally (frozen codebooks, batched
+                            adds, tombstone retraction + re-add) — must
+                            equal the one-shot build (same oracle)
 emb_semantic_dedup          SemDeDup-style semantic dedup: IVF-cell
                             clustering bounds the quadratic cost, then
                             within-cell smaller-id cosine neighbors drop
@@ -1496,6 +1500,36 @@ def _q_ivf_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _embs(spark, sf_dir), spark.sparkContext.defaultParallelism
     )
     return ivf_forest_topk(embs, qv, k=20)
+
+
+def _q_forest_index_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forest index maintained INCREMENTALLY: train once on the
+    corpus (frozen codebooks), create a persisted part-pruned index,
+    add the vectors in TWO batches (even ids, then odd), retract two
+    vectors and re-add them (tombstone + higher-version rows), then run
+    the same top-k probe.  Because assignment is frozen-quantizer and
+    remove→re-add round-trips, the final answer must be IDENTICAL to
+    the one-shot ``emb_ivf_forest`` — so this query shares that
+    query's SQL oracle verbatim (the strongest equivalence statement
+    the gate can express)."""
+    from aqueduct_core_spark.functions.ann_index import ForestIndex
+    from aqueduct_core_spark.functions.dedup import spread_small_input
+    from aqueduct_core_spark.functions.similarity import forest_train
+
+    qv = _query_vec(spark, sf_dir)
+    embs = spread_small_input(
+        _embs(spark, sf_dir), spark.sparkContext.defaultParallelism
+    )
+    cbs = forest_train(embs, len(qv))
+    ix = ForestIndex.create(
+        spark, _workdir("aqueduct_forest_ix_"), cbs
+    )
+    ix.add(embs.where(F.col("vec_id") % 2 == 0))
+    ix.add(embs.where(F.col("vec_id") % 2 == 1))
+    touched = embs.where(F.col("vec_id").isin(2, 4))
+    ix.remove(touched.select("vec_id"))
+    ix.add(touched)  # re-add: must survive the tombstone
+    return ix.topk(qv, k=20)
 
 
 def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2933,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _q_ivf_topk,
         "emb_ivf_trained": _q_ivf_trained,
         "emb_ivf_forest": _q_ivf_forest,
+        "emb_forest_index_inc": _q_forest_index_inc,
         "media_real_decode": _q_media_real_decode,
         "media_features": _q_media_features,
         "cdc_routing_groups": _q_routing_groups,
@@ -3839,6 +3874,9 @@ FROM t
         "emb_ivf_topk": _ivf_topk_oracle(),
         "emb_ivf_trained": _ivf_trained_oracle(),
         "emb_ivf_forest": _ivf_forest_oracle(),
+        # incremental maintenance must converge to the one-shot build:
+        # the SAME oracle, verbatim
+        "emb_forest_index_inc": _ivf_forest_oracle(),
         "media_features": _media_features_oracle(),
         "media_real_decode": _media_real_decode_oracle(),
         "cdc_routing_groups": oracle(

@@ -1,0 +1,255 @@
+"""Persisted, incrementally-maintained IVF-forest ANN index.
+
+:func:`aqueduct_core_spark.functions.similarity.forest_index` is the
+one-shot build; at 100 TB an embedding corpus is not rebuilt per batch
+any more than the dedup corpus is re-hashed per batch
+(`functions/dedup_index.py` — this module is its ANN sibling, sharing
+the same CAS meta protocol, the same part-pruned physical layout and
+the same tombstone retraction shape).
+
+Design:
+
+- The TRAINED codebooks are FROZEN into the index meta at create time
+  (×10⁶-integer quantized — ~T·K·dim ints of JSON).  Incremental adds
+  assign new vectors under the frozen quantizer, so an incrementally
+  grown index is bit-identical to a one-shot build over the union —
+  the property the driver row ``emb_forest_index_inc`` proves by
+  sharing the one-shot query's SQL oracle verbatim.  Retraining is an
+  explicit REBUILD (new index, new codebooks), never a silent drift.
+- Physical layout: membership rows ``(id, vec, tbl, cell, v)`` hashed
+  into ``num_parts`` part directories by ``(tbl·K + cell) % num_parts``
+  — a query's 2·T probed cells touch at most that many parts, and the
+  part file-lists live in the manifest, so the probe reads a pruned
+  explicit file list (zero listing jobs), exactly like
+  ``DedupIndex.check``.
+- Retraction: tombstone files ``(id, v)`` kill membership rows with
+  ``row.v <= tomb.v`` — re-adding a removed vector (stamped with a
+  later version) survives, so remove→re-add round-trips to the
+  original state.
+
+Reference parity: the reference maintains no vector index; this is
+part of the training-data-pipeline surface the brief adds on top
+(SURVEY §2 "beyond the reference").
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from aqueduct_core_spark.catalog.meta import VersionedMeta
+from aqueduct_core_spark.functions.similarity import (
+    FOREST_PROBES,
+    _forest_assign_udf,
+    cosine_sim,
+    forest_probes,
+    round6,
+)
+
+_PART = "_part"
+
+_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        # double, not float: synthetic/test inputs arrive as doubles and
+        # float32 parquet embeddings widen losslessly, so the rerank is
+        # bit-identical to the one-shot in-memory path either way
+        T.StructField("vec", T.ArrayType(T.DoubleType()), True),
+        T.StructField("tbl", T.IntegerType(), True),
+        T.StructField("cell", T.IntegerType(), True),
+        T.StructField("v", T.IntegerType(), True),
+    ]
+)
+
+_TOMB_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("v", T.IntegerType(), True),
+    ]
+)
+
+
+class ForestIndex:
+    """Persisted IVF-forest ANN index with O(batch) maintenance."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._vm = VersionedMeta(root)
+
+    def _meta(self) -> dict:
+        return self._vm.read()
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        codebooks: list[list[list[int]]],
+        *,
+        num_parts: int = 32,
+    ) -> "ForestIndex":
+        """``codebooks``: quantized-int codebooks from
+        :func:`aqueduct_core_spark.functions.similarity.forest_train`
+        (or the untrained init).  Frozen for the index's lifetime."""
+        os.makedirs(root, exist_ok=True)
+        ix = cls(spark, root)
+        ix._vm.init(
+            {
+                "n_tables": len(codebooks),
+                "n_cells": len(codebooks[0]),
+                "dim": len(codebooks[0][0]),
+                "codebooks": codebooks,
+                "num_parts": int(num_parts),
+                "version": 0,
+                "files": {},  # part -> [relative parquet paths]
+                "tombstones": [],
+            }
+        )
+        return ix
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "ForestIndex":
+        ix = cls(spark, root)
+        ix._meta()
+        return ix
+
+    def codebooks(self) -> list[list[list[int]]]:
+        return self._meta()["codebooks"]
+
+    # -- maintenance ----------------------------------------------------
+    def add(
+        self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    ) -> dict:
+        """Index a batch: ONE Arrow-batched assignment pass under the
+        frozen codebooks, one part-partitioned append, one CAS commit.
+        O(batch) — the corpus is never rescanned."""
+        meta = self._meta()
+        if df.select(id_col).limit(1).count() == 0:
+            return {"version": meta["version"], "files_added": 0}
+        assign = _forest_assign_udf(meta["codebooks"])
+        k = int(meta["n_cells"])
+        rows = (
+            df.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+                assign(F.col(vec_col)).alias("cells"),
+            )
+            .select("id", "vec", F.posexplode("cells").alias("tbl", "cell"))
+            .withColumn("v", F.lit(meta["version"] + 1).cast("int"))
+            .withColumn(
+                _PART,
+                F.pmod(F.col("tbl") * k + F.col("cell"), F.lit(meta["num_parts"]))
+                .cast("int"),
+            )
+        )
+        label = f"add-v{meta['version'] + 1}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.root, label)
+        (
+            rows.repartition(meta["num_parts"], F.col(_PART))
+            .write.partitionBy(_PART)
+            .parquet(out_dir)
+        )
+        added = 0
+        for d in os.listdir(out_dir):
+            if not d.startswith(f"{_PART}="):
+                continue
+            p = d.split("=", 1)[1]
+            rel = [
+                os.path.join(label, d, f)
+                for f in os.listdir(os.path.join(out_dir, d))
+                if f.endswith(".parquet")
+            ]
+            meta["files"].setdefault(p, []).extend(rel)
+            added += len(rel)
+        meta = self._vm.commit(meta, int(meta["version"]))
+        return {"version": meta["version"], "files_added": added}
+
+    def remove(self, ids: DataFrame, id_col: str = "vec_id") -> dict:
+        """Retract vectors (tombstone append): their membership rows
+        stop matching immediately; a later re-add (higher version
+        stamp) survives the tombstone."""
+        meta = self._meta()
+        tomb = ids.select(F.col(id_col).cast("long").alias("id")).distinct()
+        if tomb.limit(1).count() == 0:
+            return {"version": meta["version"], "tombstone_files": 0}
+        label = f"rm-v{meta['version'] + 1}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.root, label)
+        (
+            tomb.withColumn("v", F.lit(meta["version"]).cast("int"))
+            .coalesce(1)
+            .write.parquet(out_dir)
+        )
+        rel = [
+            os.path.join(label, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        ]
+        meta["tombstones"].extend(rel)
+        meta = self._vm.commit(meta, int(meta["version"]))
+        return {"version": meta["version"], "tombstone_files": len(rel)}
+
+    # -- read -----------------------------------------------------------
+    def _read_parts(self, parts: set[int]) -> DataFrame:
+        meta = self._meta()
+        files = []
+        for p, fl in meta["files"].items():
+            if int(p) in parts:
+                files.extend(os.path.join(self.root, f) for f in fl)
+        if not files:
+            return self.spark.createDataFrame([], _INDEX_SCHEMA)
+        df = self.spark.read.schema(_INDEX_SCHEMA).parquet(*files)
+        if not meta["tombstones"]:
+            return df
+        dead = (
+            self.spark.read.schema(_TOMB_SCHEMA)
+            .parquet(*[os.path.join(self.root, t) for t in meta["tombstones"]])
+            .groupBy("id")
+            .agg(F.max("v").alias("_dead_v"))
+        )
+        return (
+            df.join(F.broadcast(dead), on="id", how="left")
+            .where(F.col("_dead_v").isNull() | (F.col("v") > F.col("_dead_v")))
+            .drop("_dead_v")
+        )
+
+    def topk(
+        self,
+        query_vec: list[float],
+        k: int = 20,
+        n_probes: int = FOREST_PROBES,
+    ) -> DataFrame:
+        """Probe the persisted index: driver-side probe cells under the
+        frozen codebooks → part-pruned explicit file list (no listing
+        jobs) → (tbl, cell) filter → dedup → exact cosine rerank.
+        Result-identical to
+        :func:`similarity.forest_topk` over a one-shot
+        :func:`similarity.forest_index` built with the same codebooks."""
+        meta = self._meta()
+        cbs = meta["codebooks"]
+        kcells = int(meta["n_cells"])
+        probes = forest_probes(query_vec, cbs, n_probes)
+        parts = {
+            (t * kcells + c) % meta["num_parts"]
+            for t, cells in enumerate(probes)
+            for c in cells
+        }
+        pred = None
+        for t, cells in enumerate(probes):
+            h = (F.col("tbl") == t) & F.col("cell").isin([int(c) for c in cells])
+            pred = h if pred is None else pred | h
+        cand = (
+            self._read_parts(parts)
+            .where(pred)
+            .groupBy("id")
+            .agg(F.first("vec").alias("vec"))
+        )
+        sim = round6(cosine_sim("vec", list(query_vec), dim=len(query_vec)))
+        return (
+            cand.select(F.col("id").alias("vec_id"), sim.alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col("vec_id"))
+            .limit(k)
+        )

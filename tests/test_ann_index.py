@@ -1,0 +1,110 @@
+"""Persisted incremental IVF-forest ANN index (functions/ann_index.py).
+
+The contract: an incrementally-grown index answers identically to a
+one-shot build with the same frozen codebooks — across batches,
+retractions, re-adds and process restarts (load from disk).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aqueduct_core_spark.functions.ann_index import ForestIndex
+from aqueduct_core_spark.functions.similarity import (
+    forest_index,
+    forest_topk,
+    forest_train,
+)
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((300, 16))
+    base[1:30] = base[0] * 0.6 + base[1:30] * 0.8  # plant a neighborhood
+    return spark.createDataFrame(
+        [(i, base[i].astype(float).tolist()) for i in range(300)],
+        ["vec_id", "embedding"],
+    )
+
+
+@pytest.fixture(scope="module")
+def cbs(spark, embs):
+    return forest_train(embs, 16, n_tables=4, n_cells=8)
+
+
+def _topk_tuples(df):
+    return [(r.vec_id, r.sim) for r in df.collect()]
+
+
+def test_incremental_equals_one_shot(spark, embs, cbs, tmp_path):
+    ix = ForestIndex.create(spark, str(tmp_path / "ix"), cbs, num_parts=8)
+    ix.add(embs.where(F.col("vec_id") < 150))
+    ix.add(embs.where(F.col("vec_id") >= 150))
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    got = _topk_tuples(ix.topk(q, k=15))
+    ref = _topk_tuples(forest_topk(forest_index(embs, cbs), q, cbs, k=15))
+    assert got == ref and len(got) == 15
+
+
+def test_remove_then_readd_roundtrips(spark, embs, cbs, tmp_path):
+    ix = ForestIndex.create(spark, str(tmp_path / "ix"), cbs, num_parts=8)
+    ix.add(embs)
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    before = _topk_tuples(ix.topk(q, k=15))
+    # retract two vectors that ARE in the current answer (not the query)
+    victims = [v for v, _ in before if v != 0][:2]
+    assert len(victims) == 2
+
+    ix.remove(embs.where(F.col("vec_id").isin(victims)).select("vec_id"))
+    gone = _topk_tuples(ix.topk(q, k=15))
+    assert all(v not in victims for v, _ in gone)
+
+    # re-add: higher-version rows must survive the tombstone
+    ix.add(embs.where(F.col("vec_id").isin(victims)))
+    assert _topk_tuples(ix.topk(q, k=15)) == before
+
+
+def test_load_from_disk_and_frozen_codebooks(spark, embs, cbs, tmp_path):
+    root = str(tmp_path / "ix")
+    ForestIndex.create(spark, root, cbs, num_parts=8).add(embs)
+    ix2 = ForestIndex.load(spark, root)  # fresh handle, meta from disk
+    assert ix2.codebooks() == cbs
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    ref = _topk_tuples(forest_topk(forest_index(embs, cbs), q, cbs, k=10))
+    assert _topk_tuples(ix2.topk(q, k=10)) == ref
+
+
+def test_empty_add_and_remove_are_no_ops(spark, embs, cbs, tmp_path):
+    ix = ForestIndex.create(spark, str(tmp_path / "ix"), cbs, num_parts=8)
+    v0 = ix._meta()["version"]
+    out = ix.add(embs.where(F.lit(False)))
+    assert out == {"version": v0, "files_added": 0}
+    out = ix.remove(embs.where(F.lit(False)).select("vec_id"))
+    assert out == {"version": v0, "tombstone_files": 0}
+    assert ix._meta()["version"] == v0  # no empty commits
+
+
+def test_topk_reads_only_probed_parts(spark, embs, cbs, tmp_path):
+    """Part pruning is real: the probe's explicit file list covers only
+    the probed (tbl, cell) hash parts, a strict subset of the index."""
+    ix = ForestIndex.create(spark, str(tmp_path / "ix"), cbs, num_parts=16)
+    ix.add(embs)
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    from aqueduct_core_spark.functions.similarity import forest_probes
+
+    kcells = ix._meta()["n_cells"]
+    parts = {
+        (t * kcells + c) % 16
+        for t, cells in enumerate(forest_probes(q, cbs, 2))
+        for c in cells
+    }
+    meta = ix._meta()
+    assert 0 < len(parts) < len(meta["files"])  # pruning not vacuous
+    scanned = ix.topk(q, k=10).inputFiles()
+    allowed = set()
+    for p in parts:
+        allowed.update(meta["files"].get(str(p), []))
+    assert scanned
+    for f in scanned:
+        assert any(f.endswith(rel) for rel in allowed), f
