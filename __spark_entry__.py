@@ -64,6 +64,10 @@ cdc_epoch_audit             exactly-once bookkeeping audit with forged
                             violations (dup epoch / watermark regression
                             / lineage range breaches) — positive path
                             for every violation class
+cdc_normalize_payload       Arrow-vectorized payload normalization (NFC
+                            + control strip + whitespace collapse) over
+                            deliberately dirtied text vs DuckDB's own
+                            Unicode/RE2 stack
 emb_decontaminate           embedding-similarity test-set decontamination
                             (broadcast benchmark, per-vector attribution)
 emb_lsh_indexed             precomputed-bucket LSH index scan path
@@ -2685,6 +2689,28 @@ def _q_turn_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_runs(state, key, min_run=2)
 
 
+def _q_normalize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-vectorized payload-normalization UDF (U1) with a REAL
+    positive path: every live payload is deliberately dirtied with a
+    deterministic mess — leading/trailing runs of spaces/tab/newline, a
+    bell control character, and a DECOMPOSED 'cafe'+U+0301 — then run
+    through ``normalize_text`` (NFC → control strip → whitespace
+    collapse → trim).  The oracle rebuilds the identical mess in SQL
+    and normalizes it with DuckDB's own ``nfc_normalize`` + RE2
+    regexes — two independent Unicode/regex stacks must produce
+    byte-identical text, which is the actual contract of a
+    normalization pass that feeds a dedup fingerprint."""
+    from aqueduct_core_spark.functions.normalize import normalize_text
+
+    ch = load_changes(spark, sf_dir).where(F.col("text").isNotNull())
+    messy = F.concat(
+        F.lit("  "),
+        F.col("text"),
+        F.lit(" \n\t cafe\u0301 \x07 end"),  # DECOMPOSED e + combining acute
+    )
+    return ch.select("lsn", normalize_text(messy).alias("text_norm"))
+
+
 def _q_epoch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once bookkeeping audit with a REAL positive path: a
     synthetic ``_offsets`` table is constructed deterministically from
@@ -2982,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_edit_magnitude": _q_edit_magnitude,
         "cdc_op_transitions": _q_op_transitions,
         "cdc_epoch_audit": _q_epoch_audit,
+        "cdc_normalize_payload": _q_normalize_payload,
         "emb_decontaminate": _q_emb_decontaminate,
     }
 
@@ -3943,6 +3970,20 @@ FROM changes
 """
         ),
         "cdc_epoch_audit": _epoch_audit_oracle(),
+        # NFC + control-strip + whitespace-collapse + trim rebuilt with
+        # DuckDB's own Unicode/RE2 stack over the identical dirtied
+        # input (chr(10)/chr(9) runs, bell chr(7), decomposed chr(769))
+        "cdc_normalize_payload": oracle(
+            r"""
+SELECT lsn,
+  trim(regexp_replace(regexp_replace(
+    nfc_normalize('  ' || text || ' ' || chr(10) || chr(9)
+                  || ' cafe' || chr(769) || ' ' || chr(7) || ' end'),
+    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+    '\s+', ' ', 'g')) AS text_norm
+FROM changes WHERE text IS NOT NULL
+"""
+        ),
         "cdc_op_transitions": oracle(
             """
 turns AS (SELECT * FROM changes WHERE turn_idx IS NOT NULL),
