@@ -410,20 +410,27 @@ def bench_ann_recall(spark, sf_dir: str, k: int = 20) -> dict:
     return out
 
 
-def bench_forest_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 10) -> dict:
+def bench_forest_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100) -> dict:
     """recall@k of the PRUNED IVF-forest path over ``n_queries`` query
-    vectors (not just vec_id 0 — a single query's recall is ±0.1 noise
-    against the published ≥ 0.8 operating point), with the index built
-    ONCE and probed per query, the deployment shape.  Also measures the
-    realized scanned fraction (distinct candidates / corpus) instead of
-    assuming the probe budget."""
+    vectors (r4 verdict task 8: 10 → 100, so the published minimum has
+    a confidence story — mean/p10/min reported), with the index built
+    ONCE and probed for ALL queries in a handful of batched jobs: the
+    exact ground truth is one broadcast-queries × corpus scoring pass,
+    the forest answers one broadcast-(qid,tbl,cell) probe-table join →
+    distinct (qid, id) → rerank-join — not 100 sequential driver loops.
+    Also measures the realized scanned fraction (distinct candidates /
+    corpus, per query) and the index-bytes ratio of the narrow
+    membership + single vector-store layout vs the raw vectors (the r4
+    18×-amplification fix), plus the amortized probe-only latency
+    against the persisted ForestIndex (the steady-state price of
+    ``emb_ivf_forest`` — the headline entry also pays train+index)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
+    from aqueduct_core_spark.functions.ann_index import ForestIndex
     from aqueduct_core_spark.functions.similarity import (
-        cosine_topk,
         forest_index,
         forest_probes,
-        forest_topk,
         forest_train,
     )
 
@@ -433,32 +440,128 @@ def bench_forest_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 10) ->
         return {}
     qrows = embs.where(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
     dim = len(qrows[0]["embedding"])
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+            "qid long, qvec array<double>",
+        )
+    )
+
+    def _sim():
+        dot = F.aggregate(
+            F.zip_with(F.col("vec"), F.col("qvec"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        nrm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(
+                F.transform(F.col(c), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        return F.try_divide(dot, nrm("vec") * nrm("qvec"))
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("vec_id"))
+    corpus = embs.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    # exact ground truth: ONE broadcast-NLJ scoring job for all queries
+    exact = (
+        corpus.join(qdf, F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _sim().alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id")
+        .collect()
+    )
+    ex_sets: dict[int, set] = {}
+    for r in exact:
+        ex_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+
     cbs = forest_train(embs, dim)
     idx = forest_index(embs, cbs).persist()
     idx.count()
-    recs, scans = [], []
+    probe_rows = [
+        (int(r["vec_id"]), t, int(c))
+        for r in qrows
+        for t, cells in enumerate(forest_probes(list(r["embedding"]), cbs))
+        for c in cells
+    ]
+    pdf = F.broadcast(
+        spark.createDataFrame(probe_rows, "qid long, tbl int, cell int")
+    )
+    cand = (
+        idx.join(pdf, on=["tbl", "cell"]).select("qid", "id").distinct().persist()
+    )
+    scans = {
+        r["qid"]: r["cnt"] / n
+        for r in cand.groupBy("qid").agg(F.count("*").alias("cnt")).collect()
+    }
+    got = (
+        cand.join(corpus, cand["id"] == corpus["vec_id"])
+        .join(qdf, on="qid")
+        .select("qid", "vec_id", _sim().alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") <= k + 1) & (F.col("qid") != F.col("vec_id")))
+        .withColumn("rn2", F.row_number().over(w))
+        .where(F.col("rn2") <= k)
+        .select("qid", "vec_id")
+        .collect()
+    )
+    got_sets: dict[int, set] = {}
+    for r in got:
+        got_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    cand.unpersist()
+    idx.unpersist()
+    recs = sorted(
+        len(ex_sets[q] & got_sets.get(q, set())) / len(ex_sets[q]) for q in ex_sets
+    )
+    scan_vals = sorted(scans.values())
+
+    # amortized probe-only latency + on-disk bytes of the persisted
+    # narrow index (membership parts + vector store) vs raw vectors
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="aq-bench-forest-ix-")
+    probe_ms = index_ratio = None
     try:
-        for r in qrows:
-            qv, qid = list(r["embedding"]), r["vec_id"]
-            ex = [
-                x.vec_id
-                for x in cosine_topk(embs, qv, k=k + 1).collect()
-                if x.vec_id != qid
-            ][:k]
-            got = {x.vec_id for x in forest_topk(idx, qv, cbs, k=k + 1).collect()}
-            recs.append(len(set(ex) & got) / len(ex))
-            pred = None
-            for t, cells in enumerate(forest_probes(qv, cbs)):
-                h = (F.col("tbl") == t) & F.col("cell").isin(cells)
-                pred = h if pred is None else pred | h
-            scans.append(idx.where(pred).select("id").distinct().count() / n)
+        ix = ForestIndex.create(spark, f"{root}/ix", cbs)
+        ix.add(embs)
+        ix.topk(list(qrows[0]["embedding"]), k=k).collect()  # warm plans
+        lat = []
+        for r in qrows[:7]:
+            t0 = time.time()
+            ix.topk(list(r["embedding"]), k=k).collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        probe_ms = round(1000 * lat[len(lat) // 2], 1)
+        ix_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(f"{root}/ix")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        raw_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(f"{sf_dir}/embeddings.parquet")
+            for f in fs
+        ) or os.path.getsize(f"{sf_dir}/embeddings.parquet")
+        index_ratio = round(ix_bytes / raw_bytes, 2)
     finally:
-        idx.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+    m = len(recs)
     return {
-        "ivf_forest_recall": round(sum(recs) / len(recs), 3),
-        "ivf_forest_recall_min": round(min(recs), 3),
-        "ivf_forest_scanned_fraction": round(sum(scans) / len(scans), 3),
-        "ivf_forest_scanned_max": round(max(scans), 3),
+        "ivf_forest_recall": round(sum(recs) / m, 3),
+        "ivf_forest_recall_p10": round(recs[max(0, m // 10 - 1)], 3),
+        "ivf_forest_recall_min": round(recs[0], 3),
+        "ivf_forest_queries": m,
+        "ivf_forest_scanned_fraction": round(sum(scan_vals) / len(scan_vals), 3),
+        "ivf_forest_scanned_max": round(scan_vals[-1], 3),
+        "ivf_forest_probe_only_ms_median": probe_ms,
+        "ivf_forest_index_bytes_ratio": index_ratio,
     }
 
 

@@ -43,7 +43,9 @@ def test_incremental_equals_one_shot(spark, embs, cbs, tmp_path):
     ix.add(embs.where(F.col("vec_id") >= 150))
     q = list(embs.where("vec_id = 0").first()["embedding"])
     got = _topk_tuples(ix.topk(q, k=15))
-    ref = _topk_tuples(forest_topk(forest_index(embs, cbs), q, cbs, k=15))
+    ref = _topk_tuples(
+        forest_topk(forest_index(embs, cbs), q, cbs, k=15, vectors=embs)
+    )
     assert got == ref and len(got) == 15
 
 
@@ -71,7 +73,9 @@ def test_load_from_disk_and_frozen_codebooks(spark, embs, cbs, tmp_path):
     ix2 = ForestIndex.load(spark, root)  # fresh handle, meta from disk
     assert ix2.codebooks() == cbs
     q = list(embs.where("vec_id = 0").first()["embedding"])
-    ref = _topk_tuples(forest_topk(forest_index(embs, cbs), q, cbs, k=10))
+    ref = _topk_tuples(
+        forest_topk(forest_index(embs, cbs), q, cbs, k=10, vectors=embs)
+    )
     assert _topk_tuples(ix2.topk(q, k=10)) == ref
 
 
@@ -86,8 +90,10 @@ def test_empty_add_and_remove_are_no_ops(spark, embs, cbs, tmp_path):
 
 
 def test_topk_reads_only_probed_parts(spark, embs, cbs, tmp_path):
-    """Part pruning is real: the probe's explicit file list covers only
-    the probed (tbl, cell) hash parts, a strict subset of the index."""
+    """Part pruning is real: the probe's explicit MEMBERSHIP file list
+    covers only the probed (tbl, cell) hash parts, a strict subset of
+    the index; the only other inputs are the (id, vec) store files the
+    rerank join reads (each vector stored once — the narrow layout)."""
     ix = ForestIndex.create(spark, str(tmp_path / "ix"), cbs, num_parts=16)
     ix.add(embs)
     q = list(embs.where("vec_id = 0").first()["embedding"])
@@ -102,9 +108,13 @@ def test_topk_reads_only_probed_parts(spark, embs, cbs, tmp_path):
     meta = ix._meta()
     assert 0 < len(parts) < len(meta["files"])  # pruning not vacuous
     scanned = ix.topk(q, k=10).inputFiles()
-    allowed = set()
+    allowed = set(meta["vec_files"])
     for p in parts:
         allowed.update(meta["files"].get(str(p), []))
     assert scanned
+    membership_scanned = 0
     for f in scanned:
         assert any(f.endswith(rel) for rel in allowed), f
+        if not any(f.endswith(rel) for rel in meta["vec_files"]):
+            membership_scanned += 1
+    assert membership_scanned  # the probe did read (pruned) membership

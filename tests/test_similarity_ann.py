@@ -207,14 +207,18 @@ def test_forest_assign_matches_driver_probe_ranking(spark, embs):
 
     cbs = forest_train(embs, 32, n_tables=3, n_cells=8)
     idx = forest_index(embs, cbs)
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in embs.where(F.col("vec_id") < 5).collect()
+    }
     rows = idx.where(F.col("id") < 5).collect()
     by_vec = {}
     for r in rows:
-        by_vec.setdefault(r["id"], {})[r["tbl"]] = (r["cell"], list(r["vec"]))
+        by_vec.setdefault(r["id"], {})[r["tbl"]] = r["cell"]
     for vid, tbls in by_vec.items():
         assert len(tbls) == 3  # one cell per table, every table
-        for t, (cell, vec) in tbls.items():
-            top = forest_probes(vec, cbs, n_probes=1)[t][0]
+        for t, cell in tbls.items():
+            top = forest_probes(vecs[vid], cbs, n_probes=1)[t][0]
             assert cell == top, (vid, t)
 
 
@@ -232,7 +236,10 @@ def test_forest_topk_beats_single_table_and_meets_floor(spark, embs):
     exact = [r["vec_id"] for r in cosine_topk(embs, q, k=20).collect()]
     cbs = forest_train(embs, 32, n_tables=6, n_cells=16)
     idx = forest_index(embs, cbs)
-    got = {r["vec_id"] for r in forest_topk(idx, q, cbs, k=20, n_probes=2).collect()}
+    got = {
+        r["vec_id"]
+        for r in forest_topk(idx, q, cbs, k=20, n_probes=2, vectors=embs).collect()
+    }
     rec = len(set(exact) & got) / 20
     assert rec >= 0.8, f"forest recall {rec}"
 
@@ -254,7 +261,10 @@ def test_forest_deterministic_across_parallelism(spark, embs):
         cbs = forest_train(df, 32, n_tables=4, n_cells=8)
         idx = forest_index(df, cbs)
         outs.append(
-            [(r.vec_id, r.sim) for r in forest_topk(idx, q, cbs, k=15).collect()]
+            [
+                (r.vec_id, r.sim)
+                for r in forest_topk(idx, q, cbs, k=15, vectors=df).collect()
+            ]
         )
     assert outs[0] == outs[1]
 
@@ -342,7 +352,7 @@ def test_forest_index_persisted_layout_prunes_partitions(spark, embs, tmp_path):
     idx = spark.read.parquet(root)
 
     q = list(embs.where("vec_id = 0").first()["embedding"])
-    top = forest_topk(idx, q, cbs, k=10, n_probes=2)
+    top = forest_topk(idx, q, cbs, k=10, n_probes=2, vectors=embs)
     # the probe predicate is entirely over partition columns, so it
     # must land in the scan's PartitionFilters (directory pruning —
     # inputFiles() lists pre-pruning files, so inspect the plan)
@@ -367,7 +377,9 @@ def test_forest_index_persisted_layout_prunes_partitions(spark, embs, tmp_path):
     assert idx.where(pred).count() == expect_rows
     # and the pruned scan still returns the same rows as the in-memory
     # index (partition columns come back as strings/ints — results equal)
-    mem = forest_topk(forest_index(embs, cbs), q, cbs, k=10, n_probes=2)
+    mem = forest_topk(
+        forest_index(embs, cbs), q, cbs, k=10, n_probes=2, vectors=embs
+    )
     assert [(r.vec_id, r.sim) for r in top.collect()] == [
         (r.vec_id, r.sim) for r in mem.collect()
     ]
