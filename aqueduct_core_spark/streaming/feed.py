@@ -174,9 +174,27 @@ class FeedPublisher:
     exactly like any feed consumer.
     """
 
-    def __init__(self, table: ParquetTranscriptTable, out_dir: str):
+    #: Wire compression for published segments.  The reference gzips
+    #: every response body over a 1,024-byte threshold
+    #: (pipe-codec ContentEncoder.java:23 threshold property,
+    #: GzipCodec.java:43-85; Brotli preferred when the client offers
+    #: it, BrotliCodec.java:29-34 quality 4).  Here the unit of
+    #: compression is the SEGMENT FILE, not the message — segments are
+    #: practically always far over the threshold, and codec-by-file-
+    #: extension means every reader (Spark text source, the
+    #: json-envelope drain, hadoop cat) sniffs and decompresses with
+    #: zero decode branching.  ``None`` publishes plain text (debug).
+    CODEC: str | None = "gzip"
+
+    def __init__(
+        self,
+        table: ParquetTranscriptTable,
+        out_dir: str,
+        codec: str | None = CODEC,
+    ):
         self.table = table
         self.out_dir = out_dir
+        self.codec = codec
         if not os.path.exists(self._base_path):
             raise FileNotFoundError(
                 f"no publisher at {out_dir}; FeedPublisher.create() it"
@@ -193,7 +211,10 @@ class FeedPublisher:
 
     @classmethod
     def create(
-        cls, table: ParquetTranscriptTable, out_dir: str
+        cls,
+        table: ParquetTranscriptTable,
+        out_dir: str,
+        codec: str | None = CODEC,
     ) -> "FeedPublisher":
         """Create a NEW publisher based at the table's current version.
         Fails loud on an existing publisher (re-basing would silently
@@ -210,7 +231,7 @@ class FeedPublisher:
         _atomic_write_json(
             base_path, {"version": table.catalog.current_version()}
         )
-        return cls(table, out_dir)
+        return cls(table, out_dir, codec=codec)
 
     # -- position ---------------------------------------------------------
     def position(self) -> int:
@@ -296,7 +317,10 @@ class FeedPublisher:
         ).select("value")
         name = f"{from_v:012d}"
         pending = os.path.join(pend_root, f"{name}.{_uuid.uuid4().hex[:8]}")
-        wire.write.mode("overwrite").text(pending)
+        writer = wire.write.mode("overwrite")
+        if self.codec:  # wire compression — see CODEC
+            writer = writer.option("compression", self.codec)
+        writer.text(pending)
         # the marker is part of the staged content: it becomes visible
         # atomically with the data on the rename below
         with open(os.path.join(pending, f"_to-{to_v:012d}"), "w"):

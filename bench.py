@@ -319,18 +319,27 @@ def bench_replay(
     }
 
 
-def bench_dedup_index(spark, n_docs: int = 200_000, n_batches: int = 4) -> dict:
+def bench_dedup_index(
+    spark, batch_sizes: tuple[int, ...] = (50_000, 200_000, 1_000_000)
+) -> dict:
     """Ingest-with-admission-control throughput of the incremental
-    DedupIndex (r3 verdict task: nothing benched index maintenance):
-    per batch — ONE signature pass feeds both the candidate check
+    DedupIndex at a CURVE of batch sizes (r4 verdict task 3: the 50k
+    point is job-floor-dominated — per-epoch driver fixed costs, not
+    signature work — so "batch size is the lever" must be a measured
+    curve, not prose).  Per batch size: a FRESH index ingests two
+    batches — ONE signature pass feeds both the candidate check
     against history and the part-partitioned add (``ingest``), with a
-    retraction on the final batch — the cadence a streaming corpus
-    maintainer runs.  Docs are deterministic ~20-word texts; ~1% are
-    planted duplicates of a FIRST-BATCH doc at the same offset
-    (``id % 97 == 0 → text of id % batch_size``), so every later
-    batch's admission check does real candidate work against the
-    INDEXED history — same-batch pairs would never match, the check
-    runs against the pre-add index — without a quadratic clique."""
+    retraction leg on the smallest size — the cadence a streaming
+    corpus maintainer runs.  Docs are deterministic ~20-word texts;
+    ~1% of second-batch docs are planted duplicates of a first-batch
+    doc at the same offset (``id % 97 == 0 → text of id % batch``), so
+    the second batch's admission check does real candidate work
+    against the INDEXED history — same-batch pairs would never match,
+    the check runs against the pre-add index — without a quadratic
+    clique.  Reported docs/s times BOTH batches of a size (history
+    check included); the headline ``dedup_index_events_per_sec`` is
+    the largest size — the steady-state operating point a 100 TB
+    maintainer would run (10⁶-doc triggers)."""
     import shutil
     import tempfile
 
@@ -338,41 +347,43 @@ def bench_dedup_index(spark, n_docs: int = 200_000, n_batches: int = 4) -> dict:
 
     from aqueduct_core_spark.functions.dedup_index import DedupIndex
 
-    root = tempfile.mkdtemp(prefix="aq-bench-dedupix-")
-    try:
-        ix = DedupIndex.create(spark, f"{root}/ix", num_parts=32)
-        per = n_docs // n_batches
-        dup = (F.col("id") % 97 == 0) & (F.col("id") >= per)
-        base = F.when(dup, F.col("id") % per).otherwise(F.col("id"))
-        words = [
-            F.substring(
-                F.md5(F.concat(base.cast("string"), F.lit(f"-{w}"))), 1, 6
-            )
-            for w in range(20)
-        ]
-        t0 = time.time()
-        cands = 0
-        for b in range(n_batches):
-            batch = spark.range(b * per, (b + 1) * per).select(
-                F.col("id").alias("doc_id"),
-                F.concat_ws(" ", *words).alias("text"),
-            )
-            pairs, _ = ix.ingest(batch)
-            cands += pairs.count()
-            if b == n_batches - 1:  # retraction leg of the cadence
-                ix.remove(
-                    spark.range(b * per, b * per + per // 20).select(
-                        F.col("id").alias("doc_id")
-                    )
+    curve: dict[str, float] = {}
+    cands_total = 0
+    for per in batch_sizes:
+        root = tempfile.mkdtemp(prefix="aq-bench-dedupix-")
+        try:
+            ix = DedupIndex.create(spark, f"{root}/ix", num_parts=32)
+            dup = (F.col("id") % 97 == 0) & (F.col("id") >= per)
+            base = F.when(dup, F.col("id") % per).otherwise(F.col("id"))
+            words = [
+                F.substring(
+                    F.md5(F.concat(base.cast("string"), F.lit(f"-{w}"))), 1, 6
                 )
-        dt = time.time() - t0
-        return {
-            "dedup_index_events_per_sec": round(n_docs / dt, 1),
-            "dedup_index_sec": round(dt, 2),
-            "dedup_index_candidates": int(cands),
-        }
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+                for w in range(20)
+            ]
+            t0 = time.time()
+            for b in range(2):
+                batch = spark.range(b * per, (b + 1) * per).select(
+                    F.col("id").alias("doc_id"),
+                    F.concat_ws(" ", *words).alias("text"),
+                )
+                pairs, _ = ix.ingest(batch)
+                cands_total += pairs.count()
+                if b == 1 and per == min(batch_sizes):  # retraction leg
+                    ix.remove(
+                        spark.range(b * per, b * per + per // 20).select(
+                            F.col("id").alias("doc_id")
+                        )
+                    )
+            dt = time.time() - t0
+            curve[str(per)] = round(2 * per / dt, 1)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return {
+        "dedup_index_events_per_sec": curve[str(max(batch_sizes))],
+        "dedup_index_events_per_sec_by_batch": curve,
+        "dedup_index_candidates": int(cands_total),
+    }
 
 
 def bench_ann_recall(spark, sf_dir: str, k: int = 20) -> dict:

@@ -202,3 +202,44 @@ def test_fold_blocks_on_lagging_consumers(spark, tmp_path):
 
     m = fold_deltas(primary, consumers=[cur])
     assert m["folded"] is True  # caught up: retention released
+
+
+def test_publisher_gzips_segments_and_drain_sniffs(spark, tmp_path):
+    """Wire compression (reference parity: pipe-codec gzips bodies over
+    a 1,024-byte threshold — ContentEncoder.java:23, GzipCodec.java:43-85):
+    published segment files are .gz, a plain-codec publisher of the SAME
+    interval is measurably larger, and the downstream json-envelope
+    drain converges with no configuration — codec-by-extension."""
+    import glob
+    import os
+
+    from aqueduct_core_spark.streaming.feed import FeedPublisher
+    from aqueduct_core_spark.streaming.pipeline import run_available_now
+    from aqueduct_core_spark.verify import states_equal
+
+    cfg, log, primary = _setup(spark, tmp_path)
+    gz = FeedPublisher.create(primary, str(tmp_path / "pub-gz"))
+    plain = FeedPublisher.create(
+        primary, str(tmp_path / "pub-plain"), codec=None
+    )
+    assert gz.codec == "gzip"  # the default IS compressed
+    replay(primary, log, cfg)
+    assert gz.publish()["published"] and plain.publish()["published"]
+
+    def seg_bytes(pub, pattern):
+        files = glob.glob(os.path.join(pub._segments_dir, "*", pattern))
+        assert files, pattern
+        return sum(os.path.getsize(f) for f in files)
+
+    gz_bytes = seg_bytes(gz, "part-*.txt.gz")
+    plain_bytes = seg_bytes(plain, "part-*.txt")
+    assert gz_bytes < plain_bytes / 2, (gz_bytes, plain_bytes)
+
+    site = ParquetTranscriptTable.create(
+        spark, str(tmp_path / "site"), num_buckets=4
+    )
+    run_available_now(
+        spark, site, gz.wire_glob(), str(tmp_path / "ck-gz"), cfg,
+        wire_format="json-envelope",
+    )
+    assert states_equal(primary.read_internal(), site.read_internal())
