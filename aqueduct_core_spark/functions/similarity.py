@@ -1014,8 +1014,11 @@ def decontaminate_embeddings(
 #
 # 100 TB shape: NARROW membership (id, tbl, cell) written once and
 # clustered by (tbl, cell), plus ONE (id, vec) vector store bucketed by
-# id — total storage ~1.06× the raw vectors (r4 verdict: the previous
-# layout carried vec in every membership row, an 18× amplification).  A
+# id (r4 verdict: the previous layout carried vec in every membership
+# row, an 18× amplification; measured now ~1.5× raw parquet bytes at
+# dim=64 — mostly the f64 store widening f32 source vectors, the
+# membership itself ~0.1× and dim-independent, so the ratio falls
+# toward 1 as dim grows).  A
 # query prunes membership to 2·T cell-partitions by literal IN —
 # partition pruning, no scan of the other ~78% of ids — DISTINCTs the
 # candidate ids (narrow shuffle), and joins them to the id-bucketed
