@@ -1489,13 +1489,16 @@ def _q_ivf_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained IVF FOREST — the pruned ANN path that meets the recall
     target (r3 verdict #3): 18 independent spherical-k-means codebooks
     (one Lloyd iteration each, trained in ONE Arrow-batched pass +
-    bounded aggregation), each vector indexed in one cell per table, the
-    query probing its 2 best cells per table and exact-reranking the
-    deduplicated union — measured recall@20 0.885 mean / 0.80 min at
-    22% of vectors scanned on sf0.1 (BENCH.md "ANN recall vs cost").
-    All partitioning arithmetic is ×10⁶ integer-quantized, so the SQL
-    oracle reproduces training, assignment and probing bit-identically
-    (sums stay < 2⁵³ — exact in any order, no fold convention needed)."""
+    bounded aggregation), each vector indexed in one cell per table,
+    the query probing the GLOBAL top-36 (tbl, cell) pairs by dot
+    product (best-bin-first — r5; measured strictly better than
+    per-table top-2 at equal budget) and exact-reranking the
+    deduplicated union — measured recall@20 0.876 mean over 100
+    queries at 22% of vectors scanned on sf0.1 (full strategy curve in
+    BENCH.md "Trained IVF forest").  All partitioning arithmetic is
+    ×10⁶ integer-quantized, so the SQL oracle reproduces training,
+    assignment and probing bit-identically (sums stay < 2⁵³ — exact in
+    any order, no fold convention needed)."""
     from aqueduct_core_spark.functions.dedup import spread_small_input
     from aqueduct_core_spark.functions.similarity import ivf_forest_topk
 
@@ -2381,8 +2384,10 @@ def _ivf_forest_oracle(dim: int = 64, n_tables: int = 18, n_cells: int = 128,
                        n_probes: int = 2, kk: int = 20) -> str:
     """The full IVF-forest pipeline replayed in SQL — init codebooks
     inlined as ×10⁶ INTEGER literals (data-independent), the one Lloyd
-    iteration per table, re-assignment, per-table top-2 probe and exact
-    rerank all recomputed by DuckDB.  Bit-identity with the engine needs
+    iteration per table, re-assignment, the GLOBAL top-(n_probes·T)
+    best-bin-first probe (``ORDER BY dot DESC, tbl, cell`` — the exact
+    ordering ``forest_probe_cells`` applies) and exact rerank all
+    recomputed by DuckDB.  Bit-identity with the engine needs
     NO fold-order convention anywhere the partition decision is made:
     vectors and centroids are ×10⁶ ints, so every inner product is a sum
     of integer-valued doubles < 2⁵³ — exact in any summation order.
@@ -2469,10 +2474,9 @@ qcells AS (
   SELECT tbl, cell FROM (
     SELECT c.tbl, c.cell,
            row_number() OVER (
-             PARTITION BY c.tbl
-             ORDER BY list_inner_product(q.qq, c.c) DESC, c.cell) AS rn
+             ORDER BY list_inner_product(q.qq, c.c) DESC, c.tbl, c.cell) AS rn
     FROM cents c, q
-  ) WHERE rn <= {n_probes}
+  ) WHERE rn <= {n_probes * n_tables}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id, a.v

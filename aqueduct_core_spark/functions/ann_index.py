@@ -52,7 +52,7 @@ from aqueduct_core_spark.functions.similarity import (
     FOREST_PROBES,
     _forest_assign_udf,
     cosine_sim,
-    forest_probes,
+    forest_probe_cells,
     round6,
 )
 
@@ -286,15 +286,18 @@ class ForestIndex:
         meta = self._meta()
         cbs = meta["codebooks"]
         kcells = int(meta["n_cells"])
-        probes = forest_probes(query_vec, cbs, n_probes)
+        pairs = forest_probe_cells(
+            query_vec, cbs, n_cells=n_probes * len(cbs)
+        )
         parts = {
-            (t * kcells + c) % meta["num_parts"]
-            for t, cells in enumerate(probes)
-            for c in cells
+            (t * kcells + c) % meta["num_parts"] for t, c in pairs
         }
+        by_tbl: dict[int, list[int]] = {}
+        for t, c in pairs:
+            by_tbl.setdefault(t, []).append(int(c))
         pred = None
-        for t, cells in enumerate(probes):
-            h = (F.col("tbl") == t) & F.col("cell").isin([int(c) for c in cells])
+        for t, cells in by_tbl.items():
+            h = (F.col("tbl") == t) & F.col("cell").isin(cells)
             pred = h if pred is None else pred | h
         cand = (
             self._read_parts(parts)

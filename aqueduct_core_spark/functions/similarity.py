@@ -988,14 +988,18 @@ def decontaminate_embeddings(
 # move LSH theory makes (union of hash tables) and randomized
 # kd-forests / Annoy make with trees: T spherical-k-means codebooks,
 # each trained from a different seed, each vector indexed in exactly
-# one cell PER TABLE, a query probing its n_probes best cells per table
-# and uniting the candidates.  Misses decorrelate across tables:
-# per-table coverage p ≈ 0.25 at 2/128 probed compounds to
-# 1-(1-p)^18 ≈ 0.89.  Measured on the sf0.1 corpus (20 queries,
-# recall@20): mean 0.885 / min 0.80 at 22.1% mean (23.6% max) distinct
-# candidates scanned — the published ≥ 0.8 @ ≤ 25% operating point, vs
-# 0.60 for the best single-table config at the same budget (full sweep
-# in BENCH.md "ANN recall vs cost").
+# one cell PER TABLE, a query probing the GLOBAL top-(n_probes·T)
+# (tbl, cell) pairs by dot product (best-bin-first across the whole
+# forest — forest_probe_cells) and uniting the candidates.  Misses
+# decorrelate across tables: per-table coverage p ≈ 0.25 compounds to
+# 1-(1-p)^18 ≈ 0.89 under uniform allocation, and global allocation
+# does strictly better by spending probes where the query is closest
+# to a boundary.  Measured on the sf0.1 corpus (100 queries,
+# recall@20): mean 0.876 / p10 0.75 at 22.0% mean distinct candidates
+# scanned at the default 36-cell budget — mean ≥ 0.8 @ ≤ 25%, vs 0.60
+# for the best single-table config at the same budget; 54 cells buy
+# the tail (mean 0.943 / min 0.80 @ ~30%).  Full curve in BENCH.md
+# "Trained IVF forest".
 #
 # EXACTNESS BY QUANTIZATION.  Everything the partition decision touches
 # is quantized to 10⁻⁶ integers (the round6 convention): vector
@@ -1205,7 +1209,9 @@ def forest_probes(
 ) -> list[list[int]]:
     """Driver-side: the n_probes best cells PER TABLE by exact integer
     dot (Python ints — arbitrary precision, same ordering as the
-    oracle's double-exact arithmetic), ties toward the smaller cell."""
+    oracle's double-exact arithmetic), ties toward the smaller cell.
+    With n_probes=1 this is the assignment rule (each vector's indexed
+    cell per table); QUERY probing uses :func:`forest_probe_cells`."""
     qq = [_quant_int(x) for x in query_vec]
     out = []
     for cb in codebooks:
@@ -1218,6 +1224,37 @@ def forest_probes(
         scored.sort()
         out.append([cell for _, cell in scored[:n_probes]])
     return out
+
+
+def forest_probe_cells(
+    query_vec: list[float],
+    codebooks: list[list[list[int]]],
+    n_cells: int = FOREST_TABLES * FOREST_PROBES,
+) -> list[tuple[int, int]]:
+    """GLOBAL best-bin-first query probing: rank ALL (tbl, cell) pairs
+    by exact integer dot with the query and take the top ``n_cells`` —
+    ties toward (smaller tbl, smaller cell), the identical ordering the
+    SQL oracle's ``row_number() ORDER BY dot DESC, tbl, cell`` applies.
+
+    Measured on the 100-query sf0.1 suite (BENCH.md "Trained IVF
+    forest"), global ranking dominates per-table top-2 at EQUAL scan
+    budget — mean recall@20 0.876 vs 0.860 at ~22% scanned — and,
+    unlike per-table probing, buys the tail efficiently as the budget
+    grows: 54 global cells reach min 0.80 / mean 0.943 at ~30%
+    scanned, where per-table top-3's min stalls at 0.70 at the same
+    cost.  Intuition: a query near a cell boundary in table t wastes
+    its second probe there under per-table allocation; global ranking
+    spends it in whichever table has the next-closest centroid."""
+    qq = [_quant_int(x) for x in query_vec]
+    scored = []
+    for t, cb in enumerate(codebooks):
+        for ci, c in enumerate(cb):
+            s = 0
+            for a, b in zip(qq, c):
+                s += a * b
+            scored.append((-s, t, ci + 1))
+    scored.sort()
+    return [(t, cell) for _, t, cell in scored[:n_cells]]
 
 
 def forest_topk(
@@ -1233,11 +1270,14 @@ def forest_topk(
     """Union the probed cells across tables, DISTINCT the candidate
     ids, join them back to the ``vectors`` (id, vec) store, exact
     cosine rerank (the established round6 + sequential-fold
-    convention).  The cell filter is a literal predicate — partition
-    pruning on a (tbl, cell)-clustered membership table; only NARROW
-    (id) rows ride the candidate shuffle, and vector bytes move once,
-    for the ~25% of ids that matched.  At 100 TB the vector store is
-    bucketed by id so this join shuffles only the candidate side."""
+    convention).  The probe budget is ``n_probes × n_tables`` cells
+    chosen GLOBALLY (:func:`forest_probe_cells` — best-bin-first, the
+    measured dominant strategy at equal scan cost).  The cell filter is
+    a literal predicate — partition pruning on a (tbl, cell)-clustered
+    membership table; only NARROW (id) rows ride the candidate shuffle,
+    and vector bytes move once, for the ~25% of ids that matched.  At
+    100 TB the vector store is bucketed by id so this join shuffles
+    only the candidate side."""
     if vectors is None:  # legacy wide index: (id, vec, tbl, cell)
         if "vec" not in index.columns:
             raise ValueError("forest_topk needs vectors= for a narrow index")
@@ -1247,10 +1287,15 @@ def forest_topk(
             F.col(id_col).cast("long").alias("id"),
             F.col(vec_col).cast("array<double>").alias("vec"),
         )
-    probes = forest_probes(query_vec, codebooks, n_probes)
+    pairs = forest_probe_cells(
+        query_vec, codebooks, n_cells=n_probes * len(codebooks)
+    )
+    by_tbl: dict[int, list[int]] = {}
+    for t, c in pairs:
+        by_tbl.setdefault(t, []).append(int(c))
     pred = None
-    for t, cells in enumerate(probes):
-        h = (F.col("tbl") == t) & F.col("cell").isin([int(c) for c in cells])
+    for t, cells in by_tbl.items():
+        h = (F.col("tbl") == t) & F.col("cell").isin(cells)
         pred = h if pred is None else (pred | h)
     cand = index.where(pred).select("id").distinct().join(vecs, on="id")
     sim = round6(cosine_sim("vec", list(query_vec), dim=len(query_vec)))

@@ -441,7 +441,7 @@ def bench_forest_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100) -
     from aqueduct_core_spark.functions.ann_index import ForestIndex
     from aqueduct_core_spark.functions.similarity import (
         forest_index,
-        forest_probes,
+        forest_probe_cells,
         forest_train,
     )
 
@@ -497,8 +497,7 @@ def bench_forest_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100) -
     probe_rows = [
         (int(r["vec_id"]), t, int(c))
         for r in qrows
-        for t, cells in enumerate(forest_probes(list(r["embedding"]), cbs))
-        for c in cells
+        for t, c in forest_probe_cells(list(r["embedding"]), cbs)
     ]
     pdf = F.broadcast(
         spark.createDataFrame(probe_rows, "qid long, tbl int, cell int")
@@ -536,7 +535,7 @@ def bench_forest_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100) -
     import tempfile
 
     root = tempfile.mkdtemp(prefix="aq-bench-forest-ix-")
-    probe_ms = index_ratio = None
+    probe_ms = index_ratio = membership_ratio = None
     try:
         ix = ForestIndex.create(spark, f"{root}/ix", cbs)
         ix.add(embs)
@@ -548,18 +547,23 @@ def bench_forest_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100) -
             lat.append(time.time() - t0)
         lat.sort()
         probe_ms = round(1000 * lat[len(lat) // 2], 1)
-        ix_bytes = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(f"{root}/ix")
-            for f in fs
-            if f.endswith(".parquet")
-        )
+        vec_bytes = mem_bytes = 0
+        for dp, _, fs in os.walk(f"{root}/ix"):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                sz = os.path.getsize(os.path.join(dp, f))
+                if "-vecs" in dp:
+                    vec_bytes += sz
+                else:
+                    mem_bytes += sz
         raw_bytes = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(f"{sf_dir}/embeddings.parquet")
             for f in fs
         ) or os.path.getsize(f"{sf_dir}/embeddings.parquet")
-        index_ratio = round(ix_bytes / raw_bytes, 2)
+        index_ratio = round((mem_bytes + vec_bytes) / raw_bytes, 2)
+        membership_ratio = round(mem_bytes / raw_bytes, 2)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -573,6 +577,7 @@ def bench_forest_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100) -
         "ivf_forest_scanned_max": round(scan_vals[-1], 3),
         "ivf_forest_probe_only_ms_median": probe_ms,
         "ivf_forest_index_bytes_ratio": index_ratio,
+        "ivf_forest_membership_bytes_ratio": membership_ratio,
     }
 
 

@@ -97,13 +97,12 @@ def test_topk_reads_only_probed_parts(spark, embs, cbs, tmp_path):
     ix = ForestIndex.create(spark, str(tmp_path / "ix"), cbs, num_parts=16)
     ix.add(embs)
     q = list(embs.where("vec_id = 0").first()["embedding"])
-    from aqueduct_core_spark.functions.similarity import forest_probes
+    from aqueduct_core_spark.functions.similarity import forest_probe_cells
 
     kcells = ix._meta()["n_cells"]
     parts = {
         (t * kcells + c) % 16
-        for t, cells in enumerate(forest_probes(q, cbs, 2))
-        for c in cells
+        for t, c in forest_probe_cells(q, cbs, 2 * len(cbs))
     }
     meta = ix._meta()
     assert 0 < len(parts) < len(meta["files"])  # pruning not vacuous

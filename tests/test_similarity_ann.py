@@ -340,7 +340,7 @@ def test_forest_index_persisted_layout_prunes_partitions(spark, embs, tmp_path):
     the probed query's scan must list only files under the probed
     (tbl, cell) directories, not the whole index."""
     from aqueduct_core_spark.functions.similarity import (
-        forest_probes,
+        forest_probe_cells,
         forest_index,
         forest_topk,
         forest_train,
@@ -362,17 +362,15 @@ def test_forest_index_persisted_layout_prunes_partitions(spark, embs, tmp_path):
     assert "PartitionFilters: []" not in scan[0], scan[0]
     assert "tbl" in scan[0] and "cell" in scan[0], scan[0]
     # and the pruned row count equals the probed cells' membership
-    probed = {
-        (t, c) for t, cells in enumerate(forest_probes(q, cbs, 2)) for c in cells
-    }
+    probed = set(forest_probe_cells(q, cbs, 2 * len(cbs)))
     mem_idx = forest_index(embs, cbs)
     expect_rows = sum(
         mem_idx.where((F.col("tbl") == t) & (F.col("cell") == c)).count()
         for t, c in probed
     )
     pred = None
-    for t, cells in enumerate(forest_probes(q, cbs, 2)):
-        h = (F.col("tbl") == t) & F.col("cell").isin(cells)
+    for t, c in probed:
+        h = (F.col("tbl") == t) & (F.col("cell") == c)
         pred = h if pred is None else pred | h
     assert idx.where(pred).count() == expect_rows
     # and the pruned scan still returns the same rows as the in-memory
