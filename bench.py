@@ -535,7 +535,7 @@ def bench_forest_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100) -
     import tempfile
 
     root = tempfile.mkdtemp(prefix="aq-bench-forest-ix-")
-    probe_ms = index_ratio = membership_ratio = None
+    probe_ms = probe_direct_ms = index_ratio = membership_ratio = None
     try:
         ix = ForestIndex.create(spark, f"{root}/ix", cbs)
         ix.add(embs)
@@ -547,6 +547,15 @@ def bench_forest_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100) -
             lat.append(time.time() - t0)
         lat.sort()
         probe_ms = round(1000 * lat[len(lat) // 2], 1)
+        # the zero-Spark-job serving probe on the same queries
+        ix.topk_direct(list(qrows[0]["embedding"]), k=k)  # warm imports
+        lat_d = []
+        for r in qrows[:7]:
+            t0 = time.time()
+            ix.topk_direct(list(r["embedding"]), k=k)
+            lat_d.append(time.time() - t0)
+        lat_d.sort()
+        probe_direct_ms = round(1000 * lat_d[len(lat_d) // 2], 2)
         vec_bytes = mem_bytes = 0
         for dp, _, fs in os.walk(f"{root}/ix"):
             for f in fs:
@@ -576,6 +585,7 @@ def bench_forest_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100) -
         "ivf_forest_scanned_fraction": round(sum(scan_vals) / len(scan_vals), 3),
         "ivf_forest_scanned_max": round(scan_vals[-1], 3),
         "ivf_forest_probe_only_ms_median": probe_ms,
+        "ivf_forest_probe_direct_ms_median": probe_direct_ms,
         "ivf_forest_index_bytes_ratio": index_ratio,
         "ivf_forest_membership_bytes_ratio": membership_ratio,
     }

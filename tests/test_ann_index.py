@@ -117,3 +117,25 @@ def test_topk_reads_only_probed_parts(spark, embs, cbs, tmp_path):
         if not any(f.endswith(rel) for rel in meta["vec_files"]):
             membership_scanned += 1
     assert membership_scanned  # the probe did read (pruned) membership
+
+
+def test_topk_direct_is_bit_identical_and_jobless(spark, embs, cbs, tmp_path):
+    """The zero-Spark-job serving probe returns the SAME (vec_id, sim)
+    tuples as the Spark plan — including after retraction + re-add
+    (version resolve) — and schedules no Spark jobs at all."""
+    ix = ForestIndex.create(spark, str(tmp_path / "ix"), cbs, num_parts=8)
+    ix.add(embs.where(F.col("vec_id") < 150))
+    ix.add(embs.where(F.col("vec_id") >= 150))
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    ref = _topk_tuples(ix.topk(q, k=15))
+    victims = [v for v, _ in ref if v != 0][:2]
+    ix.remove(embs.where(F.col("vec_id").isin(victims)).select("vec_id"))
+    ix.add(embs.where(F.col("vec_id").isin(victims)))  # re-add survives
+    ref2 = _topk_tuples(ix.topk(q, k=15))
+
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    got = ix.topk_direct(q, k=15)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert list(map(tuple, got.itertuples(index=False))) == ref2
+    assert ref2 == ref  # remove→re-add round-trips
+    assert before == after  # zero Spark jobs on the direct path
