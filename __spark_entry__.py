@@ -172,10 +172,11 @@ emb_ivf_topk                IVF ANN: coarse-quantizer cells, cell-pruned
 emb_ivf_trained             IVF over a TRAINED spherical-k-means codebook
                             (Lloyd step replayed bit-identically in SQL)
 emb_ivf_forest              trained IVF FOREST (18 tables × 128 cells,
-                            2 probes/table): the structurally-pruned ANN
-                            path at recall ≥ 0.8 @ ≤ 25% scanned —
-                            integer-quantized training + assignment
-                            replayed bit-identically in SQL
+                            global top-36 best-bin-first probe): the
+                            structurally-pruned ANN path at mean recall
+                            ≥ 0.8 @ ≤ 25% scanned — integer-quantized
+                            training + assignment + probing replayed
+                            bit-identically in SQL
 emb_forest_index_inc        the forest index PERSISTED and maintained
                             incrementally (frozen codebooks, batched
                             adds, tombstone retraction + re-add) — must
