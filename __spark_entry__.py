@@ -1514,12 +1514,17 @@ def _q_forest_index_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The forest index maintained INCREMENTALLY: train once on the
     corpus (frozen codebooks), create a persisted part-pruned index,
     add the vectors in TWO batches (even ids, then odd), retract two
-    vectors and re-add them (tombstone + higher-version rows), then run
-    the same top-k probe.  Because assignment is frozen-quantizer and
-    remove→re-add round-trips, the final answer must be IDENTICAL to
-    the one-shot ``emb_ivf_forest`` — so this query shares that
-    query's SQL oracle verbatim (the strongest equivalence statement
-    the gate can express)."""
+    vectors and re-add them (tombstone + higher-version rows), then
+    answer the same top-k probe through the ZERO-Spark-job serving
+    hatch (``topk_direct`` — pyarrow part-pruned reads + in-process
+    sequential-fold rerank; r5).  Because assignment is
+    frozen-quantizer, remove→re-add round-trips, and the direct read
+    is bit-identical to the Spark plan (pytest-asserted), the final
+    answer must be IDENTICAL to the one-shot ``emb_ivf_forest`` — so
+    this query shares that query's SQL oracle verbatim: one driver row
+    proves incremental maintenance AND the serving path against the
+    one-shot SQL replay (the strongest equivalence statement the gate
+    can express)."""
     from aqueduct_core_spark.functions.ann_index import ForestIndex
     from aqueduct_core_spark.functions.dedup import spread_small_input
     from aqueduct_core_spark.functions.similarity import forest_train
@@ -1537,7 +1542,10 @@ def _q_forest_index_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched = embs.where(F.col("vec_id").isin(2, 4))
     ix.remove(touched.select("vec_id"))
     ix.add(touched)  # re-add: must survive the tombstone
-    return ix.topk(qv, k=20)
+    pdf = ix.topk_direct(qv, k=20)  # the zero-job serving read
+    return spark.createDataFrame(
+        pdf, schema="vec_id long, sim double"
+    )
 
 
 def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
