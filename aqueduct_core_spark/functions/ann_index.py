@@ -129,7 +129,16 @@ class ForestIndex:
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "ForestIndex":
         ix = cls(spark, root)
-        ix._meta()
+        meta = ix._meta()
+        if "vec_files" not in meta:
+            # pre-split layout carried the vector inside every membership
+            # row; reading it under the narrow schema would silently
+            # produce empty reranks — fail loud instead
+            raise ValueError(
+                f"forest index at {root} uses the legacy wide layout; "
+                "rebuild it (ForestIndex.create + add) under the narrow "
+                "membership + vector-store format"
+            )
         return ix
 
     def codebooks(self) -> list[list[list[int]]]:

@@ -139,3 +139,16 @@ def test_topk_direct_is_bit_identical_and_jobless(spark, embs, cbs, tmp_path):
     assert list(map(tuple, got.itertuples(index=False))) == ref2
     assert ref2 == ref  # remove→re-add round-trips
     assert before == after  # zero Spark jobs on the direct path
+
+
+def test_load_rejects_legacy_wide_layout(spark, embs, cbs, tmp_path):
+    """A pre-split index (no vec_files in meta) must fail loud on load
+    — reading it under the narrow schema would silently rerank nothing."""
+    root = str(tmp_path / "ix")
+    ix = ForestIndex.create(spark, root, cbs, num_parts=8)
+    ix.add(embs.where(F.col("vec_id") < 50))
+    meta = ix._meta()
+    del meta["vec_files"]
+    ix._vm.commit(meta, int(meta["version"]))
+    with pytest.raises(ValueError, match="legacy wide layout"):
+        ForestIndex.load(spark, root)
