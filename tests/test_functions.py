@@ -905,3 +905,54 @@ def test_lsh_candidate_pairs_rejects_short_signatures(spark):
         lsh_candidate_pairs(sigs, bands=8, rows_per_band=4).collect()
     with pytest.raises(ValueError, match="must divide"):
         minhash_dedup(docs, num_hashes=64, bands=24)
+
+
+# --------------------------------------------------------------------------
+# BM25 lexical retrieval (functions/retrieval.py)
+# --------------------------------------------------------------------------
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    from aqueduct_core_spark.functions.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha alpha alpha beta"),
+            (3, "gamma delta epsilon"),
+            (4, "zeta eta theta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, ["alpha", "beta"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 4 not in ids  # matches no term → excluded
+    assert ids[0] == 2  # highest combined tf wins
+    assert set(ids) == {1, 2}
+    assert all(out[i]["score"] >= out[i + 1]["score"] for i in range(len(out) - 1))
+
+
+def test_bm25_deterministic_across_parallelism(spark):
+    from aqueduct_core_spark.functions.retrieval import bm25_topk
+
+    rows = [
+        (i, " ".join(["hash" if (i + j) % 3 == 0 else f"w{j}" for j in range(12)]))
+        for i in range(60)
+    ]
+    outs = []
+    for parts in (1, 7):
+        docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(parts)
+        outs.append(
+            [(r["doc_id"], r["score"]) for r in bm25_topk(docs, ["hash", "w3"], k=15).collect()]
+        )
+    assert outs[0] == outs[1]
+
+
+def test_bm25_rejects_empty_query(spark):
+    import pytest as _pytest
+
+    from aqueduct_core_spark.functions.retrieval import bm25_topk
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, [])
