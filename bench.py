@@ -42,6 +42,7 @@ HEADLINE = [
     "cdc_consistency_sum",
     "cdc_byte_page",
     "doc_exact_dedup",
+    "doc_bm25_topk",
     "doc_text_stats",
     "doc_quality_filter",
     "doc_minhash_pairs",
