@@ -447,3 +447,20 @@ def test_turn_runs_single_conv_shuffle(spark, log_path):
     hash_exchanges = plan.count("Exchange hashpartitioning")
     assert hash_exchanges == 1, plan
     assert "Window" in plan
+
+
+def test_bm25_no_text_shuffle_and_take_ordered(spark):
+    """bm25_topk's only shuffle is the 1-row global stats aggregation
+    (broadcast back); document text never rides an Exchange, scoring is
+    a projection, and the top-k is TakeOrderedAndProject."""
+    from aqueduct_core_spark.functions.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma"), (2, "alpha alpha")],
+        "doc_id long, text string",
+    )
+    plan = _plan(bm25_topk(docs, ["alpha", "beta"], k=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    # one single-partition exchange for the stats row; no hash shuffle
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
