@@ -22,10 +22,11 @@ Design:
   part file-lists live in the manifest, so the probe reads a pruned
   explicit file list (zero listing jobs), exactly like
   ``DedupIndex.check`` — plus ONE ``(id, vec, v)`` vector store (each
-  vector stored once, not once per table: the r4 verdict's 18×
-  storage-amplification fix; measured ~1.5× raw parquet bytes at
-  dim=64, dominated by f32→f64 widening in the store — the membership
-  itself is ~0.1× and dim-independent).
+  vector stored once, not once per table, in the SOURCE's own element
+  type — the r4 verdict's 18× storage-amplification fix; measured
+  **0.95×** raw parquet bytes on the f32 sf0.1 corpus at dim=64 — the
+  index is smaller than the table it indexes; membership alone is
+  ~0.29× and dim-independent).
   The probe DISTINCTs the pruned candidate ids and joins them to the
   vector store for the exact rerank; at cluster scale the store is
   bucketed by id so that join shuffles only the narrow candidate side.
@@ -67,16 +68,21 @@ _INDEX_SCHEMA = T.StructType(
     ]
 )
 
-_VEC_SCHEMA = T.StructType(
-    [
-        T.StructField("id", T.LongType(), True),
-        # double, not float: synthetic/test inputs arrive as doubles and
-        # float32 parquet embeddings widen losslessly, so the rerank is
-        # bit-identical to the one-shot in-memory path either way
-        T.StructField("vec", T.ArrayType(T.DoubleType()), True),
-        T.StructField("v", T.IntegerType(), True),
-    ]
-)
+def _vec_schema(dtype: str) -> T.StructType:
+    """Vector-store schema in the SOURCE's element type.  float32
+    sources store float32 (half the bytes) and widen losslessly on
+    read — f32→f64 is exact, so the rerank stays bit-identical to a
+    double store; double sources store double (no narrowing ever:
+    f64→f32 would change results silently, so a float-typed index
+    REJECTS a double-typed add instead — see :meth:`ForestIndex.add`)."""
+    elem = T.FloatType() if dtype == "float" else T.DoubleType()
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("vec", T.ArrayType(elem), True),
+            T.StructField("v", T.IntegerType(), True),
+        ]
+    )
 
 _TOMB_SCHEMA = T.StructType(
     [
@@ -121,6 +127,7 @@ class ForestIndex:
                 "version": 0,
                 "files": {},  # part -> [relative parquet paths]
                 "vec_files": [],  # (id, vec, v) store — one row per add
+                "vec_dtype": None,  # "float"|"double", fixed at first add
                 "tombstones": [],
             }
         )
@@ -189,14 +196,29 @@ class ForestIndex:
             ]
             meta["files"].setdefault(p, []).extend(rel)
             added += len(rel)
-        # vector store: each vector ONCE per add (at cluster scale this
-        # write is bucketed+sorted by id so the rerank join is a
-        # shuffle-one-side merge; locally a plain append suffices)
+        # vector store: each vector ONCE per add, in the SOURCE's own
+        # element type — float32 sources store float32 (half the bytes;
+        # widening on read is exact so results are unchanged), double
+        # sources fix the store to double.  A float index rejects a
+        # later double add loud: narrowing would silently change
+        # reranks.  (At cluster scale this write is bucketed+sorted by
+        # id so the rerank join is a shuffle-one-side merge.)
+        elem = df.schema[vec_col].dataType.elementType
+        src = "float" if isinstance(elem, T.FloatType) else "double"
+        dtype = meta.get("vec_dtype")
+        if dtype is None:
+            dtype = meta["vec_dtype"] = src
+        elif dtype == "float" and src == "double":
+            raise ValueError(
+                "this index stores float32 vectors; adding double-typed "
+                "vectors would require narrowing (results would change) — "
+                "rebuild the index with a double-typed first add"
+            )
         vec_dir = os.path.join(self.root, f"{label}-vecs")
         (
             df.select(
                 F.col(id_col).cast("long").alias("id"),
-                F.col(vec_col).cast("array<double>").alias("vec"),
+                F.col(vec_col).cast(f"array<{dtype}>").alias("vec"),
                 F.lit(meta["version"] + 1).cast("int").alias("v"),
             )
             .write.parquet(vec_dir)
@@ -268,9 +290,10 @@ class ForestIndex:
         """Live (id, vec) — each id's LATEST surviving version (a
         re-added vector wins over its tombstoned predecessor)."""
         meta = self._meta()
+        schema = _vec_schema(meta.get("vec_dtype") or "double")
         if not meta["vec_files"]:
-            return self.spark.createDataFrame([], _VEC_SCHEMA).select("id", "vec")
-        df = self.spark.read.schema(_VEC_SCHEMA).parquet(
+            return self.spark.createDataFrame([], schema).select("id", "vec")
+        df = self.spark.read.schema(schema).parquet(
             *[os.path.join(self.root, f) for f in meta["vec_files"]]
         )
         return (
