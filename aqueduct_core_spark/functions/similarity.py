@@ -1326,3 +1326,321 @@ def ivf_forest_topk(
         idx, query_vec, cbs, k, n_probes,
         vectors=df, vec_col=vec_col, id_col=id_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-scan ANN with asymmetric distance
+# ---------------------------------------------------------------------------
+# The FAISS IndexPQ / IVF-PQ code path (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011) re-expressed as
+# DataFrame ops: the vector space is split into PQ_M orthogonal
+# subspaces, each subspace gets its own k-means codebook (PQ_K codes),
+# and every vector is stored as PQ_M small integer codes.  A query
+# builds an M×K lookup table of exact sub-dot-products driver-side and
+# scores every document with M array-literal lookups — a pure projection
+# over the CODES table (whole-stage codegen, zero shuffle, zero UDF)
+# followed by TakeOrderedAndProject.  Full vectors are touched only to
+# exact-rerank the top `rerank` ADC candidates (broadcast join).
+#
+# Why this matters at 100 TB: the ADC scan reads M≈16 small ints per
+# vector instead of dim≈64 floats — the candidate-generation pass runs
+# over a table ~23× smaller than the embedding store (measured parquet
+# ratio in BENCH.md), so the compressed codes can stay hot while the
+# vector store pages in only for the rerank join.  This is the
+# scan-compression member of the ANN family: the forest prunes WHICH
+# rows are scanned (partition pruning), PQ compresses WHAT each scanned
+# row costs; composed (IVF-PQ) they multiply.
+#
+# Reproducibility: the same ×10⁶ integer quantization as the forest —
+# vectors and centroids quantized, every assignment/ADC decision made on
+# integer sums < 2⁵³ (exact in any order, no fold convention), so
+# training, encoding and ADC ranking replay bit-identically in the
+# DuckDB oracle.  PQ centroids are plain L2 means (NOT spherical —
+# assignment minimizes ||x−c||², the PQ reconstruction objective;
+# normalizing would discard subvector magnitude, which ADC needs).
+
+PQ_M = 16
+PQ_K = 64
+PQ_ITERS = 3
+
+
+def pq_init_codebooks(
+    dim: int,
+    n_sub: int = PQ_M,
+    n_codes: int = PQ_K,
+    seed: int = 13,
+) -> list[list[list[int]]]:
+    """Quantized (×10⁶ int) RANDOM codebooks, subspace m drawn from
+    ``seed + m`` — only used to FILL codes beyond the corpus size when
+    a corpus smaller than n_codes can't seed every code (the sample
+    init in :func:`pq_sample_init` is the production rule: measured
+    recall 0.49 → 0.87 at equal budget vs random init on sf0.1, see
+    BENCH.md)."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
+    d = dim // n_sub
+    return [
+        [
+            [_quant_int(x) for x in c]
+            for c in ivf_centroids(d, n_codes, seed=seed + m)
+        ]
+        for m in range(n_sub)
+    ]
+
+
+def pq_sample_init(
+    df: DataFrame,
+    dim: int,
+    n_sub: int = PQ_M,
+    n_codes: int = PQ_K,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+) -> list[list[list[int]]]:
+    """Data-sample init: code k of subspace m = the QUANTIZED m-th
+    subvector of the k-th smallest-id vector (deterministic, replayed
+    by the oracle's ``row_number() OVER (ORDER BY vec_id) ≤ K``).
+    Seeding from the data distribution instead of N(0,1) literals is
+    what makes one-to-three Lloyd iterations enough (random centroids
+    live nowhere near the data, so most codes never attract members
+    and the quantization error stays huge).  If the corpus has fewer
+    than n_codes vectors the remaining codes fall back to the random
+    literals — a tiny-corpus convenience outside the oracle contract
+    (driver corpora always have ≥ n_codes vectors)."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
+    d = dim // n_sub
+    rows = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.floor(x * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias("vq"),
+        )
+        .orderBy("id")
+        .limit(int(n_codes))
+        .collect()
+    )
+    fill = pq_init_codebooks(dim, n_sub, n_codes, seed)
+    cbs: list[list[list[int]]] = []
+    for m in range(n_sub):
+        cb = []
+        for k in range(n_codes):
+            if k < len(rows):
+                vq = rows[k]["vq"]
+                cb.append([int(x) for x in vq[m * d:(m + 1) * d]])
+            else:
+                cb.append(list(fill[m][k]))
+        cbs.append(cb)
+    return cbs
+
+
+def _pq_assign_udf(codebooks: list[list[list[int]]]):
+    """Arrow-vectorized per-subspace code assignment: ONE int64 einsum
+    per batch against all M codebooks (M·K·d ≈ 2k ints ride in the
+    closure).  Assignment minimizes the exact integer L2 surrogate
+    ``‖c‖² − 2·x_m·c`` (the ‖x_m‖² term is constant per vector);
+    products stay < 2⁵³ so the arithmetic is exact, and np.argmin takes
+    the FIRST min — the same smaller-code tie rule as the oracle's
+    ``row_number() ORDER BY dscore ASC, code``."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    n_sub, n_codes = len(codebooks), len(codebooks[0])
+    d = len(codebooks[0][0])
+    C = np.array(codebooks, dtype=np.int64)  # (M, K, d)
+    cn = (C * C).sum(axis=2)  # (M, K) = ‖c‖², exact
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        Vq = np.floor(V * _QSCALE + 0.5).astype(np.int64)
+        X = np.einsum("nmd,mkd->nmk", Vq.reshape(len(Vq), n_sub, d), C)
+        S = cn[None, :, :] - 2 * X
+        codes = (S.argmin(axis=2) + 1).astype("int32")  # 1-based
+        return pd.Series(list(codes))
+
+    return assign
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    n_sub: int = PQ_M,
+    n_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+) -> list[list[list[int]]]:
+    """Train all M sub-codebooks in ONE pass per iteration: a single
+    Arrow-batched assignment, then one ``(m, code, sp) → (Σx_q, count)``
+    hash aggregation whose shuffle and driver collect are bounded by
+    n_sub × n_codes × (dim/n_sub) rows regardless of corpus size.
+    Init is the data-sample rule (:func:`pq_sample_init`).  New
+    centroids are the element-wise means of the quantized members,
+    re-quantized with the shared floor(x·10⁶+0.5) rule — NO
+    normalization (PQ minimizes reconstruction error; see section
+    comment).  A code that loses all members keeps its previous
+    centroid verbatim, matching the oracle's COALESCE."""
+    import math
+
+    d = dim // n_sub
+    cbs = pq_sample_init(df, dim, n_sub, n_codes, vec_col, id_col, seed)
+    vq = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
+    )
+    for _ in range(int(iters)):
+        assign = _pq_assign_udf(cbs)
+        ex = (
+            df.select(assign(F.col(vec_col)).alias("codes"), vq.alias("vq"))
+            .select("codes", F.posexplode("vq").alias("pos", "x"))
+            .select(
+                F.floor(F.col("pos") / d).cast("int").alias("m"),
+                (F.col("pos") % d).alias("sp"),
+                F.col("x"),
+                F.col("codes"),
+            )
+            .select(
+                "m", "sp", "x",
+                F.element_at("codes", F.col("m") + 1).alias("code"),
+            )
+        )
+        rows = (
+            ex.groupBy("m", "code", "sp")
+            .agg(F.sum("x").alias("s"), F.count("x").alias("n"))
+            .collect()
+        )
+        sums: dict[tuple[int, int, int], tuple[int, int]] = {}
+        for r in rows:
+            sums[(int(r["m"]), int(r["code"]), int(r["sp"]))] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        nxt: list[list[list[int]]] = []
+        for m in range(n_sub):
+            cb: list[list[int]] = []
+            for code in range(1, n_codes + 1):
+                if (m, code, 0) not in sums:
+                    cb.append(list(cbs[m][code - 1]))
+                    continue
+                c = []
+                for sp in range(d):
+                    s, n = sums[(m, code, sp)]
+                    c.append(int(math.floor(((s / _QSCALE) / n) * _QSCALE + 0.5)))
+                cb.append(c)
+            nxt.append(cb)
+        cbs = nxt
+    return cbs
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id, codes)`` — each vector compressed to M small ints (the
+    persisted form; at scale this is the table the ADC scan reads, and
+    the only per-vector state PQ needs besides the rerank vector
+    store)."""
+    assign = _pq_assign_udf(codebooks)
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        assign(F.col(vec_col)).alias("codes"),
+    )
+
+
+def pq_adc_score(
+    query_vec: list[float],
+    codebooks: list[list[list[int]]],
+    codes_col: str = "codes",
+) -> Column:
+    """The asymmetric-distance score as ONE codegen'd expression: the
+    M×K lookup table of exact integer sub-dot-products is computed
+    driver-side (Python ints — arbitrary precision) and inlined as M
+    BIGINT array literals; each document costs M ``element_at`` lookups
+    + (M−1) additions.  Sum of M integer-valued terms < 2⁵³ ⇒ exact, so
+    ADC ranking is bit-deterministic and oracle-replayable."""
+    n_sub = len(codebooks)
+    d = len(codebooks[0][0])
+    if len(query_vec) != n_sub * d:
+        raise ValueError("query dim does not match codebooks")
+    terms = []
+    for m, cb in enumerate(codebooks):
+        qq = [_quant_int(x) for x in query_vec[m * d:(m + 1) * d]]
+        lut = []
+        for c in cb:
+            s = 0
+            for a, b in zip(qq, c):
+                s += a * b
+            lut.append(s)
+        arr = "array(" + ",".join(f"{v}L" for v in lut) + ")"
+        terms.append(f"element_at({arr}, element_at({codes_col}, {m + 1}))")
+    return F.expr("(" + " + ".join(terms) + ")")
+
+
+def pq_topk(
+    codes: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[int]]],
+    vectors: DataFrame,
+    k: int = 20,
+    rerank: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-``rerank`` over the compressed codes (pure projection +
+    TakeOrderedAndProject — the only full scan runs on the ~23×-smaller
+    codes table), then exact cosine rerank of those candidates against
+    the vector store via a BROADCAST join (`rerank` rows — never a
+    shuffle of the store), final top-k by the established round6 +
+    sequential-fold convention with id tie-break.  Returns
+    (vec_id, adc, sim): the integer ADC score rides along so the oracle
+    cross-checks the compressed ranking, not just the final answer."""
+    cand = (
+        codes.select(F.col("id"), pq_adc_score(query_vec, codebooks).alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col("id"))
+        .limit(int(rerank))
+    )
+    vecs = vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    sim = round6(cosine_sim("vec", list(query_vec), dim=len(query_vec)))
+    return (
+        vecs.join(F.broadcast(cand), on="id")
+        .select(F.col("id").alias("vec_id"), F.col("adc"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def pq_search(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    n_sub: int = PQ_M,
+    n_codes: int = PQ_K,
+    rerank: int = 64,
+    iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+) -> DataFrame:
+    """Convenience: train → encode → ADC+rerank in one call.  Amortized
+    deployments train once, persist the codes table, and reuse it per
+    query (the codes are the index)."""
+    cbs = pq_train(
+        df, len(query_vec), n_sub, n_codes, iters,
+        vec_col=vec_col, id_col=id_col, seed=seed,
+    )
+    cd = pq_encode(df, cbs, vec_col, id_col)
+    return pq_topk(cd, query_vec, cbs, df, k, rerank, vec_col, id_col)

@@ -60,6 +60,7 @@ HEADLINE = [
     "cdc_turn_loops",
     "emb_decontaminate",
     "emb_ivf_forest",
+    "emb_pq_topk",
     "cdc_scd2_incremental",
     "cdc_sessionize",
 ]
@@ -419,7 +420,164 @@ def bench_ann_recall(spark, sf_dir: str, k: int = 20) -> dict:
         "ivf_trained_recall": round(len(exact & trained) / len(exact), 3),
     }
     out.update(bench_forest_recall(spark, sf_dir, k=k))
+    out.update(bench_pq_recall(spark, sf_dir, k=k))
     return out
+
+
+def bench_pq_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100,
+                    rerank: int = 64) -> dict:
+    """recall@k of the PQ compressed-scan path (r5) over the same
+    100-query suite as the forest: train once, encode once, score ALL
+    queries in one batched pass (the per-query ×10⁶-integer lookup
+    tables become one broadcast (qid, m, code, w) frame joined to the
+    M-exploded codes — identical integer sums as the per-query inlined
+    expression), take top-``rerank`` ADC candidates per query, exact
+    rerank.  Reports mean/p10/min recall for ADC+rerank AND ADC-only
+    (the compression-only curve), plus the measured parquet bytes of
+    the codes table vs the raw embeddings — the scan-compression factor
+    a 100 TB deployment banks."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from aqueduct_core_spark.functions.similarity import (
+        _quant_int,
+        pq_encode,
+        pq_train,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = embs.count()
+    if n == 0:
+        return {}
+    qrows = embs.where(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
+    dim = len(qrows[0]["embedding"])
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+            "qid long, qvec array<double>",
+        )
+    )
+
+    def _sim():
+        dot = F.aggregate(
+            F.zip_with(F.col("vec"), F.col("qvec"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        nrm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(
+                F.transform(F.col(c), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        return F.try_divide(dot, nrm("vec") * nrm("qvec"))
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("vec_id"))
+    corpus = embs.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    exact = (
+        corpus.join(qdf, F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _sim().alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id")
+        .collect()
+    )
+    ex_sets: dict[int, set] = {}
+    for r in exact:
+        ex_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    cbs = pq_train(embs, dim)
+    d = len(cbs[0][0])
+    codes = pq_encode(embs, cbs).persist()
+    codes.count()
+    # batched ADC: one broadcast LUT frame for all queries
+    lut_rows = []
+    for r in qrows:
+        qq = [_quant_int(x) for x in r["embedding"]]
+        for m, cb in enumerate(cbs):
+            for ci, c in enumerate(cb):
+                s = 0
+                for a, b in zip(qq[m * d:(m + 1) * d], c):
+                    s += a * b
+                lut_rows.append((int(r["vec_id"]), m, ci + 1, s))
+    lut = F.broadcast(
+        spark.createDataFrame(lut_rows, "qid long, m int, code int, wgt long")
+    )
+    adc = (
+        codes.select("id", F.posexplode("codes").alias("m", "code"))
+        .join(lut, on=["m", "code"])
+        .groupBy("qid", "id")
+        .agg(F.sum("wgt").alias("adc"))
+    )
+    wa = Window.partitionBy("qid").orderBy(F.desc("adc"), F.col("id"))
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= rerank)
+        .select("qid", "id", "rn")
+        .persist()
+    )
+    cand.count()
+    got = (
+        cand.join(corpus, cand["id"] == corpus["vec_id"])
+        .join(qdf, on="qid")
+        .select("qid", "vec_id", _sim().alias("sim"))
+        .where(F.col("qid") != F.col("vec_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id")
+        .collect()
+    )
+    got_sets: dict[int, set] = {}
+    for r in got:
+        got_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    adc_sets: dict[int, set] = {}
+    for r in (
+        cand.where(F.col("rn") <= k + 1).orderBy("qid", "rn").collect()
+    ):
+        if r["id"] != r["qid"] and len(adc_sets.setdefault(r["qid"], set())) < k:
+            adc_sets[r["qid"]].add(r["id"])
+    cand.unpersist()
+
+    # measured parquet bytes: codes table vs raw embeddings
+    root = tempfile.mkdtemp(prefix="aq-bench-pq-")
+    try:
+        codes.coalesce(4).write.mode("overwrite").parquet(f"{root}/codes")
+        code_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(f"{root}/codes")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    codes.unpersist()
+    raw_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(f"{sf_dir}/embeddings.parquet")
+        for f in fs
+    ) or os.path.getsize(f"{sf_dir}/embeddings.parquet")
+
+    recs = sorted(
+        len(ex_sets[q] & got_sets.get(q, set())) / len(ex_sets[q]) for q in ex_sets
+    )
+    recs_adc = sorted(
+        len(ex_sets[q] & adc_sets.get(q, set())) / len(ex_sets[q]) for q in ex_sets
+    )
+    m_ = len(recs)
+    return {
+        "pq_recall": round(sum(recs) / m_, 3),
+        "pq_recall_p10": round(recs[max(0, m_ // 10 - 1)], 3),
+        "pq_recall_min": round(recs[0], 3),
+        "pq_adc_only_recall": round(sum(recs_adc) / m_, 3),
+        "pq_rerank_fraction": round(rerank / n, 3),
+        "pq_code_bytes_ratio": round(code_bytes / raw_bytes, 3),
+    }
 
 
 def bench_forest_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100) -> dict:

@@ -381,3 +381,121 @@ def test_forest_index_persisted_layout_prunes_partitions(spark, embs, tmp_path):
     assert [(r.vec_id, r.sim) for r in top.collect()] == [
         (r.vec_id, r.sim) for r in mem.collect()
     ]
+
+
+# --- product quantization (ADC compressed scan + exact rerank) ---
+
+
+def test_pq_encode_matches_driver_argmin(spark, embs):
+    """The Arrow einsum assignment equals a pure-Python exact-integer
+    argmin of the L2 surrogate per subspace (first-min = smaller code,
+    the oracle's tie rule)."""
+    from aqueduct_core_spark.functions.similarity import (
+        _quant_int, pq_encode, pq_train,
+    )
+
+    cbs = pq_train(embs, dim=32)
+    got = {r["id"]: list(r["codes"])
+           for r in pq_encode(embs, cbs).limit(50).collect()}
+    rows = {r["vec_id"]: list(r["embedding"])
+            for r in embs.where(F.col("vec_id") < 50).collect()}
+    d = len(cbs[0][0])
+    for vid, vec in rows.items():
+        vq = [_quant_int(x) for x in vec]
+        want = []
+        for m, cb in enumerate(cbs):
+            sub = vq[m * d:(m + 1) * d]
+            best, best_s = None, None
+            for ci, c in enumerate(cb):
+                s = sum(ci_ * ci_ for ci_ in c) - 2 * sum(
+                    a * b for a, b in zip(sub, c))
+                if best_s is None or s < best_s:
+                    best, best_s = ci + 1, s
+            want.append(best)
+        assert got[vid] == want, vid
+
+
+def test_pq_topk_recall_meets_floor(spark, embs):
+    """ADC + rerank-64 recall@20 vs exact cosine on the planted
+    neighborhood; ADC-only (rerank=k) must be strictly worse or equal —
+    the rerank is what buys the recall back."""
+    from aqueduct_core_spark.functions.similarity import pq_search
+
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    exact = {r["vec_id"] for r in cosine_topk(embs, q, k=20).collect()}
+    got = pq_search(embs, q, k=20, rerank=64).collect()
+    assert len(got) == 20
+    rec = len({r["vec_id"] for r in got} & exact) / 20
+    assert rec >= 0.8, rec
+    adc_only = pq_search(embs, q, k=20, rerank=20).collect()
+    rec_adc = len({r["vec_id"] for r in adc_only} & exact) / 20
+    assert rec_adc <= rec
+
+
+def test_pq_deterministic_across_parallelism(spark, embs):
+    from aqueduct_core_spark.functions.similarity import (
+        pq_encode, pq_topk, pq_train,
+    )
+
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    outs = []
+    for parts in (1, 13):
+        df = embs.repartition(parts)
+        cbs = pq_train(df, dim=32)
+        cd = pq_encode(df, cbs)
+        outs.append([
+            (r["vec_id"], r["adc"], r["sim"])
+            for r in pq_topk(cd, q, cbs, df, k=20, rerank=64).collect()
+        ])
+    assert outs[0] == outs[1]
+
+
+def test_pq_train_empty_code_keeps_init(spark):
+    """A code that attracts no members survives training verbatim (the
+    oracle's COALESCE rule; PQ never normalizes centroids).  With a
+    corpus smaller than n_codes, the sample init seeds the first n
+    codes from data and the remainder from the random-literal fill —
+    the fill codes sit far from the data, never attract members, and
+    must come out of training unchanged."""
+    from aqueduct_core_spark.functions.similarity import (
+        pq_init_codebooks, pq_sample_init, pq_train,
+    )
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(3)], ["vec_id", "embedding"]
+    )
+    cbs = pq_train(tiny, dim=8, n_sub=2, n_codes=8)
+    fill = pq_init_codebooks(8, n_sub=2, n_codes=8)
+    smp = pq_sample_init(tiny, dim=8, n_sub=2, n_codes=8)
+    # codes 4..8 are random fill (only 3 data vectors): at least some
+    # of them must survive verbatim; the sample codes 1..3 seed the
+    # data region
+    for m in range(2):
+        assert smp[m][:3] != fill[m][:3]
+        kept = sum(1 for k in range(3, 8) if cbs[m][k] == fill[m][k])
+        assert kept >= 4, (m, kept)
+
+
+def test_pq_adc_scan_plan_has_no_exchange(spark, embs):
+    """The ADC candidate pass is a pure projection over the codes table
+    + TakeOrderedAndProject — no shuffle, no UDF; vectors are only
+    touched by the rerank broadcast join."""
+    from aqueduct_core_spark.functions.similarity import (
+        pq_adc_score, pq_encode, pq_topk, pq_train,
+    )
+
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    cbs = pq_train(embs, dim=32)
+    cd = pq_encode(embs, cbs).localCheckpoint()
+    cand_plan = (
+        cd.select("id", pq_adc_score(q, cbs).alias("adc"))
+        .orderBy(F.col("adc").desc(), "id").limit(64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in cand_plan, cand_plan
+    assert "TakeOrderedAndProject" in cand_plan
+    full_plan = (
+        pq_topk(cd, q, cbs, embs, k=20, rerank=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in full_plan or "BroadcastNestedLoopJoin" in full_plan
