@@ -1644,3 +1644,69 @@ def pq_search(
     )
     cd = pq_encode(df, cbs, vec_col, id_col)
     return pq_topk(cd, query_vec, cbs, df, k, rerank, vec_col, id_col)
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    codes: DataFrame,
+    query_vec: list[float],
+    forest_cbs: list[list[list[int]]],
+    pq_cbs: list[list[list[int]]],
+    vectors: DataFrame,
+    k: int = 20,
+    n_probes: int = FOREST_PROBES,
+    rerank: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: the composed 100 TB plan — the forest PRUNES which rows
+    are read (partition pruning to ``n_probes × T`` of the T·K cell
+    partitions), PQ's integer ADC scores the surviving candidates from
+    their 23×-compressed codes (broadcast hash join on id — only
+    candidate ids and 16-int code rows move), and ONLY the top
+    ``rerank`` of those touch full vectors for the exact cosine
+    rerank.  Against a corpus of N vectors a query therefore reads
+    ~0.22·N code rows (compressed) and `rerank` vectors — the
+    multiplicative composition of the two savings (FAISS IVFPQ +
+    refine, re-expressed as three DataFrame joins).  Shares the
+    quantization, assignment and scoring kernels with
+    :func:`forest_topk` and :func:`pq_topk`, so determinism carries
+    over unchanged: the candidate SET is the forest's, the top-rerank
+    cut is by exact integer ADC (ties toward smaller id), the final
+    answer by round6 cosine with id tie-break.
+
+    Recall composes as forest_coverage × ADC-cut precision: measured
+    0.822 mean / 0.65 min recall@20 on the 100-query sf0.1 suite at
+    rerank=64 (``bench.py bench_ivfpq_recall``; forest-alone 0.876,
+    PQ-alone 0.870 — each stage's loss priced separately in BENCH.md).
+    With ``rerank`` ≥ the candidate count this is tuple-identical to
+    :func:`forest_topk` (pytest-asserted).
+    """
+    pairs = forest_probe_cells(
+        query_vec, forest_cbs, n_cells=n_probes * len(forest_cbs)
+    )
+    by_tbl: dict[int, list[int]] = {}
+    for t, c in pairs:
+        by_tbl.setdefault(t, []).append(int(c))
+    pred = None
+    for t, cells in by_tbl.items():
+        h = (F.col("tbl") == t) & F.col("cell").isin(cells)
+        pred = h if pred is None else (pred | h)
+    cand_ids = index.where(pred).select("id").distinct()
+    cand = (
+        codes.join(cand_ids, on="id")
+        .select("id", pq_adc_score(query_vec, pq_cbs).alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col("id"))
+        .limit(int(rerank))
+    )
+    vecs = vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    sim = round6(cosine_sim("vec", list(query_vec), dim=len(query_vec)))
+    return (
+        vecs.join(F.broadcast(cand), on="id")
+        .select(F.col("id").alias("vec_id"), F.col("adc"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )

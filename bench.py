@@ -421,7 +421,140 @@ def bench_ann_recall(spark, sf_dir: str, k: int = 20) -> dict:
     }
     out.update(bench_forest_recall(spark, sf_dir, k=k))
     out.update(bench_pq_recall(spark, sf_dir, k=k))
+    out.update(bench_ivfpq_recall(spark, sf_dir, k=k))
     return out
+
+
+def bench_ivfpq_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100,
+                       rerank: int = 64) -> dict:
+    """recall@k of the COMPOSED IVF-PQ path (r5): forest candidates →
+    integer-ADC cut to top-``rerank`` → exact rerank, over the same
+    100-query suite, batched exactly like the single-stage benches.
+    The number that prices the full 100 TB plan: ~22% of rows read as
+    16-int codes, `rerank` rows read as full vectors."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from aqueduct_core_spark.functions.similarity import (
+        _quant_int,
+        forest_index,
+        forest_probe_cells,
+        forest_train,
+        pq_encode,
+        pq_train,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = embs.count()
+    if n == 0:
+        return {}
+    qrows = embs.where(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
+    dim = len(qrows[0]["embedding"])
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+            "qid long, qvec array<double>",
+        )
+    )
+
+    def _sim():
+        dot = F.aggregate(
+            F.zip_with(F.col("vec"), F.col("qvec"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        nrm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(
+                F.transform(F.col(c), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        return F.try_divide(dot, nrm("vec") * nrm("qvec"))
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("vec_id"))
+    corpus = embs.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    exact = (
+        corpus.join(qdf, F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _sim().alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id")
+        .collect()
+    )
+    ex_sets: dict[int, set] = {}
+    for r in exact:
+        ex_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    fcbs = forest_train(embs, dim)
+    idx = forest_index(embs, fcbs).persist()
+    idx.count()
+    pcbs = pq_train(embs, dim)
+    d = len(pcbs[0][0])
+    codes = pq_encode(embs, pcbs).persist()
+    codes.count()
+    probe_rows = [
+        (int(r["vec_id"]), t, int(c))
+        for r in qrows
+        for t, c in forest_probe_cells(list(r["embedding"]), fcbs)
+    ]
+    pdf = F.broadcast(
+        spark.createDataFrame(probe_rows, "qid long, tbl int, cell int")
+    )
+    cand_ids = idx.join(pdf, on=["tbl", "cell"]).select("qid", "id").distinct()
+    lut_rows = []
+    for r in qrows:
+        qq = [_quant_int(x) for x in r["embedding"]]
+        for m, cb in enumerate(pcbs):
+            for ci, c in enumerate(cb):
+                s = 0
+                for a, b in zip(qq[m * d:(m + 1) * d], c):
+                    s += a * b
+                lut_rows.append((int(r["vec_id"]), m, ci + 1, s))
+    lut = F.broadcast(
+        spark.createDataFrame(lut_rows, "qid long, m int, code int, wgt long")
+    )
+    adc = (
+        codes.join(cand_ids, on="id")
+        .select("qid", "id", F.posexplode("codes").alias("m", "code"))
+        .join(lut, on=["qid", "m", "code"])
+        .groupBy("qid", "id")
+        .agg(F.sum("wgt").alias("adc"))
+    )
+    wa = Window.partitionBy("qid").orderBy(F.desc("adc"), F.col("id"))
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= rerank)
+        .select("qid", "id")
+    )
+    got = (
+        cand.join(corpus, cand["id"] == corpus["vec_id"])
+        .join(qdf, on="qid")
+        .select("qid", "vec_id", _sim().alias("sim"))
+        .where(F.col("qid") != F.col("vec_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id")
+        .collect()
+    )
+    got_sets: dict[int, set] = {}
+    for r in got:
+        got_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    idx.unpersist()
+    codes.unpersist()
+    recs = sorted(
+        len(ex_sets[q] & got_sets.get(q, set())) / len(ex_sets[q]) for q in ex_sets
+    )
+    m_ = len(recs)
+    return {
+        "ivfpq_recall": round(sum(recs) / m_, 3),
+        "ivfpq_recall_p10": round(recs[max(0, m_ // 10 - 1)], 3),
+        "ivfpq_recall_min": round(recs[0], 3),
+        "ivfpq_rerank_fraction": round(rerank / n, 3),
+    }
 
 
 def bench_pq_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100,

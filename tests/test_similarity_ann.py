@@ -499,3 +499,59 @@ def test_pq_adc_scan_plan_has_no_exchange(spark, embs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in full_plan or "BroadcastNestedLoopJoin" in full_plan
+
+
+def test_ivfpq_equals_forest_when_rerank_covers_candidates(spark, embs):
+    """With a rerank budget >= the candidate count, IVF-PQ exact-reranks
+    the forest's ENTIRE candidate set — the result must equal
+    forest_topk tuple-for-tuple (the ADC cut is the only approximation
+    IVF-PQ adds on top of the forest)."""
+    from aqueduct_core_spark.functions.similarity import (
+        forest_index, forest_topk, forest_train, ivfpq_topk, pq_encode,
+        pq_train,
+    )
+
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    fcbs = forest_train(embs, dim=32)
+    idx = forest_index(embs, fcbs).localCheckpoint()
+    pcbs = pq_train(embs, dim=32)
+    codes = pq_encode(embs, pcbs).localCheckpoint()
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in forest_topk(idx, q, fcbs, k=20, vectors=embs).collect()
+    ]
+    got = [
+        (r["vec_id"], r["sim"])
+        for r in ivfpq_topk(
+            idx, codes, q, fcbs, pcbs, embs, k=20, rerank=10**6
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_ivfpq_tight_rerank_recall_and_determinism(spark, embs):
+    """A tight rerank budget keeps recall near the forest's (ADC ranks
+    the candidates well enough that the true neighbors survive the
+    cut), and the result is deterministic across parallelism."""
+    from aqueduct_core_spark.functions.similarity import (
+        forest_index, forest_train, ivfpq_topk, pq_encode, pq_train,
+    )
+
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    exact = {r["vec_id"] for r in cosine_topk(embs, q, k=20).collect()}
+    outs = []
+    for parts in (1, 13):
+        df = embs.repartition(parts)
+        fcbs = forest_train(df, dim=32)
+        idx = forest_index(df, fcbs)
+        pcbs = pq_train(df, dim=32)
+        codes = pq_encode(df, pcbs)
+        outs.append([
+            (r["vec_id"], r["adc"], r["sim"])
+            for r in ivfpq_topk(
+                idx, codes, q, fcbs, pcbs, df, k=20, rerank=64
+            ).collect()
+        ])
+    assert outs[0] == outs[1]
+    rec = len({v for v, _, _ in outs[0]} & exact) / 20
+    assert rec >= 0.7, rec
