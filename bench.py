@@ -549,11 +549,45 @@ def bench_ivfpq_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100,
         len(ex_sets[q] & got_sets.get(q, set())) / len(ex_sets[q]) for q in ex_sets
     )
     m_ = len(recs)
+
+    # persisted-index serving latency: the PQ sidecar cuts the direct
+    # probe's vector-store read from the full ~22% candidate set to
+    # `rerank` rows — measure both paths on the same persisted index
+    import tempfile
+
+    from aqueduct_core_spark.functions.ann_index import ForestIndex
+
+    root = tempfile.mkdtemp(prefix="aq-bench-ivfpq-")
+    direct_ms = direct_pq_ms = None
+    try:
+        ixp = ForestIndex.create(
+            spark, f"{root}/ix", fcbs, pq_codebooks=pcbs
+        )
+        ixp.add(embs)
+        ixp.topk_direct(list(qrows[0]["embedding"]), k=k)  # warm imports
+        lat, lat_pq = [], []
+        for r in qrows[:7]:
+            qv = list(r["embedding"])
+            t0 = time.time()
+            ixp.topk_direct(qv, k=k)
+            lat.append(time.time() - t0)
+            t0 = time.time()
+            ixp.topk_direct(qv, k=k, rerank=rerank)
+            lat_pq.append(time.time() - t0)
+        lat.sort()
+        lat_pq.sort()
+        direct_ms = round(1000 * lat[len(lat) // 2], 2)
+        direct_pq_ms = round(1000 * lat_pq[len(lat_pq) // 2], 2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
     return {
         "ivfpq_recall": round(sum(recs) / m_, 3),
         "ivfpq_recall_p10": round(recs[max(0, m_ // 10 - 1)], 3),
         "ivfpq_recall_min": round(recs[0], 3),
         "ivfpq_rerank_fraction": round(rerank / n, 3),
+        "ivfpq_direct_ms_median": direct_pq_ms,
+        "forest_direct_ms_median_same_index": direct_ms,
     }
 
 

@@ -191,3 +191,53 @@ def test_float_source_store_is_half_size_and_bit_identical(spark, embs, cbs, tmp
 
     with pytest.raises(ValueError, match="float32"):
         ix_f.add(embs_wide.where(F.col("vec_id") < 5))
+
+
+# --- PQ sidecar: persisted IVF-PQ with zero-job ADC serving ---
+
+
+def test_pq_sidecar_rerank_paths_bit_identical(spark, embs, cbs, tmp_path):
+    """An index created with PQ codebooks maintains a (id, codes, v)
+    sidecar through adds/removes/re-adds; `rerank=` probes run the
+    persisted IVF-PQ plan.  Contracts: (a) a rerank budget covering
+    every candidate is tuple-identical to the plain forest probe (the
+    ADC cut is the only approximation added); (b) the zero-job direct
+    probe with the same tight budget is tuple-identical to the Spark
+    plan — and still schedules no jobs."""
+    from aqueduct_core_spark.functions.similarity import pq_train
+
+    pcbs = pq_train(embs, dim=16, n_sub=8, n_codes=16)
+    ix = ForestIndex.create(
+        spark, str(tmp_path / "ix"), cbs, num_parts=8, pq_codebooks=pcbs
+    )
+    ix.add(embs.where(F.col("vec_id") < 150))
+    ix.add(embs.where(F.col("vec_id") >= 150))
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    victims = [2, 4]
+    ix.remove(embs.where(F.col("vec_id").isin(victims)).select("vec_id"))
+    ix.add(embs.where(F.col("vec_id").isin(victims)))
+
+    # (a) full-budget IVF-PQ == plain forest probe
+    assert _topk_tuples(ix.topk(q, k=15, rerank=10**6)) == _topk_tuples(
+        ix.topk(q, k=15)
+    )
+    # (b) tight budget: Spark plan == zero-job direct, no jobs scheduled
+    want = _topk_tuples(ix.topk(q, k=15, rerank=40))
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    got = ix.topk_direct(q, k=15, rerank=40)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    assert before == after
+    # the tight cut is a real cut (differs from the uncut answer is NOT
+    # required — but the budget must bound the rerank set)
+    assert len(want) == 15
+
+
+def test_pq_sidecar_absent_fails_loud(spark, embs, cbs, tmp_path):
+    ix = ForestIndex.create(spark, str(tmp_path / "ix"), cbs, num_parts=8)
+    ix.add(embs.where(F.col("vec_id") < 50))
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    with pytest.raises(ValueError, match="PQ sidecar"):
+        ix.topk(q, k=5, rerank=10)
+    with pytest.raises(ValueError, match="PQ sidecar"):
+        ix.topk_direct(q, k=5, rerank=10)
