@@ -408,6 +408,79 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("out_w", T.IntegerType(), True),
+        T.StructField("out_h", T.IntegerType(), True),
+        T.StructField("pixels", T.BinaryType(), True),  # out_h·out_w·channels uint8
+    ]
+)
+
+
+def resize_pixels(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample via numpy fancy indexing (pure
+    vectorized — no per-pixel Python): output cell (i, j) samples the
+    source pixel whose center is nearest to the cell center, the
+    standard half-pixel-offset convention (``floor((i+0.5)·h/out_h)``,
+    clamped).  Deterministic, dependency-free, and exact for integer
+    upscales of solid regions."""
+    h, w = px.shape[:2]
+    rows = np.minimum(
+        ((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1
+    )
+    cols = np.minimum(
+        ((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1
+    )
+    return px[rows][:, cols]
+
+
+def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Image resize as an Arrow-batched ``mapInPandas`` kernel (the
+    brief's decode → resize step): PNGs are REALLY decoded
+    (:func:`decode_png` — inflate + unfilter) and nearest-neighbor
+    resampled to ``(out_h, out_w)``; the thumbnail rides out as a raw
+    ``uint8`` binary of ``out_h·out_w·channels`` bytes plus the source
+    dims.  Non-decodable payloads (JPEG entropy data needs a codec
+    library; see module header) yield a row with NULL dims/pixels —
+    the count of those is the honest decode-coverage metric.  Same
+    batch-shape rules as :func:`extract_features`: one Arrow batch of
+    payloads in memory per task, never the whole partition."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_png(payload)
+                if d is None:
+                    rows.append((mid, None, None, None, None, None, None))
+                    continue
+                small = resize_pixels(d["pixels"], out_w, out_h)
+                rows.append(
+                    (
+                        mid,
+                        d["width"],
+                        d["height"],
+                        d["channels"],
+                        out_w,
+                        out_h,
+                        np.ascontiguousarray(small, dtype=np.uint8).tobytes(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "out_w", "out_h", "pixels",
+                ],
+            )
+
+    return media.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic real-format encoders (test/bench inputs; stdlib only)
 # ---------------------------------------------------------------------------

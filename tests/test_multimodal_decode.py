@@ -236,3 +236,46 @@ def test_decode_jpeg_structural_parse():
     # decode_features routes JPEG bytes to the structural features
     f = decode_features(_jpeg_bytes(640, 480), dim=16)
     assert list(f[:5]) == [640.0, 480.0, 3.0, 8.0, 0.0]
+
+
+# --- resize (decode -> nearest-neighbor resample, r5) ---
+
+
+def test_resize_pixels_nearest_neighbor_math():
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import resize_pixels
+
+    # 4x4 gradient; downsample to 2x2 picks the half-pixel-centered
+    # sources: rows/cols floor((i+0.5)*4/2) = 1, 3
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    small = resize_pixels(px, 2, 2)
+    assert small.shape == (2, 2, 1)
+    assert small.reshape(2, 2).tolist() == [[5, 7], [13, 15]]
+    # upscale of a solid block stays solid
+    solid = np.full((3, 3, 3), 9, dtype=np.uint8)
+    up = resize_pixels(solid, 7, 5)
+    assert up.shape == (5, 7, 3) and (up == 9).all()
+
+
+def test_resize_images_kernel_real_png_and_honest_nulls(spark):
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import (
+        MEDIA_SCHEMA, make_png, resize_images,
+    )
+
+    rows = [
+        (1, "image", bytearray(make_png(16, 8, (200, 100, 50))), None),
+        (2, "image", bytearray(b"not-a-png"), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(media, 4, 2).collect()}
+    ok = out[1]
+    assert (ok["width"], ok["height"], ok["channels"]) == (16, 8, 3)
+    assert (ok["out_w"], ok["out_h"]) == (4, 2)
+    px = np.frombuffer(bytes(ok["pixels"]), dtype=np.uint8).reshape(2, 4, 3)
+    assert (px == np.array([200, 100, 50], dtype=np.uint8)).all()
+    # non-decodable payload -> honest NULL row, never an exception
+    bad = out[2]
+    assert bad["pixels"] is None and bad["width"] is None
