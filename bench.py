@@ -711,8 +711,14 @@ def bench_pq_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100,
             adc_sets[r["qid"]].add(r["id"])
     cand.unpersist()
 
-    # measured parquet bytes: codes table vs raw embeddings
+    # measured parquet bytes: codes table vs raw embeddings — and the
+    # AMORTIZED probe price: ADC+rerank against the persisted codes
+    # (the steady-state cost; the emb_pq_topk headline entry also pays
+    # train+encode per call by design)
+    from aqueduct_core_spark.functions.similarity import pq_topk
+
     root = tempfile.mkdtemp(prefix="aq-bench-pq-")
+    probe_ms = None
     try:
         codes.coalesce(4).write.mode("overwrite").parquet(f"{root}/codes")
         code_bytes = sum(
@@ -721,6 +727,17 @@ def bench_pq_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100,
             for f in fs
             if f.endswith(".parquet")
         )
+        saved = spark.read.parquet(f"{root}/codes")
+        pq_topk(saved, [float(x) for x in qrows[0]["embedding"]],
+                cbs, embs, k=k, rerank=rerank).collect()  # warm plans
+        lat = []
+        for r in qrows[:7]:
+            t0 = time.time()
+            pq_topk(saved, [float(x) for x in r["embedding"]],
+                    cbs, embs, k=k, rerank=rerank).collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        probe_ms = round(1000 * lat[len(lat) // 2], 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     codes.unpersist()
@@ -744,6 +761,7 @@ def bench_pq_recall(spark, sf_dir: str, k: int = 20, n_queries: int = 100,
         "pq_adc_only_recall": round(sum(recs_adc) / m_, 3),
         "pq_rerank_fraction": round(rerank / n, 3),
         "pq_code_bytes_ratio": round(code_bytes / raw_bytes, 3),
+        "pq_probe_only_ms_median": probe_ms,
     }
 
 
