@@ -43,6 +43,9 @@ emb_cosine_topk             brute-force cosine top-k (ANN baseline)
 emb_pq_topk                 product-quantization ANN (16×64 sample-init
                             codebooks, 3 Lloyd iters, integer ADC scan
                             over 23×-compressed codes + exact rerank)
+emb_ivfpq_topk              COMPOSED IVF-PQ: forest pruning → ADC cut
+                            → exact rerank; oracle composes the same
+                            two CTE fragments the single-stage rows use
 emb_knn_join                broadcast k-NN join (probe set × base)
 doc_minhash_pairs           MinHash+LSH near-dup pairs (md5 hash variant)
 doc_simhash_candidates      SimHash banded candidates (md5 hash variant)
@@ -1639,6 +1642,38 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(embs, qv, k=20, rerank=64)
 
 
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED IVF-PQ (FAISS IVFPQ+refine, r5): the forest prunes
+    WHICH rows are scanned (~22% candidates via 36 partition-prunable
+    cell predicates), PQ's integer ADC scores the survivors from their
+    16-int codes (broadcast join — only candidate ids and code rows
+    move), and just the top-64 touch full vectors for the exact
+    rerank.  The oracle composes the SAME two CTE fragments the
+    single-stage rows use (`_forest_cand_ctes` + `_pq_coding_ctes`),
+    so this driver row verifies the composition itself — candidate
+    set, compressed ranking and final answer — not a third
+    implementation.  Measured: recall@20 0.822 mean / 0.65 min over
+    the 100-query sf0.1 suite (BENCH.md)."""
+    from aqueduct_core_spark.functions.dedup import spread_small_input
+    from aqueduct_core_spark.functions.similarity import (
+        forest_index,
+        forest_train,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    qv = _query_vec(spark, sf_dir)
+    embs = spread_small_input(
+        _embs(spark, sf_dir), spark.sparkContext.defaultParallelism
+    )
+    fcbs = forest_train(embs, len(qv))
+    idx = forest_index(embs, fcbs)
+    pcbs = pq_train(embs, len(qv))
+    codes = pq_encode(embs, pcbs)
+    return ivfpq_topk(idx, codes, qv, fcbs, pcbs, embs, k=20, rerank=64)
+
+
 def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH blocking
     (≥1 shared bucket over 8 tables) then exact cosine ≥ 0.4 verify —
@@ -2494,6 +2529,32 @@ def _ivf_forest_oracle(dim: int = 64, n_tables: int = 18, n_cells: int = 128,
     Only the normalization step (sqrt of an inner product of non-integer
     means) and the final cosine keep the established sequential-fold +
     floor-round6 convention shared with the other emb_* oracles."""
+    body = _forest_cand_ctes(dim, n_tables, n_cells, n_probes)
+    return f"""
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * 1000000 + 0.5)) AS vq
+  FROM embeddings
+),
+q AS (SELECT v AS qv, vq AS qq FROM s WHERE vec_id = 0),
+{body}
+SELECT c.vec_id,
+  floor((list_inner_product(c.v, q.qv)
+         / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.qv, q.qv))))
+        * 1000000 + 0.5) / 1000000 AS sim
+FROM cand c, q
+ORDER BY sim DESC, c.vec_id LIMIT {kk}
+"""
+
+
+def _forest_cand_ctes(dim: int = 64, n_tables: int = 18, n_cells: int = 128,
+                      n_probes: int = 2) -> str:
+    """The forest train→index→probe pipeline as a CTE fragment (assumes
+    the shared ``s``/``q`` CTEs exist); ends with ``cand(vec_id, v)`` —
+    the DISTINCT pruned candidate set.  Composes with
+    :func:`_pq_coding_ctes` in the IVF-PQ oracle (no CTE-name overlap:
+    PQ names are p-prefixed)."""
     from aqueduct_core_spark.functions.similarity import forest_init_codebooks
 
     cbs = forest_init_codebooks(dim, n_tables, n_cells)
@@ -2503,15 +2564,7 @@ def _ivf_forest_oracle(dim: int = 64, n_tables: int = 18, n_cells: int = 128,
             lst = "[" + ",".join(str(i) for i in c) + "]::DOUBLE[]"
             init_rows.append(f"({t},{ci + 1},{lst})")
     init_vals = ",\n".join(init_rows)
-    return f"""
-WITH s AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         list_transform(CAST(embedding AS DOUBLE[]),
-                        x -> floor(x * 1000000 + 0.5)) AS vq
-  FROM embeddings
-),
-q AS (SELECT v AS qv, vq AS qq FROM s WHERE vec_id = 0),
-init(tbl, cell, c) AS (VALUES
+    return f"""init(tbl, cell, c) AS (VALUES
 {init_vals}
 ),
 fallb AS (
@@ -2581,12 +2634,39 @@ qcells AS (
 cand AS (
   SELECT DISTINCT a.vec_id, a.v
   FROM asg1 a JOIN qcells p ON a.tbl = p.tbl AND a.cell = p.cell
+)"""
+
+
+def _ivfpq_oracle(dim: int = 64, rerank: int = 64, kk: int = 20) -> str:
+    """The COMPOSED IVF-PQ pipeline in SQL: the forest fragment
+    produces the pruned candidate set, the PQ fragment produces every
+    vector's exact-integer ADC score, and the composition cuts the
+    candidates to top-`rerank` by (adc DESC, id) before the exact
+    cosine rerank — semantically identical to the engine's
+    ``ivfpq_topk``, which computes ADC only for candidates (per-id ADC
+    is independent, so score-then-filter ≡ filter-then-score).  Both
+    fragments are the SAME text the single-stage oracles use, so this
+    row re-verifies their composition, not a third implementation."""
+    return f"""
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * 1000000 + 0.5)) AS vq
+  FROM embeddings
+),
+q AS (SELECT v AS qv, vq AS qq FROM s WHERE vec_id = 0),
+{_forest_cand_ctes(dim)},
+{_pq_coding_ctes(dim)},
+pcand AS (
+  SELECT sc.vec_id, sc.adc
+  FROM pscores sc JOIN cand f ON sc.vec_id = f.vec_id
+  ORDER BY sc.adc DESC, sc.vec_id LIMIT {rerank}
 )
-SELECT c.vec_id,
-  floor((list_inner_product(c.v, q.qv)
-         / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.qv, q.qv))))
+SELECT c.vec_id, c.adc,
+  floor((list_inner_product(s.v, q.qv)
+         / (sqrt(list_inner_product(s.v, s.v)) * sqrt(list_inner_product(q.qv, q.qv))))
         * 1000000 + 0.5) / 1000000 AS sim
-FROM cand c, q
+FROM pcand c JOIN s ON s.vec_id = c.vec_id, q
 ORDER BY sim DESC, c.vec_id LIMIT {kk}
 """
 
@@ -2608,37 +2688,7 @@ def _pq_topk_oracle(dim: int = 64, n_sub: int = 16, n_codes: int = 64,
     means (never normalized), so the only non-integer step before the
     final cosine is the mean requantization — computed with the
     identical expression order as the engine."""
-    d = dim // n_sub
-    lloyd = []
-    prev = "cents0"
-    for i in range(1, iters + 1):
-        lloyd.append(f"""asg{i} AS (
-  SELECT vec_id, m, x, code FROM (
-    SELECT sub.vec_id, sub.m, sub.x, p.code,
-           row_number() OVER (
-             PARTITION BY sub.vec_id, sub.m
-             ORDER BY (list_inner_product(p.c, p.c)
-                       - 2 * list_inner_product(sub.x, p.c)) ASC, p.code) AS rn
-    FROM sub JOIN {prev} p ON p.m = sub.m
-  ) WHERE rn = 1
-),
-mu{i} AS (
-  SELECT m, code, sp, sum(xx) AS sx, count(*) AS n
-  FROM (SELECT m, code, generate_subscripts(x, 1) AS sp, unnest(x) AS xx
-        FROM asg{i})
-  GROUP BY m, code, sp
-),
-trained{i} AS (
-  SELECT m, code,
-         list(floor(((sx / 1000000.0) / n) * 1000000 + 0.5) ORDER BY sp) AS c
-  FROM mu{i} GROUP BY m, code
-),
-cents{i} AS (
-  SELECT p.m, p.code, COALESCE(t.c, p.c) AS c
-  FROM {prev} p LEFT JOIN trained{i} t ON p.m = t.m AND p.code = t.code
-)""")
-        prev = f"cents{i}"
-    lloyd_sql = ",\n".join(lloyd)
+    body = _pq_coding_ctes(dim, n_sub, n_codes, iters)
     return f"""
 WITH s AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -2647,40 +2697,9 @@ WITH s AS (
   FROM embeddings
 ),
 q AS (SELECT v AS qv, vq AS qq FROM s WHERE vec_id = 0),
-sub AS (
-  SELECT s.vec_id, ms.m,
-         list_slice(s.vq, ms.m * {d} + 1, ms.m * {d} + {d}) AS x
-  FROM s, (SELECT unnest(range({n_sub})) AS m) ms
-),
-smp AS (
-  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS code FROM s
-),
-cents0 AS (
-  SELECT sub.m, smp.code, sub.x AS c
-  FROM sub JOIN smp ON sub.vec_id = smp.vec_id
-  WHERE smp.code <= {n_codes}
-),
-{lloyd_sql},
-asgf AS (
-  SELECT vec_id, m, code FROM (
-    SELECT sub.vec_id, sub.m, p.code,
-           row_number() OVER (
-             PARTITION BY sub.vec_id, sub.m
-             ORDER BY (list_inner_product(p.c, p.c)
-                       - 2 * list_inner_product(sub.x, p.c)) ASC, p.code) AS rn
-    FROM sub JOIN {prev} p ON p.m = sub.m
-  ) WHERE rn = 1
-),
-scores AS (
-  SELECT a.vec_id,
-         CAST(sum(list_inner_product(
-           list_slice(q.qq, a.m * {d} + 1, a.m * {d} + {d}), c.c)) AS BIGINT)
-           AS adc
-  FROM asgf a JOIN {prev} c ON a.m = c.m AND a.code = c.code, q
-  GROUP BY a.vec_id
-),
+{body},
 cand AS (
-  SELECT vec_id, adc FROM scores ORDER BY adc DESC, vec_id LIMIT {rerank}
+  SELECT vec_id, adc FROM pscores ORDER BY adc DESC, vec_id LIMIT {rerank}
 )
 SELECT c.vec_id, c.adc,
   floor((list_inner_product(s.v, q.qv)
@@ -2689,6 +2708,78 @@ SELECT c.vec_id, c.adc,
 FROM cand c JOIN s ON s.vec_id = c.vec_id, q
 ORDER BY sim DESC, c.vec_id LIMIT {kk}
 """
+
+
+def _pq_coding_ctes(dim: int = 64, n_sub: int = 16, n_codes: int = 64,
+                    iters: int = 3) -> str:
+    """The PQ train→encode→ADC pipeline as a CTE fragment (assumes the
+    shared ``s``/``q`` CTEs exist).  All CTE names are p-prefixed so the
+    fragment composes with the forest fragment in the IVF-PQ oracle.
+    Ends with ``pscores(vec_id, adc)`` — the exact-integer ADC score of
+    every vector against the query."""
+    d = dim // n_sub
+    lloyd = []
+    prev = "pcents0"
+    for i in range(1, iters + 1):
+        lloyd.append(f"""pasg{i} AS (
+  SELECT vec_id, m, x, code FROM (
+    SELECT psub.vec_id, psub.m, psub.x, p.code,
+           row_number() OVER (
+             PARTITION BY psub.vec_id, psub.m
+             ORDER BY (list_inner_product(p.c, p.c)
+                       - 2 * list_inner_product(psub.x, p.c)) ASC, p.code) AS rn
+    FROM psub JOIN {prev} p ON p.m = psub.m
+  ) WHERE rn = 1
+),
+pmu{i} AS (
+  SELECT m, code, sp, sum(xx) AS sx, count(*) AS n
+  FROM (SELECT m, code, generate_subscripts(x, 1) AS sp, unnest(x) AS xx
+        FROM pasg{i})
+  GROUP BY m, code, sp
+),
+ptrained{i} AS (
+  SELECT m, code,
+         list(floor(((sx / 1000000.0) / n) * 1000000 + 0.5) ORDER BY sp) AS c
+  FROM pmu{i} GROUP BY m, code
+),
+pcents{i} AS (
+  SELECT p.m, p.code, COALESCE(t.c, p.c) AS c
+  FROM {prev} p LEFT JOIN ptrained{i} t ON p.m = t.m AND p.code = t.code
+)""")
+        prev = f"pcents{i}"
+    lloyd_sql = ",\n".join(lloyd)
+    return f"""psub AS (
+  SELECT s.vec_id, ms.m,
+         list_slice(s.vq, ms.m * {d} + 1, ms.m * {d} + {d}) AS x
+  FROM s, (SELECT unnest(range({n_sub})) AS m) ms
+),
+psmp AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS code FROM s
+),
+pcents0 AS (
+  SELECT psub.m, psmp.code, psub.x AS c
+  FROM psub JOIN psmp ON psub.vec_id = psmp.vec_id
+  WHERE psmp.code <= {n_codes}
+),
+{lloyd_sql},
+pasgf AS (
+  SELECT vec_id, m, code FROM (
+    SELECT psub.vec_id, psub.m, p.code,
+           row_number() OVER (
+             PARTITION BY psub.vec_id, psub.m
+             ORDER BY (list_inner_product(p.c, p.c)
+                       - 2 * list_inner_product(psub.x, p.c)) ASC, p.code) AS rn
+    FROM psub JOIN {prev} p ON p.m = psub.m
+  ) WHERE rn = 1
+),
+pscores AS (
+  SELECT a.vec_id,
+         CAST(sum(list_inner_product(
+           list_slice(q.qq, a.m * {d} + 1, a.m * {d} + {d}), c.c)) AS BIGINT)
+           AS adc
+  FROM pasgf a JOIN {prev} c ON a.m = c.m AND a.code = c.code, q
+  GROUP BY a.vec_id
+)"""
 
 
 def _near_dup_oracle(dim: int = 64, n_planes: int = 6, n_tables: int = 8,
@@ -3131,11 +3222,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     no driver row through round 4 (all pass the local oracle via
     tools/check_contract.py); entries 27-49 rotate in ever-green core
     flagships so the fresh artifact still covers the CDC heart of the
-    engine; slots 49-50 are the round-5-new emb_pq_topk and
-    doc_bm25_topk (new queries go INSIDE the window, not behind it —
-    emb_cosine_topk, ever-green since r2, rotates just behind to make
-    room); everything after slot 50 stays covered by the r1-r4
-    ever-green union.
+    engine; slots 48-50 are the round-5-new emb_ivfpq_topk,
+    emb_pq_topk and doc_bm25_topk (new queries go INSIDE the window,
+    not behind it — doc_simhash_candidates and emb_cosine_topk,
+    ever-green since r2, rotate just behind to make room); everything
+    after slot 50 stays covered by the r1-r4 ever-green union.
     """
     return {
         "doc_subword_tokens": _q_subword_tokens,
@@ -3185,9 +3276,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pref_pairs_inc": _q_pref_pairs_inc,
         "doc_exact_dedup": _q_exact_dedup,
         "doc_minhash_pairs": _q_minhash_pairs,
-        "doc_simhash_candidates": _q_simhash,
+        "emb_ivfpq_topk": _q_ivfpq_topk,
         "emb_pq_topk": _q_pq_topk,
         "doc_bm25_topk": _q_bm25_topk,
+        "doc_simhash_candidates": _q_simhash,
         "emb_cosine_topk": _q_cosine_topk,
         "cdc_partial_upserts": _q_partial_upserts,
         "cdc_version_diff": _q_version_diff,
@@ -4123,6 +4215,7 @@ FROM t
         "emb_ivf_trained": _ivf_trained_oracle(),
         "emb_ivf_forest": _ivf_forest_oracle(),
         "emb_pq_topk": _pq_topk_oracle(),
+        "emb_ivfpq_topk": _ivfpq_oracle(),
         # incremental maintenance must converge to the one-shot build:
         # the SAME oracle, verbatim
         "emb_forest_index_inc": _ivf_forest_oracle(),
