@@ -481,6 +481,66 @@ def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFra
     return media.mapInPandas(kernel, schema=RESIZE_SCHEMA)
 
 
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("out_rate", T.IntegerType(), True),
+        T.StructField("out_n", T.IntegerType(), True),
+        T.StructField("pcm", T.BinaryType(), True),  # out_n × int16 LE
+    ]
+)
+
+
+def resample_audio(media: DataFrame, out_rate: int = 16000) -> DataFrame:
+    """Audio resample — the resize kernel's audio sibling: WAVs are
+    REALLY decoded (:func:`decode_wav` — RIFF walk + PCM, mono-mixed)
+    and nearest-sample resampled to ``out_rate`` with the same
+    half-offset convention as :func:`resize_pixels` (output sample i
+    takes source sample ``floor((i+0.5)·rate/out_rate)``, clamped;
+    vectorized fancy indexing, no interpolation — the deterministic
+    dependency-free tier; a codec library would swap in a polyphase
+    filter behind the same schema).  Output rides as little-endian
+    int16 PCM bytes.  Non-decodable payloads yield NULL rows, never
+    exceptions — the null count is the decode-coverage metric."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_wav(payload)
+                if d is None or not d["sample_rate"]:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                x = d["samples"]
+                out_n = max(1, int(len(x) * out_rate // d["sample_rate"]))
+                idx = np.minimum(
+                    ((np.arange(out_n) + 0.5) * len(x) / out_n).astype(np.int64),
+                    len(x) - 1,
+                )
+                pcm = np.clip(x[idx] * 32767.0, -32768, 32767).astype("<i2")
+                rows.append(
+                    (
+                        mid,
+                        d["sample_rate"],
+                        d["n_samples"],
+                        out_rate,
+                        out_n,
+                        pcm.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "out_rate", "out_n", "pcm",
+                ],
+            )
+
+    return media.mapInPandas(kernel, schema=RESAMPLE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic real-format encoders (test/bench inputs; stdlib only)
 # ---------------------------------------------------------------------------

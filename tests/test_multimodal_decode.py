@@ -279,3 +279,37 @@ def test_resize_images_kernel_real_png_and_honest_nulls(spark):
     # non-decodable payload -> honest NULL row, never an exception
     bad = out[2]
     assert bad["pixels"] is None and bad["width"] is None
+
+
+def test_resample_audio_kernel_square_wave_and_nulls(spark):
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import (
+        MEDIA_SCHEMA, make_wav, resample_audio,
+    )
+
+    # 8 kHz square wave, half-period 4 samples -> resampled to 4 kHz the
+    # half-offset rule picks source samples 1,3,5,... preserving the
+    # +amp/-amp alternation every 2 output samples
+    wav = make_wav(8000, 64, amplitude=16384, half_period=4)
+    rows = [
+        (1, "audio", bytearray(wav), None),
+        (2, "audio", bytearray(b"not-a-wav"), None),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in resample_audio(
+            spark.createDataFrame(rows, MEDIA_SCHEMA), out_rate=4000
+        ).collect()
+    }
+    ok = out[1]
+    assert (ok["sample_rate"], ok["n_samples"]) == (8000, 64)
+    assert (ok["out_rate"], ok["out_n"]) == (4000, 32)
+    pcm = np.frombuffer(bytes(ok["pcm"]), dtype="<i2")
+    assert len(pcm) == 32
+    # square wave survives: |sample| is the (scaled) amplitude everywhere
+    amp = 16384 / 32768.0 * 32767.0
+    assert (np.abs(pcm.astype(np.int64)) == int(amp)).all()
+    # alternation every half_period/2 = 2 output samples
+    assert (pcm[:4] == np.array([pcm[0], pcm[0], -pcm[0], -pcm[0]])).all()
+    assert out[2]["pcm"] is None and out[2]["sample_rate"] is None
