@@ -398,7 +398,10 @@ def _q_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.substring(F.md5(F.col("conv_id")), 1, 1) == "a")
         .collect()
     ]
-    erase_conversations(table, keys)
+    if keys:  # a tiny corpus may have no 'a'-prefixed keys; erasing
+        # nothing == the oracle's declarative "all except prefix-'a'"
+        # (erase_conversations itself fails loud on [], by contract)
+        erase_conversations(table, keys)
     return table.read_internal().select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         F.col(LSN_COLUMN).alias("lsn"),
